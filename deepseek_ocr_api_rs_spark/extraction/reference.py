@@ -1,0 +1,178 @@
+"""The scalar single-process reference extractor — the golden oracle.
+
+Analogue of the official Python pipeline wrapped by the reference repo's
+``scripts/capture_baseline.py`` (976 LoC): processes ONE document at a time
+with straight-line Python, persisting every intermediate (blocks, features,
+scores, accept mask) so the Spark path can be bisected stage by stage
+(tier-2 parity, tests/baseline.rs:249-477 pattern).
+
+Never used inside Spark jobs — ``batch.extract_batch`` is the production
+kernel; tests assert byte-identical outputs between the two.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from deepseek_ocr_api_rs_spark.extraction import features as FT
+from deepseek_ocr_api_rs_spark.extraction.html_blocks import RawBlock, segment_html
+from deepseek_ocr_api_rs_spark.extraction.normalize import normalize_text
+from deepseek_ocr_api_rs_spark.extraction.pdf_spans import (
+    PDF_MAGIC,
+    assemble_pdf_text,
+    parse_pdf_payload,
+)
+
+
+@dataclass
+class BlockTrace:
+    """Golden per-block intermediate (FIXTURES.md §3 golden_blocks row)."""
+
+    block_idx: int
+    tag_path: str
+    features: list[float]
+    score: float
+    accepted: bool
+    block_text: str
+
+
+@dataclass
+class ExtractionResult:
+    """Golden per-document output (FIXTURES.md §2 golden_extractions row)."""
+
+    extracted_text: str
+    branch: str                 # 'html' | 'pdf' | 'error'
+    n_chars: int
+    n_blocks_total: int
+    n_blocks_accepted: int
+    blocks: list[BlockTrace] = field(default_factory=list)
+
+
+def block_features(b: RawBlock) -> list[float]:
+    """Float64 feature vector in FT.FEATURE_NAMES order — scalar path.
+
+    Each entry is a ratio of integer counts; division order pinned so the
+    vectorized path (same numerators/denominators, elementwise numpy ops)
+    is bit-identical.
+    """
+    text_den = max(b.n_text_chars, 1)
+    word_den = max(b.n_words, 1)
+    return [
+        # np.log1p, not math.log1p: the two differ in the last ulp and the
+        # vectorized path uses numpy — pinning one implementation is the
+        # P1/P2 exact-rounding discipline (model/mod.rs:1921-1932).
+        float(np.log1p(np.float64(b.n_text_chars))),
+        float(b.n_link_chars) / float(text_den),
+        float(b.n_text_chars) / float(1 + b.n_tags),
+        float(b.n_stop_words) / float(word_den),
+        float(b.n_punct) / float(text_den),
+        float(b.n_text_chars) / float(word_den),
+        float(b.depth),
+        float(b.boiler),
+        FT.tag_weight(b.tag_path),
+    ]
+
+
+def score_block(feats: list[float]) -> float:
+    """Left-to-right elementwise accumulate (bit-identical to
+    features.score_matrix row semantics)."""
+    score = 0.0
+    for f, w in zip(feats, FT.WEIGHTS):
+        score = score + f * w
+    return score
+
+
+def smooth_accept(raw: list[bool], blocks: list[RawBlock]) -> list[bool]:
+    """jusText-style context pass, deterministic single sweep over raw
+    accept decisions:
+
+    1. a heading (h1-h6) immediately above an accepted block is promoted;
+    2. a short block (< SHORT_BLOCK_WORDS words) with accepted blocks on
+       BOTH sides is promoted.
+
+    Both rules read only `raw` (not their own output) — order-independent.
+    """
+    n = len(raw)
+    out = list(raw)
+    for i in range(n):
+        if out[i]:
+            continue
+        tag = FT.leaf_tag(blocks[i].tag_path)
+        if tag in FT.HEADING_TAGS and i + 1 < n and raw[i + 1]:
+            out[i] = True
+            continue
+        if (
+            blocks[i].n_words < FT.SHORT_BLOCK_WORDS
+            and not blocks[i].boiler
+            and 0 < i < n - 1
+            and raw[i - 1]
+            and raw[i + 1]
+        ):
+            out[i] = True
+    return out
+
+
+def extract_html(html: str) -> ExtractionResult:
+    blocks = segment_html(html)
+    traces: list[BlockTrace] = []
+    raw_accept: list[bool] = []
+    for b in blocks:
+        feats = block_features(b)
+        score = score_block(feats)
+        raw_accept.append(score > FT.ACCEPT_THRESHOLD)
+        traces.append(
+            BlockTrace(
+                block_idx=b.idx,
+                tag_path=b.tag_path,
+                features=feats,
+                score=score,
+                accepted=False,  # filled after smoothing
+                block_text=b.text,
+            )
+        )
+    accept = smooth_accept(raw_accept, blocks)
+    for t, a in zip(traces, accept):
+        t.accepted = a
+    text = normalize_text(
+        FT.BLOCK_SEPARATOR.join(t.block_text for t in traces if t.accepted)
+    )
+    return ExtractionResult(
+        extracted_text=text,
+        branch="html",
+        n_chars=len(text),
+        n_blocks_total=len(traces),
+        n_blocks_accepted=sum(accept),
+        blocks=traces,
+    )
+
+
+def extract_pdf(data: bytes) -> ExtractionResult:
+    parsed = parse_pdf_payload(data)
+    if parsed is None:
+        return ExtractionResult("", "error", 0, 0, 0)
+    width, spans = parsed
+    text = normalize_text(assemble_pdf_text(spans, width))
+    return ExtractionResult(
+        extracted_text=text,
+        branch="pdf",
+        n_chars=len(text),
+        n_blocks_total=len(spans),
+        n_blocks_accepted=len(spans),
+    )
+
+
+def extract_document(payload: bytes) -> ExtractionResult:
+    """Route one document: PDF magic → pdf branch; strict-UTF-8 HTML →
+    html branch; anything else → error branch (MoE-dispatch analogue D8,
+    crates/infer-deepseek/src/transformer/block.rs:610-740)."""
+    if payload is None:
+        return ExtractionResult("", "error", 0, 0, 0)
+    if payload.startswith(PDF_MAGIC):
+        return extract_pdf(payload)
+    try:
+        html = payload.decode("utf-8", errors="strict")
+    except (UnicodeDecodeError, AttributeError):
+        return ExtractionResult("", "error", 0, 0, 0)
+    return extract_html(html)

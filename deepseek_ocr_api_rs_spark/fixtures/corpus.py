@@ -1,0 +1,197 @@
+"""Synthetic Common-Crawl-style corpus generator (FIXTURES.md §1).
+
+Schema matches BASELINE.json input_hint exactly:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Determinism: each row is generated from ``random.Random(SEED * 1_000_003 +
+row_id)`` so any subset of rows, generated in any order or parallelism, is
+identical — the property that lets the Spark fixture writer and the scalar
+golden capture agree byte-for-byte (reference precedent: deterministic
+BTreeSet enumeration, crates/infer-deepseek/src/vision/preprocess.rs:23-32).
+
+Skew by construction: two "hot hosts" carry ~20% of rows (exercises the
+salting path, SURVEY.md §7.2-6); ~5% PDF payloads (pdf branch); ~2%
+malformed bytes (error branch).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+
+import pandas as pd
+
+SEED = 42
+
+HOT_HOSTS = ["bigportal.example.com", "megablog.example.net"]
+COLD_HOST_COUNT = 200
+
+_VOCAB = (
+    "the quick brown fox jumps over a lazy dog while seventeen researchers "
+    "measure throughput of distributed query engines across large clusters "
+    "and report that careful partitioning with salted keys keeps skewed "
+    "hosts from dominating shuffle time in web scale extraction pipelines "
+    "modern boilerplate removal relies on text density link density and "
+    "stopword ratios to separate main content from navigation chrome"
+).split()
+
+_NAV_WORDS = "home about contact products news login signup careers terms privacy sitemap help".split()
+
+_LANGS = [("en", 0.70), ("de", 0.12), ("zh", 0.08), ("fr", 0.05), ("unknown", 0.05)]
+
+_ZH_CHARS = "数据处理引擎分布式查询提取网页内容主体去重索引规模集群吞吐量分区"
+
+
+def _pick_lang(rng: random.Random) -> str:
+    x = rng.random()
+    acc = 0.0
+    for lang, p in _LANGS:
+        acc += p
+        if x < acc:
+            return lang
+    return "en"
+
+
+def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
+    if lang == "zh":
+        return "".join(rng.choice(_ZH_CHARS) for _ in range(n_words * 2)) + "。"
+    words = [rng.choice(_VOCAB) for _ in range(n_words)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + rng.choice([".", ".", ".", "!", "?"])
+
+
+def _paragraph(rng: random.Random, lang: str) -> str:
+    return " ".join(_sentence(rng, lang, rng.randint(6, 18)) for _ in range(rng.randint(1, 5)))
+
+
+def _nav_block(rng: random.Random, tag: str) -> str:
+    links = "".join(
+        f'<a href="/{w}">{w}</a> ' for w in rng.sample(_NAV_WORDS, rng.randint(4, 9))
+    )
+    return f"<{tag}><ul><li>{links}</li></ul></{tag}>"
+
+
+def _html_doc(rng: random.Random, lang: str, title: str) -> str:
+    parts = [
+        "<!DOCTYPE html><html><head>",
+        f"<title>{title}</title>",
+        '<meta charset="utf-8"><style>body {{ margin: 0 }}</style>',
+        "<script>var tracker = 'noise' + Math.random();</script>",
+        "</head><body>",
+        _nav_block(rng, "nav"),
+        f"<header><h1>{title}</h1>{_nav_block(rng, 'div') if rng.random() < 0.4 else ''}</header>",
+        '<main><article>',
+    ]
+    n_blocks = rng.randint(1, 20)
+    for _ in range(n_blocks):
+        kind = rng.random()
+        if kind < 0.12:
+            parts.append(f"<h2>{_sentence(rng, lang, rng.randint(3, 7))}</h2>")
+        elif kind < 0.22:
+            items = "".join(
+                f"<li>{_sentence(rng, lang, rng.randint(4, 12))}</li>"
+                for _ in range(rng.randint(2, 5))
+            )
+            parts.append(f"<ul>{items}</ul>")
+        elif kind < 0.30:
+            rows = "".join(
+                f"<tr><td>{_sentence(rng, lang, 3)}</td><td>{rng.randint(0, 999)}</td></tr>"
+                for _ in range(rng.randint(2, 4))
+            )
+            parts.append(f"<table>{rows}</table>")
+        elif kind < 0.36:
+            parts.append(f"<pre>result = engine.extract(doc_{rng.randint(0, 99)})</pre>")
+        else:
+            parts.append(f"<p>{_paragraph(rng, lang)}</p>")
+    parts.append("</article></main>")
+    if rng.random() < 0.5:
+        comments = "".join(
+            f"<div class='comment'><p>{_sentence(rng, lang, rng.randint(2, 6))} "
+            f"<a href='/user/{rng.randint(1, 50)}'>user{rng.randint(1, 50)}</a></p></div>"
+            for _ in range(rng.randint(1, 4))
+        )
+        parts.append(f"<section id='comments'>{comments}</section>")
+    parts.append(_nav_block(rng, "footer"))
+    parts.append("<!-- generated fixture --></body></html>")
+    return "".join(parts)
+
+
+def _pdf_doc(rng: random.Random) -> bytes:
+    """Synthetic layout: 1-3 columns × 1-2 pages, spans shuffled + y-jitter.
+
+    Geometry is generated in reading order, then shuffled, so the reading-
+    order reconstruction operator has real work to do.
+    """
+    width = 612.0
+    n_cols = rng.randint(1, 3)
+    col_w = width / n_cols
+    spans = []
+    for page in range(rng.randint(1, 2)):
+        for col in range(n_cols):
+            y = 40.0
+            for _ in range(rng.randint(2, 6)):
+                x0 = col * col_w + 20.0 + rng.random() * 5.0
+                jitter = (rng.random() - 0.5) * 1.5  # within Y_QUANTUM
+                spans.append(
+                    {
+                        "page": page,
+                        "x0": round(x0, 2),
+                        "y0": round(y + jitter, 2),
+                        "x1": round(x0 + col_w - 60.0, 2),
+                        "y1": round(y + 12.0, 2),
+                        "text": _sentence(rng, "en", rng.randint(3, 8)),
+                    }
+                )
+                y += rng.choice([14.0, 14.0, 28.0])
+    rng.shuffle(spans)
+    payload = {"width": width, "spans": spans}
+    return b"%PDF-1.7\n" + json.dumps(payload, sort_keys=True).encode("utf-8")
+
+
+def make_documents(n_rows: int, start_id: int = 0) -> pd.DataFrame:
+    rows = []
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for row_id in range(start_id, start_id + n_rows):
+        rng = random.Random(SEED * 1_000_003 + row_id)
+        roll = rng.random()
+        if roll < 0.20:
+            host = HOT_HOSTS[row_id % len(HOT_HOSTS)]
+        else:
+            host = f"site{rng.randrange(COLD_HOST_COUNT)}.example.org"
+        url = f"https://{host}/page/{row_id}"
+        warc_ts = epoch + dt.timedelta(seconds=row_id * 137)
+        lang = _pick_lang(rng)
+        kind = rng.random()
+        if kind < 0.05:
+            html_bytes = _pdf_doc(rng)
+            text = ""
+        elif kind < 0.07:
+            html_bytes = b"\xff\xfe<html><body>truncated" + bytes([rng.randrange(256) | 0x80 for _ in range(16)])
+            text = ""
+        else:
+            title = _sentence(rng, lang, rng.randint(2, 6)).rstrip(".!?")
+            doc = _html_doc(rng, lang, title)
+            html_bytes = doc.encode("utf-8")
+            text = " ".join(doc.split())
+        rows.append((url, warc_ts, html_bytes, text, lang))
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )
+
+
+def write_documents_parquet(path: str, n_rows: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = make_documents(n_rows)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
