@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 + the training-data-pipeline
+mandate has a `queries()` entry, and (wherever the semantics are
+SQL-expressible) a DuckDB `oracle_sql()` twin built from the SAME pinned
+constants (deepseek_ocr_api_rs_spark.functions.hashing / text).
+
+Engine-exactness discipline used throughout:
+- money aggregates: cast to decimal(18,2) BEFORE summing (exact, order-
+  independent), cast the final sum to double (same bits in both engines);
+- dedup hashes: pinned polynomial family mod 2^31-1 (integer-only);
+- float ratios: single IEEE divisions of integer counts, rounded for cushion;
+- every computed column aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +18,719 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from deepseek_ocr_api_rs_spark.functions import hashing as H
+from deepseek_ocr_api_rs_spark.functions import text as T
+from deepseek_ocr_api_rs_spark.operators import dedup as D
+from deepseek_ocr_api_rs_spark.operators import similarity as S
+from deepseek_ocr_api_rs_spark.operators import topk as K
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_DEC = "decimal(18,2)"
+
+
+def _sum_money(col: str) -> F.Column:
+    return F.sum(F.col(col).cast(_DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# relational queries (TPC-H-style; reference mapping noted per query)
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-agg with multiple measures — the bench stage-totals analogue
+    (crates/cli/src/bench.rs:139-172)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    disc = F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    charge_f = F.col("l_extendedprice").cast(_DEC) * disc * (
+        F.lit(1).cast(_DEC) + F.col("l_tax").cast(_DEC)
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            _sum_money("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice").cast(_DEC) * disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge_f).cast("double").alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+select l_returnflag, l_linestatus,
+  cast(sum(l_quantity) as double) as sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) as sum_disc_price,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) * (cast(1 as decimal(18,2)) + cast(l_tax as decimal(18,2)))) as double) as sum_charge,
+  round(sum(l_quantity) / count(*), 4) as avg_qty,
+  round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*), 4) as avg_price,
+  round(cast(sum(cast(l_discount as decimal(18,2))) as double) / count(*), 4) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-01 00:00:00'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + deterministic top-k. Small dims broadcast
+    (the S6 broadcast pattern; verified in tests via the physical plan)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    disc = F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC) * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q03_SQL = """
+select l_orderkey, o_orderdate, o_orderpriority,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1997-06-01 00:00:00'
+  and l_shipdate > timestamp '1997-06-01 00:00:00'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, l_orderkey asc
+limit 10
+"""
+
+
+def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join; dims broadcast, fact shuffles once."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC) * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q05_SQL = """
+select n_name,
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o_orderdate < timestamp '1998-01-01 00:00:00'
+group by n_name
+order by revenue desc, n_name asc
+"""
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg — the predicate-pushdown showcase (all three
+    predicates reach the parquet scan; asserted in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q06_SQL = """
+select
+  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))) as double) as revenue,
+  count(*) as n_rows
+from lineitem
+where l_shipdate >= timestamp '1996-01-01 00:00:00'
+  and l_shipdate < timestamp '1997-01-01 00:00:00'
+  and l_discount >= 0.05 and l_discount <= 0.07
+  and l_quantity < 24
+"""
+
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 top-k filter (sampling.rs:151-165) as a window."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", F.col("o_totalprice").cast(_DEC).cast("double").alias("o_totalprice")
+    )
+    return K.topk_per_group(orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", 3)
+
+
+_Q_TOPK_SQL = """
+select o_orderpriority, o_orderkey, o_totalprice from (
+  select o_orderpriority, o_orderkey,
+    cast(cast(o_totalprice as decimal(18,2)) as double) as o_totalprice,
+    row_number() over (partition by o_orderpriority
+                       order by cast(cast(o_totalprice as decimal(18,2)) as double) desc, o_orderkey asc) as rn
+  from orders
+) where rn <= 3
+"""
+
+
+def q_cumshare_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 top-p nucleus cut (sampling.rs:167-214) in exact integer
+    arithmetic: per event_type, smallest set of users covering ≥ half the
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n_events"))
+    return K.cumulative_share_cut(
+        per_user, ["event_type"], "n_events", "n_events", "user_id", 1, 2
+    ).select("event_type", "user_id", "n_events")
+
+
+_Q_CUMSHARE_SQL = """
+with per_user as (
+  select event_type, user_id, count(*) as n_events
+  from events group by event_type, user_id
+), ranked as (
+  select event_type, user_id, n_events,
+    sum(n_events) over (partition by event_type
+                        order by n_events desc, user_id asc
+                        rows unbounded preceding) as cum,
+    sum(n_events) over (partition by event_type) as total
+  from per_user
+)
+select event_type, user_id, n_events
+from ranked where (cum - n_events) * 2 < total * 1
+"""
+
+
+def q_stage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/min/max/avg per stage name — direct analogue of the
+    reference's benchmark stage rollup (crates/cli/src/bench.rs:139-172)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _sum_money("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(_sum_money("value") / F.count("*"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_STAGE_SQL = """
+select event_type, count(*) as n,
+  cast(sum(cast(value as decimal(18,2))) as double) as sum_value,
+  min(value) as min_value, max(value) as max_value,
+  round(cast(sum(cast(value as decimal(18,2))) as double) / count(*), 4) as avg_value
+from events group by event_type order by event_type
+"""
+
+
+def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form; the streaming twin is
+    q_stream_hourly_counts)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(_sum_money("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_Q_HOURLY_SQL = """
+select date_trunc('hour', ts) as window_start, event_type,
+  count(*) as n_events,
+  round(cast(sum(cast(value as decimal(18,2))) as double), 2) as sum_value
+from events group by 1, 2
+"""
+
+
+def q_branch_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoE-style routing (D8, transformer/block.rs:610-740): rows dispatched
+    to per-branch computations, results merged keyed by branch."""
+    li = _t(spark, sf_dir, "lineitem")
+    branch = (
+        F.when(F.col("l_returnflag") == "R", F.lit("returned"))
+        .when(F.col("l_returnflag") == "A", F.lit("acknowledged"))
+        .otherwise(F.lit("neutral"))
+    )
+    metric = (
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast(_DEC))
+        .when(F.col("l_returnflag") == "A", F.lit(1).cast(_DEC))
+        .otherwise(F.col("l_extendedprice").cast(_DEC))
+    )
+    return (
+        li.withColumn("branch", branch)
+        .groupBy("branch")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(metric).cast("double").alias("metric"),
+        )
+        .orderBy("branch")
+    )
+
+
+_Q_DISPATCH_SQL = """
+select case when l_returnflag = 'R' then 'returned'
+            when l_returnflag = 'A' then 'acknowledged'
+            else 'neutral' end as branch,
+  count(*) as n_rows,
+  cast(sum(case when l_returnflag = 'R' then cast(l_quantity as decimal(18,2))
+                when l_returnflag = 'A' then cast(1 as decimal(18,2))
+                else cast(l_extendedprice as decimal(18,2)) end) as double) as metric
+from lineitem group by 1 order by 1
+"""
+
+
+def q_salted_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (SURVEY §7.2-6): partial agg on
+    (source, salt), final on source — same result as the plain group-by the
+    oracle computes, but no single reducer sees a whole hot key."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+    partial = salted.groupBy("source", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("n_chars").alias("pc")
+    )
+    return (
+        partial.groupBy("source")
+        .agg(F.sum("pn").alias("n_docs"), F.sum("pc").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+_Q_SALTED_SQL = """
+select source, count(*) as n_docs, sum(n_chars) as total_chars
+from documents group by source order by source
+"""
+
+
+def q_resume_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume anti-join (SURVEY §4 incremental-computation
+    analogue): drop rows of committed buckets; buckets 0-15 committed."""
+    docs = _t(spark, sf_dir, "documents")
+    bucketed = docs.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(32)).cast("int"))
+    committed = spark.range(16).select(F.col("id").cast("int").alias("bucket"))
+    return bucketed.join(committed, "bucket", "left_anti").select("doc_id", "bucket")
+
+
+_Q_RESUME_SQL = """
+select doc_id, cast(doc_id % 32 as int) as bucket
+from documents where doc_id % 32 >= 16
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_text"),
+    )
+
+
+_Q_TOKENS_SQL = f"""
+select doc_id,
+  {T.token_count_duckdb('text')} as n_tokens,
+  cast(length(text) as bigint) as n_chars_text
+from documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+    ).filter(F.col("quality") > 0.5)
+
+
+_Q_QUALITY_SQL = f"""
+select doc_id, round({T.quality_score_duckdb('text')}, 4) as quality
+from documents
+where round({T.quality_score_duckdb('text')}, 4) > 0.5
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column, as a confusion
+    rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_Q_LANG_SQL = f"""
+select lang, {T.lang_id_duckdb('text')} as lang_pred, count(*) as n
+from documents group by 1, 2 order by 1, 2
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+_Q_FP_SQL = f"""
+select doc_id, {T.fingerprint_duckdb('text')} as fp from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup demo over a corpus with planted duplicates (the corpus ∪
+    an id-shifted copy of itself — every text duplicated exactly once)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return (
+        D.exact_duplicates(docs.unionAll(copy))
+        .orderBy("canonical_id")
+        .select("fp", "canonical_id", "n_dups")
+    )
+
+
+_Q_DEDUP_EXACT_SQL = f"""
+with uni as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id, text from documents
+)
+select {T.fingerprint_duckdb('text')} as fp,
+  min(doc_id) as canonical_id, count(*) as n_dups
+from uni
+group by 1 having count(*) > 1
+order by canonical_id
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, shingle_n=3)
+    cols = [F.col("sig")[i].alias(f"mh_{i}") for i in range(len(H.MINHASH_PARAMS))]
+    return sigs.select("doc_id", *cols)
+
+
+def _minhash_sig_sql() -> str:
+    keys = H.keys_duckdb("text", shingle_n=3)
+    sig = H.minhash_duckdb(keys)
+    mins = ", ".join(f"sig[{i + 1}] as mh_{i}" for i in range(len(H.MINHASH_PARAMS)))
+    return f"""
+with s as (
+  select doc_id, {sig} as sig,
+         len({H.tokens_duckdb('text')}) as n_tok
+  from documents
+)
+select doc_id, {mins} from s where n_tok >= 3
+"""
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, shingle_n=3).orderBy("id_a", "id_b")
+
+
+def _minhash_lsh_sql() -> str:
+    keys = H.keys_duckdb("text", shingle_n=3)
+    sig = H.minhash_duckdb(keys)
+    band_rows = ", ".join(
+        f"({H.band_key_duckdb('sig', b)})" for b in range(H.MINHASH_BANDS)
+    )
+    return f"""
+with s as (
+  select doc_id, {sig} as sig, len({H.tokens_duckdb('text')}) as n_tok
+  from documents
+), bands as (
+  select doc_id, unnest([{band_rows}]) as band_key from s where n_tok >= 3
+)
+select distinct a.doc_id as id_a, b.doc_id as id_b
+from bands a join bands b on a.band_key = b.band_key and a.doc_id < b.doc_id
+order by id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs).orderBy("doc_id")
+
+
+_Q_SIMHASH_SQL = f"""
+select doc_id, {H.simhash_duckdb('text')} as simhash
+from documents order by doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.2).orderBy("id_a", "id_b")
+
+
+def _ngram_jaccard_sql() -> str:
+    sh = H.shingles_duckdb("text", 3)
+    return f"""
+with sh as (
+  select doc_id, {sh} as s from documents
+), sized as (
+  select doc_id, len(s) as n_sh from sh where len(s) > 0
+), posts as (
+  select doc_id, unnest(s) as shingle from sh where len(s) > 0
+), inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from posts a join posts b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b,
+  round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) as jaccard
+from inter
+join sized sa on id_a = sa.doc_id
+join sized sb on id_b = sb.doc_id
+where n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+order by id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row.embedding]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 query (the ANN correctness
+    baseline)."""
+    vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.topk_cosine(vecs, _query_vec(spark, sf_dir), k=10)
+
+
+_Q_COSTOPK_SQL = """
+with q as (select embedding as qv from embeddings where vec_id = 0)
+select vec_id,
+  round(
+    list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+     sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) as cosine
+from embeddings, q
+where vec_id != 0
+order by list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+     sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) desc, vec_id asc
+limit 10
+"""
+
+
+def q_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.45), exact all-pairs baseline."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(vecs, threshold=0.45).orderBy("id_a", "id_b")
+
+
+_Q_COSPAIRS_SQL = """
+select a.vec_id as id_a, b.vec_id as id_b,
+  round(
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) as cosine
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+order by id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming + multimodal + extraction
+
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window Structured Streaming aggregation, run to
+    completion (AvailableNow) — final state equals the batch rollup, which
+    is what the oracle checks."""
+    from deepseek_ocr_api_rs_spark.streaming.jobs import hourly_event_counts_stream
+
+    return hourly_event_counts_stream(spark, f"{sf_dir}/events.parquet")
+
+
+_Q_STREAM_SQL = """
+select date_trunc('hour', ts) as window_start, event_type,
+  count(*) as n_events,
+  round(cast(sum(cast(value as decimal(18,2))) as double), 2) as sum_value
+from events group by 1, 2
+"""
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → typed metadata via an
+    Arrow-batched mapInPandas (decode stubbed deterministically — the
+    oracle reproduces the stub arithmetically)."""
+    from deepseek_ocr_api_rs_spark.operators.multimodal import image_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return image_metadata(docs).orderBy("doc_id")
+
+
+_Q_IMAGE_SQL = """
+select doc_id,
+  cast(octet_length(encode(text)) as bigint) as n_bytes,
+  cast(octet_length(encode(text)) % 640 + 1 as int) as width,
+  cast(octet_length(encode(text)) % 480 + 1 as int) as height,
+  case when octet_length(encode(text)) > 0 then 'RGB' else 'EMPTY' end as mode
+from documents order by doc_id
+"""
+
+
+def q_extract_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 normalize_text canonicalization (inference.rs:142-147) as pure
+    built-ins over the driver documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )
+
+
+_Q_EXTRACT_SQL = """
+select doc_id,
+  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') as norm_text,
+  cast(length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as bigint) as n_norm_chars
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the text-pipeline composite over sf0.001 documents —
+    normalize → token stats → quality → lang-id → fingerprint → simhash,
+    one projection, all JVM-side."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm_text"),
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+        T.fingerprint("text").alias("fp"),
+        F.expr(H.simhash_spark("text")).alias("simhash"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_nation_revenue": q05_region_nation_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_topk_orders_per_priority": q_topk_orders_per_priority,
+        "q_cumshare_users_per_type": q_cumshare_users_per_type,
+        "q_stage_totals": q_stage_totals,
+        "q_hourly_windows": q_hourly_windows,
+        "q_branch_dispatch": q_branch_dispatch,
+        "q_salted_host_rollup": q_salted_host_rollup,
+        "q_resume_filter": q_resume_filter,
+        "q_token_stats": q_token_stats,
+        "q_quality_scores": q_quality_scores,
+        "q_lang_id": q_lang_id,
+        "q_fingerprints": q_fingerprints,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "q_simhash": q_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_cosine_topk": q_cosine_topk,
+        "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
+        "q_stream_hourly_counts": q_stream_hourly_counts,
+        "q_image_meta": q_image_meta,
+        "q_extract_normalize": q_extract_normalize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q03_shipping_priority": _Q03_SQL,
+        "q05_region_nation_revenue": _Q05_SQL,
+        "q06_forecast_revenue": _Q06_SQL,
+        "q_topk_orders_per_priority": _Q_TOPK_SQL,
+        "q_cumshare_users_per_type": _Q_CUMSHARE_SQL,
+        "q_stage_totals": _Q_STAGE_SQL,
+        "q_hourly_windows": _Q_HOURLY_SQL,
+        "q_branch_dispatch": _Q_DISPATCH_SQL,
+        "q_salted_host_rollup": _Q_SALTED_SQL,
+        "q_resume_filter": _Q_RESUME_SQL,
+        "q_token_stats": _Q_TOKENS_SQL,
+        "q_quality_scores": _Q_QUALITY_SQL,
+        "q_lang_id": _Q_LANG_SQL,
+        "q_fingerprints": _Q_FP_SQL,
+        "q_dedup_exact": _Q_DEDUP_EXACT_SQL,
+        "q_minhash_signatures": _minhash_sig_sql(),
+        "q_minhash_lsh_candidates": _minhash_lsh_sql(),
+        "q_simhash": _Q_SIMHASH_SQL,
+        "q_ngram_jaccard": _ngram_jaccard_sql(),
+        "q_cosine_topk": _Q_COSTOPK_SQL,
+        "q_cosine_threshold_pairs": _Q_COSPAIRS_SQL,
+        "q_stream_hourly_counts": _Q_STREAM_SQL,
+        "q_image_meta": _Q_IMAGE_SQL,
+        "q_extract_normalize": _Q_EXTRACT_SQL,
+    }

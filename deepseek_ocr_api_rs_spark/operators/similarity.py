@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine: F.aggregate/zip_with dot products — JVM-side, exact,
+  the correctness baseline (and the verify stage for ANN);
+- LSH-bucketed ANN (sign-random-projection): the scale path — buckets
+  computed in one projection, candidate search touches one bucket (± probes)
+  instead of the full corpus.
+
+Float discipline: all arithmetic promoted to float64, accumulation in array
+order (F.aggregate folds left-to-right; DuckDB list functions likewise), so
+the DuckDB oracle matches bitwise; query layers round for cushion anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepseek_ocr_api_rs_spark.functions.hashing import P as _P  # noqa: F401 (doc link)
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def cosine_to_query(
+    vecs: DataFrame, query_vec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Similarity of every row to one query vector (broadcast as a literal
+    array — the S6 broadcast-small-read-only-state pattern)."""
+    q = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in query_vec) + ")"
+    return vecs.select(
+        F.col(id_col),
+        F.expr(cosine_expr(vec_col, q)).alias("cosine"),
+    )
+
+
+def topk_cosine(
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine (K4 top-k analogue: ORDER BY ... LIMIT k,
+    ties broken by id for determinism). At scale this is a map + TakeOrdered
+    — no shuffle of the vectors themselves."""
+    return (
+        cosine_to_query(vecs, query_vec, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def srp_bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
+    """Sign-random-projection bucket id: bit b = sign(dot(vec, plane_b)).
+    Deterministic pinned planes (no runtime randomness — K6/K8 discipline)."""
+    bits = []
+    for b, plane in enumerate(planes):
+        p = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in plane) + ")"
+        bits.append(f"(case when {_dot(vec_col, p)} > 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def fixed_planes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    """Pinned pseudo-random hyperplanes from the same LCG family as
+    functions.hashing (seed-free at call time — deterministic forever)."""
+    state = 1469598103934665603
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append(((state >> 16) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict brute force to the query's SRP bucket.
+
+    At 10^12 scale the bucket column is precomputed+partitioned-by; here the
+    projection is inline. Recall is approximate by design — verified in
+    tests against the brute-force baseline, not against the oracle.
+    """
+    dim = len(query_vec)
+    planes = fixed_planes(dim, n_planes)
+    bucketed = vecs.withColumn("bucket", F.expr(srp_bucket_expr(vec_col, planes)))
+    qdf_bucket = None
+    # compute the query's bucket driver-side with the same arithmetic
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qb = 0
+    for b, plane in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(qv, plane):
+            acc = acc + float(x) * float(y)
+        if acc > 0:
+            qb += 1 << b
+    candidates = bucketed.filter(F.col("bucket") == qb)
+    return topk_cosine(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs by cosine ≥ threshold.
+
+    Demo-scale implementation is the exact cross join (the oracle-checkable
+    baseline); the production path at 10^12 is SRP-bucket + within-bucket
+    join (same shape as minhash_lsh_candidates) — see ann_lsh_topk.
+    """
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
