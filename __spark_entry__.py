@@ -593,6 +593,215 @@ order by id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# sampling / set-ops / stats operators (reference §2.6 K2/K3/K6 analogues)
+
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 deterministic seeded sampling (sampling.rs:216-247, StdRng seeded):
+    hash-based 10% sample — engine-independent (pinned polynomial hash of
+    the id), unlike df.sample() whose RNG is engine-private."""
+    docs = _t(spark, sf_dir, "documents")
+    key = H.word_key_spark("cast(doc_id as string)")
+    return docs.select("doc_id", "lang").filter(F.expr(f"({key}) % 10 = 0"))
+
+
+_Q_SAMPLE_SQL = f"""
+select doc_id, lang from documents
+where ({H.word_key_duckdb('cast(doc_id as varchar)')}) % 10 = 0
+"""
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3 analogue (repetition penalty / no-repeat-ngram): within-doc
+    duplicate 3-gram ratio — the gopher-style repetition quality signal."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)"
+    all_sh = (
+        f"transform(sequence(1, greatest(size({toks}) - 2, 0)), "
+        f"i -> array_join(slice({toks}, i, 3), ' '))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({all_sh})").cast("long").alias("n_3grams"),
+        F.expr(f"size(array_distinct({all_sh}))").cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.expr(f"size(array_distinct({all_sh}))")
+            / F.greatest(F.expr(f"size({all_sh})"), F.lit(1)),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+def _repetition_sql() -> str:
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    all_sh = (
+        f"list_transform(range(1, greatest(len({toks}) - 2, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    return f"""
+select doc_id,
+  cast(len({all_sh}) as bigint) as n_3grams,
+  cast(len(list_distinct({all_sh})) as bigint) as n_distinct,
+  round(1.0 - len(list_distinct({all_sh})) * 1.0 / greatest(len({all_sh}), 1), 6) as rep_ratio
+from documents
+"""
+
+
+def q_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median per event_type via deterministic row_number —
+    identical semantics in both engines (no interpolation ambiguity)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    ranked = ev.select(
+        "event_type", "value", "event_id", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))  # == (n+1)//2
+        .select("event_type", F.col("value").alias("median_disc"))
+        .orderBy("event_type")
+    )
+
+
+_Q_MEDIAN_SQL = """
+with ranked as (
+  select event_type, value,
+    row_number() over (partition by event_type order by value asc, event_id asc) as rn,
+    count(*) over (partition by event_type) as n
+  from events
+)
+select event_type, value as median_disc
+from ranked where rn = (n + 1) // 2
+order by event_type
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: customers ordering in both 1996 and 1997 but not
+    1998 (HashSet-dedup family §2.8 'set ops')."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def _year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= f"{y}-01-01") & (F.col("o_orderdate") < f"{y + 1}-01-01")
+        ).select("o_custkey")
+
+    return (
+        _year(1996).intersect(_year(1997)).exceptAll(_year(1998).distinct())
+        .orderBy("o_custkey")
+    )
+
+
+_Q_SETOPS_SQL = """
+select o_custkey from orders where o_orderdate >= timestamp '1996-01-01' and o_orderdate < timestamp '1997-01-01'
+intersect
+select o_custkey from orders where o_orderdate >= timestamp '1997-01-01' and o_orderdate < timestamp '1998-01-01'
+except
+select o_custkey from orders where o_orderdate >= timestamp '1998-01-01' and o_orderdate < timestamp '1999-01-01'
+order by o_custkey
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the resume-filter join shape, §7.2-6)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q_ANTI_SQL = """
+select c_custkey, c_mktsegment from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+order by c_custkey
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the approx sketch twin is rows-only —
+    approx_count_distinct is engine-private)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_Q_DISTINCT_SQL = """
+select event_type, count(distinct user_id) as n_users
+from events group by event_type order by event_type
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (region → nation) with null grouping keys
+    canonicalized to '(all)' on both engines."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(_sum_money("o_totalprice").alias("total"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "total",
+            "n_orders",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+_Q_ROLLUP_SQL = """
+select coalesce(r_name, '(all)') as region, coalesce(n_name, '(all)') as nation,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total,
+  count(*) as n_orders
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by rollup(r_name, n_name)
+order by region, nation
+"""
+
+
+# --- production-path variants (JVM xxhash64 / numpy matmul — not DuckDB-
+# reproducible, so rows-only checks; tests verify them against the exact
+# baselines property-wise) -------------------------------------------------
+
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates_fast(docs, shingle_n=3).orderBy("id_a", "id_b")
+
+
+def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_fast(docs).orderBy("doc_id")
+
+
+def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_lsh(vecs, threshold=0.45).orderBy("id_a", "id_b")
+
+
+def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.topk_cosine_pandas(vecs, _query_vec(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
 # streaming + multimodal + extraction
 
 def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +898,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_branch_dispatch": q_branch_dispatch,
         "q_salted_host_rollup": q_salted_host_rollup,
         "q_resume_filter": q_resume_filter,
+        "q_seeded_sample": q_seeded_sample,
+        "q_repetition_metrics": q_repetition_metrics,
+        "q_value_median_disc": q_value_median_disc,
+        "q_set_ops": q_set_ops,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_distinct_users": q_distinct_users,
+        "q_revenue_rollup": q_revenue_rollup,
         "q_token_stats": q_token_stats,
         "q_quality_scores": q_quality_scores,
         "q_lang_id": q_lang_id,
@@ -698,6 +914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_lsh_fast": q_minhash_lsh_fast,
+        "q_simhash_fast": q_simhash_fast,
+        "q_neardup_lsh": q_neardup_lsh,
+        "q_cosine_topk_pandas": q_cosine_topk_pandas,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
         "q_stream_hourly_counts": q_stream_hourly_counts,
@@ -719,6 +939,13 @@ def oracle_sql() -> dict[str, str]:
         "q_branch_dispatch": _Q_DISPATCH_SQL,
         "q_salted_host_rollup": _Q_SALTED_SQL,
         "q_resume_filter": _Q_RESUME_SQL,
+        "q_seeded_sample": _Q_SAMPLE_SQL,
+        "q_repetition_metrics": _repetition_sql(),
+        "q_value_median_disc": _Q_MEDIAN_SQL,
+        "q_set_ops": _Q_SETOPS_SQL,
+        "q_customers_without_orders": _Q_ANTI_SQL,
+        "q_distinct_users": _Q_DISTINCT_SQL,
+        "q_revenue_rollup": _Q_ROLLUP_SQL,
         "q_token_stats": _Q_TOKENS_SQL,
         "q_quality_scores": _Q_QUALITY_SQL,
         "q_lang_id": _Q_LANG_SQL,

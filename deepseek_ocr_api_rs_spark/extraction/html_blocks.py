@@ -7,17 +7,31 @@ ordered list of text blocks with integer count features. Everything
 downstream (scoring, accept/reject, assembly) is pure arithmetic on these
 counts, implemented twice (scalar vs vectorized) and parity-checked.
 
-stdlib ``html.parser`` only — no lxml/bs4 in this environment; a hand-rolled
-walk is also the easiest thing to make byte-deterministic.
+Two parse drivers feed ONE event sink (identical segmentation semantics):
+
+- ``segment_html``        — fast single-pass regex tokenizer (default; the
+  production path — ~4× faster than stdlib HTMLParser);
+- ``segment_html_stdlib`` — stdlib ``html.parser`` driver, kept as the slow
+  cross-check path (the reference keeps ``generate_without_cache`` for
+  exactly this purpose — parity debugging, model/mod.rs:1684-1914). Tests
+  hold the two drivers block-identical over the fixture corpus.
+
+No lxml/bs4 in this environment; a hand-rolled walk is also the easiest
+thing to make byte-deterministic.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from html import unescape
 from html.parser import HTMLParser
 
 # Tags whose text content is never document text.
 _SKIP_CONTENT = frozenset({"script", "style", "noscript", "template", "svg", "head"})
+# Tags the tokenizers treat as raw text (scan straight to the close tag) —
+# must mirror stdlib HTMLParser.CDATA_CONTENT_ELEMENTS for driver parity.
+_RAWTEXT = frozenset({"script", "style"})
 # Opening or closing any of these flushes the current block.
 _BLOCK_BOUNDARY = frozenset(
     {
@@ -64,28 +78,37 @@ STOPWORDS = frozenset(
     et est dans que pour el los las por con una para""".split()
 )
 
-_PUNCT = frozenset(".,;:!?\"'()[]{}-—…")
+_PUNCT = ".,;:!?\"'()[]{}-—…"
+_STRIP = "\".,;:!?()'"
+# C-speed counting: deletion translate tables (exactly equivalent to the
+# per-char membership loops they replaced; digits pinned to ASCII 0-9).
+_DEL_PUNCT = str.maketrans("", "", _PUNCT)
+_DEL_DIGITS = str.maketrans("", "", "0123456789")
 
 
 def _word_stats(text: str) -> tuple[int, int, int, int]:
     words = text.split()
     n_stop = 0
     for w in words:
-        if w.strip("\".,;:!?()'").lower() in STOPWORDS:
+        if w.strip(_STRIP).lower() in STOPWORDS:
             n_stop += 1
-    n_punct = 0
-    n_digits = 0
-    for ch in text:
-        if ch in _PUNCT:
-            n_punct += 1
-        elif ch.isdigit():
-            n_digits += 1
+    n_punct = len(text) - len(text.translate(_DEL_PUNCT))
+    n_digits = len(text) - len(text.translate(_DEL_DIGITS))
     return len(words), n_stop, n_punct, n_digits
 
 
-class _BlockParser(HTMLParser):
+class _BlockSink:
+    """Parser-independent event sink holding the segmentation state
+    machine. Both drivers emit (starttag, endtag, startendtag, data) events
+    into this; the resulting block list is driver-invariant (tested)."""
+
+    __slots__ = (
+        "stack", "blocks", "_parts", "_link_chars", "_tags_in_block",
+        "_link_depth", "_skip_depth", "_boiler_depth",
+        "_ctx_stack", "_ctx_boiler",
+    )
+
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.stack: list[str] = []
         self.blocks: list[RawBlock] = []
         self._parts: list[str] = []
@@ -93,15 +116,15 @@ class _BlockParser(HTMLParser):
         self._tags_in_block = 0
         self._link_depth = 0
         self._skip_depth = 0
-        self._block_path = "html/body"
-        self._block_depth = 0
-        self._block_boiler = 0
+        self._boiler_depth = 0
+        self._ctx_stack: tuple[str, ...] = ()
+        self._ctx_boiler = 0
 
     # -- block lifecycle -------------------------------------------------
     def _begin_block_context(self) -> None:
-        self._block_path = "/".join(self.stack) if self.stack else ""
-        self._block_depth = len(self.stack)
-        self._block_boiler = int(any(t in _BOILER_ANCESTORS for t in self.stack))
+        # O(1) snapshot; the (rarer) flush pays the join/any cost instead
+        self._ctx_stack = tuple(self.stack)
+        self._ctx_boiler = self._boiler_depth
 
     def _flush(self) -> None:
         text = " ".join("".join(self._parts).split())
@@ -110,13 +133,13 @@ class _BlockParser(HTMLParser):
             self.blocks.append(
                 RawBlock(
                     idx=len(self.blocks),
-                    tag_path=self._block_path,
+                    tag_path="/".join(self._ctx_stack),
                     text=text,
                     n_text_chars=len(text),
                     n_link_chars=min(self._link_chars, len(text)),
                     n_tags=self._tags_in_block,
-                    depth=self._block_depth,
-                    boiler=self._block_boiler,
+                    depth=len(self._ctx_stack),
+                    boiler=int(self._ctx_boiler > 0),
                     n_words=n_words,
                     n_stop_words=n_stop,
                     n_punct=n_punct,
@@ -128,8 +151,8 @@ class _BlockParser(HTMLParser):
         self._tags_in_block = 0
         self._begin_block_context()
 
-    # -- parser callbacks ------------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:
+    # -- events ------------------------------------------------------
+    def starttag(self, tag: str) -> None:
         if tag in _BLOCK_BOUNDARY:
             self._flush()
         if tag in _SKIP_CONTENT:
@@ -137,12 +160,14 @@ class _BlockParser(HTMLParser):
         if tag == "a":
             self._link_depth += 1
         self._tags_in_block += 1
-        if tag not in _VOID and tag not in ("html",):
+        if tag not in _VOID and tag != "html":
             self.stack.append(tag)
+            if tag in _BOILER_ANCESTORS:
+                self._boiler_depth += 1
         if tag in _BLOCK_BOUNDARY:
             self._begin_block_context()
 
-    def handle_endtag(self, tag: str) -> None:
+    def endtag(self, tag: str) -> None:
         if tag in _BLOCK_BOUNDARY:
             self._flush()
         if tag == "a" and self._link_depth > 0:
@@ -153,28 +178,113 @@ class _BlockParser(HTMLParser):
         if tag in self.stack:
             while self.stack:
                 popped = self.stack.pop()
+                if popped in _BOILER_ANCESTORS:
+                    self._boiler_depth -= 1
                 if popped == tag:
                     break
         if tag in _BLOCK_BOUNDARY:
             self._begin_block_context()
 
-    def handle_startendtag(self, tag: str, attrs) -> None:
+    def startendtag(self, tag: str) -> None:
         if tag in _BLOCK_BOUNDARY:
             self._flush()
             self._begin_block_context()
         self._tags_in_block += 1
 
-    def handle_data(self, data: str) -> None:
+    def data(self, data: str) -> None:
         if self._skip_depth:
             return
         self._parts.append(data)
         if self._link_depth:
             self._link_chars += len(" ".join(data.split()))
 
+    def finish(self) -> list[RawBlock]:
+        self._flush()
+        return self.blocks
+
+
+# ---------------------------------------------------------------------------
+# Driver 1 (default): single-pass regex tokenizer — the production path.
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                       # comments
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"              # cdata
+    r"|<![^>]*>?"                              # doctype / declarations
+    r"|<\?[^>]*>?"                             # processing instructions
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"    # end tag        -> group 1
+    r"|<([a-zA-Z][a-zA-Z0-9:-]*)"              # start tag name -> group 2
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"       # attrs (quote-aware)
+    r"(/?)>",                                  # self-close     -> group 4
+    re.DOTALL,
+)
+
 
 def segment_html(html: str) -> list[RawBlock]:
-    """Parse one HTML document into its ordered block list."""
-    parser = _BlockParser()
+    """Parse one HTML document into its ordered block list (fast driver)."""
+    sink = _BlockSink()
+    lower = html.lower()
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            tail = html[pos:]
+            if tail:
+                sink.data(unescape(tail) if "&" in tail else tail)
+            break
+        if m.start() > pos:
+            seg = html[pos : m.start()]
+            sink.data(unescape(seg) if "&" in seg else seg)
+        end_name, start_name, _attrs, selfclose = m.group(1, 2, 3, 4)
+        pos = m.end()
+        if start_name is not None:
+            tag = start_name.lower()
+            if selfclose:
+                sink.startendtag(tag)
+            else:
+                sink.starttag(tag)
+                if tag in _RAWTEXT:
+                    # rawtext scan to the matching close (mirrors stdlib
+                    # CDATA_CONTENT_ELEMENTS handling; content discarded
+                    # by the sink's skip_depth anyway)
+                    close = lower.find("</" + tag, pos)
+                    if close == -1:
+                        sink.endtag(tag)
+                        break
+                    gt = html.find(">", close)
+                    pos = (gt + 1) if gt != -1 else n
+                    sink.endtag(tag)
+        elif end_name is not None:
+            sink.endtag(end_name.lower())
+        # else: comment/doctype/PI — consumed silently
+    return sink.finish()
+
+
+# ---------------------------------------------------------------------------
+# Driver 2: stdlib html.parser — slow cross-check path (D2 pattern).
+
+class _StdlibAdapter(HTMLParser):
+    def __init__(self, sink: _BlockSink) -> None:
+        super().__init__(convert_charrefs=True)
+        self.sink = sink
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self.sink.starttag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        self.sink.endtag(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.sink.startendtag(tag)
+
+    def handle_data(self, data: str) -> None:
+        self.sink.data(data)
+
+
+def segment_html_stdlib(html: str) -> list[RawBlock]:
+    """Stdlib-parser driver — used only by parity tests."""
+    sink = _BlockSink()
+    parser = _StdlibAdapter(sink)
     try:
         parser.feed(html)
         parser.close()
@@ -182,5 +292,4 @@ def segment_html(html: str) -> list[RawBlock]:
         # Truncated/hostile input: keep whatever was segmented before the
         # failure (deterministic — parser state depends only on the prefix).
         pass
-    parser._flush()
-    return parser.blocks
+    return sink.finish()

@@ -65,7 +65,9 @@ def minhash_lsh_candidates(
         F.explode(
             F.array(*[F.expr(H.band_key_spark("sig", b)) for b in range(H.MINHASH_BANDS)])
         ).alias("band_key"),
-    )
+    ).persist()  # both join sides read this — without it the signature
+    # computation (the expensive part) runs twice; at scale this is a
+    # materialized signature table, not a cache
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -126,6 +128,87 @@ def simhash_near_pairs(
     )
 
 
+def minhash_lsh_candidates_fast(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Production MinHash-LSH: same algorithm as minhash_lsh_candidates but
+    hashed with JVM-native xxhash64 (whole-stage-codegen) instead of the
+    cross-engine polynomial — ~10-50× faster, same recall characteristics.
+
+    The polynomial variant exists for the DuckDB oracle (exactness);
+    THIS is what a 100 TB job runs. Signature = per-seed min over
+    xxhash64(shingle, seed); banding identical.
+    """
+    sh = H.shingles_spark(text_col, shingle_n)
+    mins = ", ".join(
+        f"array_min(transform(sh, s -> xxhash64(s, {seed})))"
+        for seed in range(n_hashes)
+    )
+    n_bands = n_hashes // rows_per_band
+    sigs = (
+        docs.select(F.col(id_col), F.expr(sh).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(id_col, F.expr(f"array({mins})").alias("sig"))
+    )
+    band_exprs = []
+    for b in range(n_bands):
+        lo = b * rows_per_band
+        parts = ", ".join(f"sig[{lo + r}]" for r in range(rows_per_band))
+        band_exprs.append(f"concat_ws(':', {b}, {parts})")
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("band_key"),
+    ).persist()  # see minhash_lsh_candidates — avoid double signature compute
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fast(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Production SimHash: explode tokens → xxhash64 per token (codegen) →
+    per-bit integer vote sums in ONE hash aggregate → recompose fingerprint.
+
+    Shuffles (doc_id, token_hash) pairs once; partial aggregation
+    (map-side combine) collapses the per-bit sums before the exchange, so
+    shuffle volume ≈ docs × bits ints, independent of document length.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{H.TOKEN_REGEX}', 0)")
+        ).alias("tok"),
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -142,9 +225,9 @@ def ngram_jaccard_pairs(
     shingled = docs.select(
         F.col(id_col),
         F.expr(H.shingles_spark(text_col, n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).persist()  # feeds sizes + both join sides
     sizes = shingled.select(id_col, F.size("sh").alias("n_sh"))
-    posts = shingled.select(id_col, F.explode("sh").alias("shingle"))
+    posts = shingled.select(id_col, F.explode("sh").alias("shingle")).persist()
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(b, "shingle")

@@ -122,6 +122,95 @@ def ann_lsh_topk(
     return topk_cosine(candidates, query_vec, k, id_col, vec_col)
 
 
+def embedding_near_dup_lsh(
+    vecs: DataFrame,
+    threshold: float = 0.45,
+    n_tables: int = 4,
+    planes_per_table: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production near-dup pairs: multi-table SRP bucket join + exact verify.
+
+    OR-amplification across ``n_tables`` independent SRP tables (the same
+    band trick as MinHash-LSH): a pair is a candidate if it collides in ANY
+    table — recall for cos≥0.95 pairs ≈ 1-(1-(1-θ/π)^planes)^tables ≈ 0.95
+    at the defaults. Plan shape at 10^12 rows: one projection computes all
+    table buckets, explode is a constant ``n_tables`` fan-out, the join
+    shuffles (bucket_key, id, vec) grouped by key, exact cosine verifies
+    candidates only. Recall measured against the exact baseline in tests.
+    """
+    all_planes = fixed_planes(dim, n_tables * planes_per_table)
+    keys = []
+    for t in range(n_tables):
+        planes = all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        keys.append(f"concat_ws(':', {t}, {srp_bucket_expr(vec_col, planes)})")
+    bucketed = vecs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.expr("array(" + ", ".join(keys) + ")")).alias("bucket_key"),
+    ).persist()  # both join sides — one bucket computation, not two
+    a = bucketed.select(
+        "bucket_key", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = bucketed.select(
+        "bucket_key", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "bucket_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr(cosine_expr("va", "vb")).alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )
+
+
+def topk_cosine_pandas(
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k with the heavy math in numpy (Arrow-batched
+    matmul) — the vectorized production path for wide scans: per-batch
+    X @ q is SIMD, per-partition top-k, then a global TakeOrdered over
+    (partitions × k) rows only."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_ids: list = []
+        best_sims: list = []
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (X @ q) / (np.sqrt(np.einsum("ij,ij->i", X, X)) * qn)
+            order = np.lexsort((pdf[id_col].to_numpy(), -sims))[:k]
+            best_ids.extend(pdf[id_col].to_numpy()[order])
+            best_sims.extend(sims[order])
+        out = pd.DataFrame({id_col: best_ids, "cosine": best_sims})
+        yield out.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+
+    partial = vecs.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, cosine double"
+    )
+    return (
+        partial.orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.95,

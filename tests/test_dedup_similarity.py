@@ -1,0 +1,133 @@
+"""Unit tests for the dedup + similarity operator families (tier-3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_api_rs_spark.operators import dedup as D
+from deepseek_ocr_api_rs_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates_finds_planted(spark, docs):
+    base = docs.select("doc_id", "text")
+    copy = base.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    groups = D.exact_duplicates(base.unionAll(copy)).collect()
+    n_docs = base.count()
+    assert len(groups) == n_docs
+    assert all(g.n_dups == 2 for g in groups)
+    # canonical id is always the lower (original) one
+    assert all(g.canonical_id < 10_000 for g in groups)
+
+
+def test_exact_duplicates_whitespace_case_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    groups = D.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_id == 1 and groups[0].n_dups == 2
+
+
+def test_minhash_lsh_finds_near_duplicate(spark, docs):
+    """A doc and a lightly-perturbed copy must be LSH candidates (both the
+    oracle-exact polynomial variant and the fast xxhash64 variant)."""
+    row = docs.orderBy("doc_id").first()
+    words = row.text.split()
+    perturbed = " ".join(words[:-2]) if len(words) > 10 else row.text
+    extra = spark.createDataFrame(
+        [(99_999, perturbed)], "doc_id long, text string"
+    )
+    both = docs.select("doc_id", "text").unionAll(extra)
+    for fn in (D.minhash_lsh_candidates, D.minhash_lsh_candidates_fast):
+        pairs = fn(both, shingle_n=3).filter(
+            (F.col("id_b") == 99_999) & (F.col("id_a") == row.doc_id)
+        )
+        assert pairs.count() == 1, fn.__name__
+
+
+def test_simhash_variants_close_on_near_dup(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely unrelated words about database partitioning strategies"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    for fn in (D.simhash_fingerprints, D.simhash_fast):
+        fps = {r.doc_id: r.simhash for r in fn(df).collect()}
+        ham_ab = bin(fps[1] ^ fps[2]).count("1")
+        ham_ac = bin(fps[1] ^ fps[3]).count("1")
+        assert ham_ab < ham_ac, (fn.__name__, ham_ab, ham_ac)
+
+
+def test_simhash_near_pairs_pigeonhole(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally different content here about nothing"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_near_pairs(df, max_hamming=8).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    # 3-gram shingles: {abc,bcd,cde} vs {abc,bcd,cdf} → inter 2, union 4
+    rows = D.ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == 0.5
+
+
+def test_topk_cosine_variants_agree(spark, vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 0").first().embedding]
+    rest = vecs.filter("vec_id != 0")
+    exact = S.topk_cosine(rest, q, k=10).collect()
+    pand = S.topk_cosine_pandas(rest, q, k=10).collect()
+    assert [r.vec_id for r in exact] == [r.vec_id for r in pand]
+    for a, b in zip(exact, pand):
+        assert abs(a.cosine - b.cosine) < 1e-9
+
+
+def test_ann_bucket_contains_self_neighbors(spark, vecs):
+    """LSH top-k must return the query bucket's true neighbors (subset of
+    exact top-k by construction of the filter + same scoring)."""
+    q = [float(x) for x in vecs.filter("vec_id = 0").first().embedding]
+    ann = S.ann_lsh_topk(vecs.filter("vec_id != 0"), q, k=5)
+    exact = {r.vec_id: r.cosine for r in S.cosine_to_query(vecs.filter("vec_id != 0"), q).collect()}
+    for r in ann.collect():
+        assert abs(exact[r.vec_id] - r.cosine) < 1e-6
+
+
+def test_near_dup_lsh_recall_on_planted_dups(spark, vecs):
+    """Plant exact duplicates (cosine 1.0) — multi-table SRP must recall
+    100% of them (identical vectors share every bucket)."""
+    dup = vecs.limit(20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    aug = vecs.select("vec_id", "embedding").unionAll(dup)
+    pairs = S.embedding_near_dup_lsh(aug, threshold=0.999)
+    planted = pairs.filter(
+        (F.col("id_b") - F.col("id_a")) == 100_000
+    ).count()
+    assert planted == 20

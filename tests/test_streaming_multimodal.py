@@ -1,0 +1,86 @@
+"""Streaming + multimodal operator tests (tier-3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_api_rs_spark.operators.multimodal import image_metadata
+from deepseek_ocr_api_rs_spark.streaming.jobs import (
+    extraction_stream,
+    hourly_event_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch(spark):
+    got = hourly_event_counts_stream(spark, f"{SF}/events.parquet")
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+    g = got.withColumn("window_start", F.col("window_start").cast("string"))
+    b = batch.withColumn("window_start", F.col("window_start").cast("string"))
+    assert g.count() == b.count()
+    assert g.exceptAll(b).count() == 0
+
+
+def test_extraction_stream_incremental(spark, tmp_path, corpus_path):
+    """Documents are extracted exactly once across stream restarts
+    (streaming checkpoint = the continuous-ingestion resume story)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = spark.read.parquet(corpus_path)
+    docs.limit(100).write.mode("overwrite").parquet(str(landing))
+
+    extraction_stream(spark, str(landing), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    # restart with NO new files → nothing reprocessed
+    extraction_stream(spark, str(landing), out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # a new file lands → only it is processed on the next restart
+    docs.limit(150).filter("url like '%page/1%'").write.mode("overwrite").parquet(
+        str(tmp_path / "b2")
+    )
+    import shutil
+
+    for i, f in enumerate((tmp_path / "b2").glob("*.parquet")):
+        shutil.copy(str(f), str(landing / f"late_{i}.parquet"))
+    extraction_stream(spark, str(landing), out, ckpt)
+    assert spark.read.parquet(out).count() > n1
+
+
+def test_image_metadata_batching(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = image_metadata(docs, binary_col="payload")
+    rows = meta.orderBy("doc_id").limit(5).collect()
+    src = {r.doc_id: r for r in spark.read.parquet(f"{SF}/documents.parquet").limit(5).collect()}
+    for r in rows:
+        n = len(src[r.doc_id].text.encode("utf-8"))
+        assert r.n_bytes == n
+        assert r.width == n % 640 + 1
+        assert r.height == n % 480 + 1
+        assert r.mode == ("RGB" if n > 0 else "EMPTY")
+
+
+def test_image_decode_stub_raises():
+    import pytest
+
+    from deepseek_ocr_api_rs_spark.operators.multimodal import real_decode_stub
+
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"\x89PNG")
