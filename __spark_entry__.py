@@ -843,6 +843,56 @@ from documents order by doc_id
 """
 
 
+def q_unbase64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 data-URL decode (crates/server/src/generation.rs:276-290): strict
+    base64 payload → bytes → text, as pure built-ins. The base64 column is
+    synthesized from text (the driver tables carry no real data URLs)."""
+    docs = _t(spark, sf_dir, "documents")
+    b64 = F.base64(F.encode("text", "UTF-8"))
+    # Spark's base64 emits MIME 76-char line breaks; normalize before
+    # measuring so the length is encoding-chunking-independent
+    b64_flat = F.regexp_replace(b64, "[\\r\\n]", "")
+    return docs.select(
+        "doc_id",
+        F.length(b64_flat).cast("long").alias("n_b64_chars"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("decoded"),
+    )
+
+
+_Q_UNB64_SQL = """
+select doc_id,
+  cast(length(to_base64(encode(text))) as bigint) as n_b64_chars,
+  decode(from_base64(to_base64(encode(text)))) as decoded
+from documents
+"""
+
+
+def q_markdown_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 post-processing regex chain (scripts/capture_baseline.py:756-777:
+    ref-tag strip, escape normalization, stop-string trim) applied to a
+    synthesized markdown-ish column."""
+    docs = _t(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("<|ref|>x<|/ref|>"), F.col("text"), F.lit(" \\coloneqq end<|eos|>")
+    )
+    out = F.regexp_replace(md, "<\\|ref\\|>.*?<\\|/ref\\|>", "")
+    out = F.regexp_replace(out, "\\\\coloneqq", ":=")
+    out = F.regexp_replace(out, "<\\|eos\\|>$", "")
+    out = F.trim(out)
+    return docs.select("doc_id", out.alias("polished"))
+
+
+_Q_POLISH_SQL = r"""
+select doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(
+    '<|ref|>x<|/ref|>' || text || ' \coloneqq end<|eos|>',
+    '<\|ref\|>.*?<\|/ref\|>', '', 'g'),
+    '\\coloneqq', ':=', 'g'),
+    '<\|eos\|>$', '', 'g')) as polished
+from documents
+"""
+
+
 def q_extract_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 normalize_text canonicalization (inference.rs:142-147) as pure
     built-ins over the driver documents table."""
@@ -922,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
         "q_stream_hourly_counts": q_stream_hourly_counts,
         "q_image_meta": q_image_meta,
+        "q_unbase64_roundtrip": q_unbase64_roundtrip,
+        "q_markdown_polish": q_markdown_polish,
         "q_extract_normalize": q_extract_normalize,
     }
 
@@ -959,5 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_threshold_pairs": _Q_COSPAIRS_SQL,
         "q_stream_hourly_counts": _Q_STREAM_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
+        "q_unbase64_roundtrip": _Q_UNB64_SQL,
+        "q_markdown_polish": _Q_POLISH_SQL,
         "q_extract_normalize": _Q_EXTRACT_SQL,
     }

@@ -1,0 +1,87 @@
+"""spark-submit entrypoint — the analogue of the reference CLI lifecycle
+(crates/cli/src/main.rs → run_inference, SURVEY.md §3.1):
+
+    spark-submit --py-files dist.zip -m deepseek_ocr_api_rs_spark.job \
+        --input  /data/pages.parquet \
+        --output /data/extracted     \
+        --checkpoint-dir /data/_ckpt \
+        --langs en,de --n-buckets 256
+
+Config precedence mirrors the reference (CLI > env > defaults,
+crates/config/src/config.rs:296-324): argparse flags > SPARK_GRAFT_* env >
+conf.py defaults. The job is resumable: re-running after a kill picks up at
+the first uncommitted bucket (operators.checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="main-content extraction job")
+    p.add_argument("--input", required=True, help="documents parquet/table")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--metrics-path", default=None)
+    p.add_argument("--langs", default=None, help="comma-separated lang filter")
+    p.add_argument("--n-buckets", type=int, default=8)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from deepseek_ocr_api_rs_spark.conf import build_session
+    from deepseek_ocr_api_rs_spark.operators.checkpoint import (
+        run_resumable_extraction,
+    )
+    from deepseek_ocr_api_rs_spark.operators.extract import extraction_metrics
+    from deepseek_ocr_api_rs_spark.sources.io import read_documents
+
+    spark = build_session(
+        app_name="extraction-job",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    docs = read_documents(spark, args.input)
+    if args.langs:
+        from pyspark.sql import functions as F
+
+        docs = docs.filter(F.col("lang").isin(args.langs.split(",")))
+    run_id = args.run_id or f"run-{int(time.time())}"
+    t0 = time.time()
+    n_buckets_done = run_resumable_extraction(
+        spark,
+        docs,
+        args.output,
+        args.checkpoint_dir,
+        n_buckets=args.n_buckets,
+        run_id=run_id,
+    )
+    dt = time.time() - t0
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    print(
+        f"extraction complete: {n} docs, {n_buckets_done} buckets this run, "
+        f"{dt:.1f}s ({n / max(dt, 1e-9):.0f} docs/sec)"
+    )
+    metrics = extraction_metrics(out)
+    if args.metrics_path:
+        from pyspark.sql import functions as F
+
+        metrics.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            args.metrics_path
+        )
+    metrics.show(truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

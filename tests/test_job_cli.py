@@ -1,0 +1,41 @@
+"""The spark-submit job entrypoint, driven like a user would (§3.1 CLI
+lifecycle): run, kill-free completion, then resume-noop on rerun."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_job_end_to_end_and_resume(tmp_path, corpus_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "metrics")
+    cmd = [
+        sys.executable, "-m", "deepseek_ocr_api_rs_spark.job",
+        "--input", corpus_path,
+        "--output", out,
+        "--checkpoint-dir", ckpt,
+        "--metrics-path", metrics,
+        "--n-buckets", "4",
+        "--master", "local[4]",
+        "--shuffle-partitions", "4",
+        "--run-id", "t1",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "extraction complete: 300 docs, 4 buckets this run" in r1.stdout, r1.stdout
+
+    # rerun: fully committed → zero buckets re-done, output intact
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "extraction complete: 300 docs, 0 buckets this run" in r2.stdout, r2.stdout
+
+    import duckdb
+
+    m = duckdb.sql(f"select count(*) n from '{metrics}/*.parquet'").df()
+    assert int(m.n[0]) >= 3  # html/pdf/error rollup rows per run
