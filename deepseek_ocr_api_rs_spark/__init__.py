@@ -28,4 +28,4 @@ Spark pipeline over Common-Crawl-style page tables:
 
 __version__ = "0.1.0"
 
-SCHEMA_VERSION = 1
+SCHEMA_VERSION = 2

@@ -31,6 +31,7 @@ from deepseek_ocr_api_rs_spark.extraction.pdf_spans import (
 
 DOC_SCHEMA_COLUMNS = [
     "extracted_text", "branch", "n_chars", "n_blocks_total", "n_blocks_accepted",
+    "span_starts", "span_ends", "truncated",
 ]
 
 
@@ -156,6 +157,9 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
     branch = ["error"] * n
     n_total = np.zeros(n, dtype=np.int64)
     n_acc = np.zeros(n, dtype=np.int64)
+    truncated = np.zeros(n, dtype=bool)
+    span_starts: list[list[int]] = [[] for _ in range(n)]
+    span_ends: list[list[int]] = [[] for _ in range(n)]
 
     html_docs: list[tuple[int, str]] = []
     for i, payload in enumerate(payloads):
@@ -172,8 +176,10 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
             n_total[i] = len(spans)
             n_acc[i] = len(spans)
         else:
+            data, trunc = FT.truncate_payload(data)
             try:
                 html_docs.append((i, data.decode("utf-8", errors="strict")))
+                truncated[i] = trunc
             except UnicodeDecodeError:
                 continue
 
@@ -183,14 +189,27 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
         # order (pool rows are already (doc, block)-ordered)
         bounds = np.flatnonzero(np.diff(pool.doc_idx, prepend=-1)) if len(pool.doc_idx) else np.array([], dtype=np.int64)
         starts = list(bounds) + [len(pool.doc_idx)]
+        sep_len = len(FT.BLOCK_SEPARATOR)
         for s_i in range(len(starts) - 1):
             lo, hi = starts[s_i], starts[s_i + 1]
             doc_i = int(pool.doc_idx[lo])
             acc = pool.accepted[lo:hi]
-            joined = FT.BLOCK_SEPARATOR.join(
-                pool.texts[j] for j in range(lo, hi) if pool.accepted[j]
-            )
-            texts[doc_i] = normalize_text(joined)
+            parts = []
+            ss, se = [], []
+            off = 0
+            for j in range(lo, hi):
+                if not pool.accepted[j]:
+                    continue
+                if parts:
+                    off += sep_len
+                t = pool.texts[j]
+                parts.append(t)
+                ss.append(off)
+                se.append(off + len(t))
+                off += len(t)
+            texts[doc_i] = normalize_text(FT.BLOCK_SEPARATOR.join(parts))
+            span_starts[doc_i] = ss
+            span_ends[doc_i] = se
             branch[doc_i] = "html"
             n_total[doc_i] = hi - lo
             n_acc[doc_i] = int(acc.sum())
@@ -207,5 +226,8 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
             "n_chars": np.fromiter((len(t) for t in texts), np.int64, n),
             "n_blocks_total": n_total,
             "n_blocks_accepted": n_acc,
+            "span_starts": span_starts,
+            "span_ends": span_ends,
+            "truncated": truncated,
         }
     )

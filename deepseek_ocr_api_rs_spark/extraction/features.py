@@ -73,6 +73,27 @@ HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 BLOCK_SEPARATOR = "\n\n"
 
+# P5 bounded-size normalization (smart_resize clamps pixel area,
+# crates/infer-paddleocr/src/vision/preprocess.rs:261-300): documents above
+# this byte budget are truncated DETERMINISTICALLY (at a UTF-8 boundary) and
+# the truncation is recorded — "no silent caps".
+MAX_DOC_BYTES = 1_048_576
+
+
+def truncate_payload(data: bytes) -> tuple[bytes, bool]:
+    """Cap per-document work. Returns (payload, truncated?)."""
+    if len(data) <= MAX_DOC_BYTES:
+        return data, False
+    cut = data[:MAX_DOC_BYTES]
+    # back off to a UTF-8 sequence boundary (≤3 continuation bytes)
+    for back in range(4):
+        try:
+            cut[: MAX_DOC_BYTES - back].decode("utf-8")
+            return cut[: MAX_DOC_BYTES - back], True
+        except UnicodeDecodeError:
+            continue
+    return cut, True
+
 
 def leaf_tag(tag_path: str) -> str:
     return tag_path.rsplit("/", 1)[-1] if tag_path else ""

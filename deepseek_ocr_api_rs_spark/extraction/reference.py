@@ -48,6 +48,13 @@ class ExtractionResult:
     n_blocks_total: int
     n_blocks_accepted: int
     blocks: list[BlockTrace] = field(default_factory=list)
+    # provenance spans (T2 images_seq_mask analogue — which output chars
+    # came from which block): parallel arrays (block_idx, start, end) into
+    # extracted_text, accepted blocks only, document order
+    span_block_idx: list[int] = field(default_factory=list)
+    span_starts: list[int] = field(default_factory=list)
+    span_ends: list[int] = field(default_factory=list)
+    truncated: bool = False     # P5 bounded-work cap applied
 
 
 def block_features(b: RawBlock) -> list[float]:
@@ -135,9 +142,21 @@ def extract_html(html: str) -> ExtractionResult:
     accept = smooth_accept(raw_accept, blocks)
     for t, a in zip(traces, accept):
         t.accepted = a
-    text = normalize_text(
-        FT.BLOCK_SEPARATOR.join(t.block_text for t in traces if t.accepted)
-    )
+    sep = FT.BLOCK_SEPARATOR
+    parts: list[str] = []
+    sb, ss, se = [], [], []
+    off = 0
+    for t in traces:
+        if not t.accepted:
+            continue
+        if parts:
+            off += len(sep)
+        parts.append(t.block_text)
+        sb.append(t.block_idx)
+        ss.append(off)
+        se.append(off + len(t.block_text))
+        off += len(t.block_text)
+    text = normalize_text(sep.join(parts))
     return ExtractionResult(
         extracted_text=text,
         branch="html",
@@ -145,6 +164,9 @@ def extract_html(html: str) -> ExtractionResult:
         n_blocks_total=len(traces),
         n_blocks_accepted=sum(accept),
         blocks=traces,
+        span_block_idx=sb,
+        span_starts=ss,
+        span_ends=se,
     )
 
 
@@ -171,8 +193,11 @@ def extract_document(payload: bytes) -> ExtractionResult:
         return ExtractionResult("", "error", 0, 0, 0)
     if payload.startswith(PDF_MAGIC):
         return extract_pdf(payload)
+    payload, truncated = FT.truncate_payload(bytes(payload))
     try:
         html = payload.decode("utf-8", errors="strict")
     except (UnicodeDecodeError, AttributeError):
         return ExtractionResult("", "error", 0, 0, 0)
-    return extract_html(html)
+    res = extract_html(html)
+    res.truncated = truncated
+    return res

@@ -40,6 +40,9 @@ def capture(out_dir: str, n_rows: int = 300) -> None:
                 res.n_chars,
                 res.n_blocks_total,
                 res.n_blocks_accepted,
+                res.span_starts,
+                res.span_ends,
+                res.truncated,
                 SCHEMA_VERSION,
             )
         )
@@ -51,7 +54,8 @@ def capture(out_dir: str, n_rows: int = 300) -> None:
         ext_rows,
         columns=[
             "url", "extracted_text", "branch", "n_chars",
-            "n_blocks_total", "n_blocks_accepted", "schema_version",
+            "n_blocks_total", "n_blocks_accepted",
+            "span_starts", "span_ends", "truncated", "schema_version",
         ],
     )
     blocks = pd.DataFrame(

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -45,6 +47,10 @@ EXTRACT_OUTPUT_SCHEMA = StructType(
         StructField("n_chars", LongType()),
         StructField("n_blocks_total", LongType()),
         StructField("n_blocks_accepted", LongType()),
+        # provenance spans (accepted blocks → [start,end) into extracted_text)
+        StructField("span_starts", ArrayType(LongType())),
+        StructField("span_ends", ArrayType(LongType())),
+        StructField("truncated", BooleanType()),
     ]
 )
 
@@ -62,6 +68,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "n_chars": out["n_chars"].values,
                 "n_blocks_total": out["n_blocks_total"].values,
                 "n_blocks_accepted": out["n_blocks_accepted"].values,
+                "span_starts": out["span_starts"].values,
+                "span_ends": out["span_ends"].values,
+                "truncated": out["truncated"].values,
             }
         )
 

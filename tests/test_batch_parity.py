@@ -26,6 +26,9 @@ def test_doc_level_byte_parity(corpus_pdf):
         assert bat.n_chars[i] == ref.n_chars, i
         assert bat.n_blocks_total[i] == ref.n_blocks_total, i
         assert bat.n_blocks_accepted[i] == ref.n_blocks_accepted, i
+        assert list(bat.span_starts[i]) == ref.span_starts, i
+        assert list(bat.span_ends[i]) == ref.span_ends, i
+        assert bool(bat.truncated[i]) == ref.truncated, i
 
 
 def test_block_level_exact_float_parity(corpus_pdf):

@@ -143,3 +143,43 @@ def test_determinism_repeat():
     ra = [extract_document(p).extracted_text for p in a.html]
     rb = [extract_document(p).extracted_text for p in b.html]
     assert ra == rb
+
+
+def test_spans_are_exact_provenance():
+    """T2 provenance invariant: extracted_text[start:end] == block text for
+    every span, in document order."""
+    from deepseek_ocr_api_rs_spark.fixtures.corpus import make_documents
+
+    docs = make_documents(60)
+    for payload in docs.html:
+        res = extract_document(payload)
+        if res.branch != "html":
+            continue
+        accepted = [t for t in res.blocks if t.accepted]
+        assert len(accepted) == len(res.span_starts)
+        for t, s0, s1, bi in zip(
+            accepted, res.span_starts, res.span_ends, res.span_block_idx
+        ):
+            assert res.extracted_text[s0:s1] == t.block_text
+            assert bi == t.block_idx
+
+
+def test_truncation_cap_applied():
+    """P5 bounded-work cap: oversized docs are truncated at a UTF-8
+    boundary and flagged — never silently."""
+    from deepseek_ocr_api_rs_spark.extraction import features as FT
+
+    big = ("<p>" + "word " * 200 + "</p>") * 2000  # ~2.2 MB
+    payload = big.encode("utf-8")
+    assert len(payload) > FT.MAX_DOC_BYTES
+    res = extract_document(payload)
+    assert res.branch == "html"
+    assert res.truncated is True
+    assert len(res.extracted_text) > 0
+    # multi-byte boundary: payload cut mid-codepoint must still decode
+    big_zh = ("<p>" + "数据处理" * 50 + "</p>") * 3000
+    res2 = extract_document(big_zh.encode("utf-8"))
+    assert res2.branch == "html" and res2.truncated is True
+
+    small = extract_document(b"<p>tiny</p>")
+    assert small.truncated is False
