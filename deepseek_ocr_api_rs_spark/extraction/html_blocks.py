@@ -211,8 +211,11 @@ _TOKEN_RE = re.compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"              # cdata
     r"|<![^>]*>?"                              # doctype / declarations
     r"|<\?[^>]*>?"                             # processing instructions
-    r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"    # end tag        -> group 1
-    r"|<([a-zA-Z][a-zA-Z0-9:-]*)"              # start tag name -> group 2
+    r"|</\s*>"                                 # bare `</>` — consumed silently
+    r"|</\s*([a-zA-Z][^\s>\x00]*)[^>]*>"       # end tag        -> group 1
+    r"|<([a-zA-Z][^\s/>\x00]*)"                # start tag name -> group 2
+    # (name charset mirrors stdlib HTMLParser's tagfind: anything up to
+    # whitespace / '/' / '>', so `<a;>` names the tag "a;" in both drivers)
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"       # attrs (quote-aware)
     r"(/?)>",                                  # self-close     -> group 4
     re.DOTALL,

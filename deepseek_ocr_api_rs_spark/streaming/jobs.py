@@ -81,6 +81,80 @@ def hourly_event_counts_stream(
     return spark.table(sink)
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    checkpoint_dir: str,
+    key_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    cross-micro-batch exact dedup. Per group (e.g. per lang/host), the
+    state carries the set of seen content fingerprints; only first-seen
+    documents are emitted.
+
+    This is the reference's mutable per-request KV-cache pattern
+    (crates/core/src/cache.rs:358-401 — growable state keyed to a scope,
+    cleared/carried by the runtime) re-expressed as Spark-managed keyed
+    state: the store grows across batches, survives restarts via the
+    streaming checkpoint, and the operator code stays a pure
+    (state, batch) -> (state', output) function.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(docs_path).schema
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0].split("\x00")) if state.exists else set()
+        out_ids, out_fps = [], []
+        for pdf in pdfs:
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                fp = hashlib.md5(
+                    " ".join(str(text).lower().split()).encode()
+                ).hexdigest()
+                if fp in seen:
+                    continue
+                seen.add(fp)
+                out_ids.append(int(doc_id))
+                out_fps.append(fp)
+        state.update((("\x00".join(sorted(seen))),))
+        yield pd.DataFrame(
+            {"group_key": [key[0]] * len(out_ids), id_col: out_ids, "fp": out_fps}
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force multi-batch processing
+        .parquet(docs_path)
+    )
+    deduped = (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=f"group_key string, {id_col} long, fp string",
+            stateStructType="seen string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"dedup_result_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def extraction_stream(
     spark: SparkSession,
     docs_path: str,

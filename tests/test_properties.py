@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY §5: the reference has no randomized testing; determinism claims are
+exactly the kind of invariant property testing stresses best)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from deepseek_ocr_api_rs_spark.extraction.batch import extract_batch
+from deepseek_ocr_api_rs_spark.extraction.html_blocks import (
+    segment_html,
+    segment_html_stdlib,
+)
+from deepseek_ocr_api_rs_spark.extraction.normalize import normalize_text
+from deepseek_ocr_api_rs_spark.extraction.reference import extract_document
+
+# HTML-ish soup: tags from our grammar + text + entities + malformed bits
+_tag = st.sampled_from(
+    ["p", "div", "li", "h2", "nav", "a", "span", "script", "style", "table", "td", "br"]
+)
+_chunk = st.one_of(
+    st.text(alphabet="abc &<>/=\"'\n\t;", max_size=20),
+    _tag.map(lambda t: f"<{t}>"),
+    _tag.map(lambda t: f"</{t}>"),
+    st.sampled_from(["&amp;", "&lt;", "&#65;", "<!-- c -->", "<!DOCTYPE html>", "<![CDATA[x]]>"]),
+)
+_html = st.lists(_chunk, max_size=40).map("".join)
+
+
+@given(_html)
+@settings(max_examples=150, deadline=None)
+def test_segmentation_deterministic(html):
+    # pure function on ANY input, hostile soup included
+    assert segment_html(html) == segment_html(html)
+
+
+# driver-consistency holds on markup whose text contains no raw '<'/'>' —
+# the fast driver DEFINES segmentation semantics (stdlib is the D2-style
+# cross-check); on pathological bogus-tag soup the two stdlib fallback
+# heuristics are not worth emulating bug-for-bug.
+_clean_chunk = st.one_of(
+    st.text(alphabet="abc &;=\"'\n\t", max_size=20),
+    _tag.map(lambda t: f"<{t}>"),
+    _tag.map(lambda t: f"</{t}>"),
+    st.sampled_from(["&amp;", "&lt;", "&#65;", "<!-- c -->", "<!DOCTYPE html>"]),
+)
+_clean_html = st.lists(_clean_chunk, max_size=40).map("".join)
+
+
+@given(_clean_html)
+@settings(max_examples=150, deadline=None)
+def test_drivers_consistent_on_markup(html):
+    a = segment_html(html)
+    c = segment_html_stdlib(html)
+    assert [x.text for x in a] == [x.text for x in c]
+    assert [x.tag_path for x in a] == [x.tag_path for x in c]
+
+
+@given(_html)
+@settings(max_examples=60, deadline=None)
+def test_scalar_vs_batch_parity_on_soup(html):
+    payload = html.encode("utf-8")
+    ref = extract_document(payload)
+    bat = extract_batch([payload])
+    assert bat.extracted_text[0] == ref.extracted_text
+    assert bat.n_blocks_accepted[0] == ref.n_blocks_accepted
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+@given(st.lists(st.binary(max_size=300), max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_batch_order_invariance(payloads):
+    """Row results depend only on the row — never on batch neighbors."""
+    fwd = extract_batch(payloads)
+    rev = extract_batch(list(reversed(payloads)))
+    assert list(fwd.extracted_text) == list(reversed(list(rev.extracted_text)))
+    assert list(fwd.branch) == list(reversed(list(rev.branch)))

@@ -84,3 +84,45 @@ def test_image_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         real_decode_stub(b"\x89PNG")
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a duplicate arriving in a
+    LATER micro-batch is suppressed by keyed state (KV-cache-as-state
+    analogue, crates/core/src/cache.rs:358-401)."""
+    import glob
+    import shutil
+
+    from deepseek_ocr_api_rs_spark.streaming.jobs import streaming_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "hello world"),
+            (2, "en", "something else entirely"),
+            (3, "en", "HELLO   world"),   # dup of 1, later batch
+            (4, "de", "hello world"),     # same text, different group → kept
+        ],
+        "doc_id long, lang string, text string",
+    )
+    tmp = str(tmp_path)
+    docs.filter("doc_id <= 2").coalesce(1).write.parquet(f"{tmp}/a")
+    docs.filter("doc_id >= 3").coalesce(1).write.parquet(f"{tmp}/b")
+    land = f"{tmp}/land"
+    import os
+
+    os.makedirs(land)
+    import time
+
+    now = time.time()
+    for i, f in enumerate(
+        sorted(glob.glob(f"{tmp}/a/*.parquet")) + sorted(glob.glob(f"{tmp}/b/*.parquet"))
+    ):
+        dst = f"{land}/f{i}.parquet"
+        shutil.copy(f, dst)
+        # the file stream source orders batches by modification time —
+        # pin distinct mtimes so batch order (and thus first-seen) is fixed
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+
+    res = streaming_dedup(spark, land, f"{tmp}/ckpt")
+    kept = sorted(r.doc_id for r in res.collect())
+    assert kept == [1, 2, 4]
