@@ -89,8 +89,14 @@ _DEL_DIGITS = str.maketrans("", "", "0123456789")
 def _word_stats(text: str) -> tuple[int, int, int, int]:
     words = text.split()
     n_stop = 0
+    stops = STOPWORDS
     for w in words:
-        if w.strip(_STRIP).lower() in STOPWORDS:
+        # fast path: already-lowercase alpha words (the common case) need
+        # no strip/lower allocation — identical result by construction
+        if w.isalpha():
+            if (w if w.islower() else w.lower()) in stops:
+                n_stop += 1
+        elif w.strip(_STRIP).lower() in stops:
             n_stop += 1
     n_punct = len(text) - len(text.translate(_DEL_PUNCT))
     n_digits = len(text) - len(text.translate(_DEL_DIGITS))
