@@ -1,0 +1,99 @@
+"""HTTP API surface tests — driven through a real socket like a reference
+user's client (routes.rs /v1/* + SSE stream.rs parity)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from deepseek_ocr_api_rs_spark.extraction.reference import extract_document
+from deepseek_ocr_api_rs_spark.fixtures.corpus import make_documents
+from deepseek_ocr_api_rs_spark.server.app import serve
+
+PORT = 8119
+
+
+@pytest.fixture(scope="module")
+def server():
+    httpd = serve(port=PORT)
+    yield f"http://127.0.0.1:{PORT}"
+    httpd.shutdown()
+
+
+def _post(url: str, obj) -> tuple[int, bytes]:
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_health(server):
+    with urllib.request.urlopen(f"{server}/health", timeout=10) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_extract_endpoint_matches_kernel(server):
+    docs = make_documents(20)
+    body = {
+        "documents": [
+            {"url": u, "html_base64": base64.b64encode(bytes(h)).decode()}
+            for u, h in zip(docs.url, docs.html)
+        ]
+    }
+    code, raw = _post(f"{server}/v1/extract", body)
+    assert code == 200
+    resp = json.loads(raw)
+    assert resp["usage"]["documents"] == 20
+    for row, payload in zip(resp["results"], docs.html):
+        ref = extract_document(payload)
+        assert row["extracted_text"] == ref.extracted_text
+        assert row["branch"] == ref.branch
+
+
+def test_extract_stream_sse(server):
+    docs = make_documents(3)
+    body = {
+        "documents": [
+            {"url": u, "html_base64": base64.b64encode(bytes(h)).decode()}
+            for u, h in zip(docs.url, docs.html)
+        ]
+    }
+    req = urllib.request.Request(
+        f"{server}/v1/extract/stream",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = r.read().decode("utf-8")
+    assert "event: response.created" in raw
+    assert raw.strip().endswith("data: [DONE]")
+    # deltas reassemble to the exact kernel output per url
+    texts: dict[str, list[str]] = {}
+    for block in raw.split("\n\n"):
+        if "event: response.delta" in block:
+            data = json.loads(block.split("data: ", 1)[1])
+            texts.setdefault(data["url"], []).append(data["delta"])
+    for url, payload in zip(docs.url, docs.html):
+        ref = extract_document(payload)
+        if ref.extracted_text:
+            assert "".join(texts[url]) == ref.extracted_text
+
+
+def test_bad_request_is_400(server):
+    code, raw = _post(f"{server}/v1/extract", {"nope": 1})
+    assert code == 400
+    assert "bad request" in json.loads(raw)["error"]
+
+
+def test_unknown_path_404(server):
+    code, _ = _post(f"{server}/v1/whatever", {"documents": []})
+    assert code == 404
