@@ -33,6 +33,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Queries that run Python UDFs must work on ANY caller-provided session
+    (the driver builds its own) — ship the package zip to executors,
+    idempotently, before the first mapInPandas."""
+    try:
+        from deepseek_ocr_api_rs_spark.conf import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass
+
+
 _DEC = "decimal(18,2)"
 
 
@@ -797,6 +809,7 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return S.topk_cosine_pandas(vecs, _query_vec(spark, sf_dir), k=10)
 
@@ -827,6 +840,7 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the stub arithmetically)."""
     from deepseek_ocr_api_rs_spark.operators.multimodal import image_metadata
 
+    _ensure_shipped(spark)
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )

@@ -45,13 +45,15 @@ def hourly_event_counts_stream(
         )
     else:
         stream = spark.readStream.schema(schema).parquet(events_path)
-    # watermarks require TIMESTAMP (with local tz); parquet yields NTZ —
-    # with the session pinned to UTC (conf.py) the cast is wall-clock exact.
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # watermarks require TIMESTAMP (with local tz), parquet yields NTZ. The
+    # watermark column is a cast copy; the GROUP key stays the original NTZ
+    # hour so results are session-timezone-independent (an LTZ cast can
+    # shift rows across hour buckets in DST-gap wall times).
+    stream = stream.withColumn("ts_event", F.col("ts").cast("timestamp"))
     agg = (
-        stream.withWatermark("ts", watermark)
+        stream.withWatermark("ts_event", watermark)
         .groupBy(
-            F.window("ts", "1 hour").alias("win"),
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
             F.col("event_type"),
         )
         .agg(
@@ -59,12 +61,6 @@ def hourly_event_counts_stream(
             F.round(
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
             ).alias("sum_value"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
         )
     )
     sink = f"stream_result_{uuid.uuid4().hex[:8]}"
