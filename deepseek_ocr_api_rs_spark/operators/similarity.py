@@ -15,10 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from deepseek_ocr_api_rs_spark.functions.hashing import P as _P  # noqa: F401 (doc link)
-
 
 def _dot(a: str, b: str) -> str:
     return (
@@ -106,11 +102,8 @@ def ann_lsh_topk(
     dim = len(query_vec)
     planes = fixed_planes(dim, n_planes)
     bucketed = vecs.withColumn("bucket", F.expr(srp_bucket_expr(vec_col, planes)))
-    qdf_bucket = None
-    # compute the query's bucket driver-side with the same arithmetic
-    import numpy as np
-
-    qv = np.asarray(query_vec, dtype=np.float64)
+    # compute the query's bucket driver-side with the same fold arithmetic
+    qv = [float(v) for v in query_vec]
     qb = 0
     for b, plane in enumerate(planes):
         acc = 0.0
@@ -164,7 +157,8 @@ def embedding_near_dup_lsh(
             "id_a", "id_b",
             F.expr(cosine_expr("va", "vb")).alias("cosine"),
         )
-        .distinct()
+        # a pair colliding in k tables appears k times with the same exact
+        # cosine — one distinct after the (cheap) filter dedupes them
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .distinct()
