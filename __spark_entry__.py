@@ -659,6 +659,49 @@ from documents
 """
 
 
+def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup —
+    the classic event-stream operator; one shuffle on user_id."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30).orderBy("user_id", "session_seq")
+
+
+_Q_SESSION_SQL = """
+with marked as (
+  select user_id, ts, value, event_id,
+    case when lag(ts) over w is null
+           or cast(floor(epoch(ts)) as bigint) - cast(floor(epoch(lag(ts) over w)) as bigint) > 1800
+         then 1 else 0 end as is_new
+  from events
+  window w as (partition by user_id order by ts asc, event_id asc)
+), sess as (
+  select user_id, ts, value,
+    sum(is_new) over (partition by user_id order by ts asc, event_id asc
+                      rows unbounded preceding) as session_seq
+  from marked
+)
+select user_id, session_seq,
+  count(*) as n_events,
+  cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint) as span_seconds,
+  cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+from sess group by user_id, session_seq
+order by user_id, session_seq
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over MinHash-LSH candidate pairs —
+    dup-cluster resolution (NOT SQL-expressible: iterative fixpoint;
+    rows-only driver check, exactness pytest-verified vs scalar union-find)."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates_fast(docs, shingle_n=3)
+    return connected_components(pairs).orderBy("id")
+
+
 def q_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete median per event_type via deterministic row_number —
     identical semantics in both engines (no interpolation ambiguity)."""
@@ -964,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resume_filter": q_resume_filter,
         "q_seeded_sample": q_seeded_sample,
         "q_repetition_metrics": q_repetition_metrics,
+        "q_sessionize_stats": q_sessionize_stats,
+        "q_dup_clusters": q_dup_clusters,
         "q_value_median_disc": q_value_median_disc,
         "q_set_ops": q_set_ops,
         "q_customers_without_orders": q_customers_without_orders,
@@ -1007,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "q_resume_filter": _Q_RESUME_SQL,
         "q_seeded_sample": _Q_SAMPLE_SQL,
         "q_repetition_metrics": _repetition_sql(),
+        "q_sessionize_stats": _Q_SESSION_SQL,
         "q_value_median_disc": _Q_MEDIAN_SQL,
         "q_set_ops": _Q_SETOPS_SQL,
         "q_customers_without_orders": _Q_ANTI_SQL,

@@ -131,3 +131,48 @@ def test_near_dup_lsh_recall_on_planted_dups(spark, vecs):
         (F.col("id_b") - F.col("id_a")) == 100_000
     ).count()
     assert planted == 20
+
+
+def test_connected_components_vs_union_find(spark):
+    """Iterative Spark label propagation == scalar union-find on the same
+    pair set (the D2 slow-path cross-check discipline)."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
+
+    pairs = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 20), (30, 31)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+
+
+def test_sessionize_gap_boundaries(spark):
+    from deepseek_ocr_api_rs_spark.operators.sessions import sessionize
+
+    rows = [
+        (1, 100, "2024-01-01 10:00:00", 1.0),
+        (2, 100, "2024-01-01 10:10:00", 1.0),   # same session (10 min)
+        (3, 100, "2024-01-01 11:30:00", 1.0),   # new session (80 min gap)
+        (4, 200, "2024-01-01 10:05:00", 1.0),   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r.event_id: r.session_seq for r in sessionize(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
