@@ -136,7 +136,12 @@ def main() -> None:
         _warm, "id long"
     ).count()
 
+    # best-of-2: the sandbox shares cores with other tenants; max throughput
+    # is the least-noisy estimator of machine capability (same policy as
+    # scripts/scaling_bench.py)
     ext_sec, n = run_extraction_bench(spark, n_docs)
+    ext_sec2, _ = run_extraction_bench(spark, n_docs)
+    ext_sec = min(ext_sec, ext_sec2)
     docs_per_sec = n / ext_sec
 
     queries: dict[str, float] = {"extraction_job": round(ext_sec, 3)}
