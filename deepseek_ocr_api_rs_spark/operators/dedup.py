@@ -141,18 +141,38 @@ def minhash_lsh_candidates_fast(
     cross-engine polynomial — ~10-50× faster, same recall characteristics.
 
     The polynomial variant exists for the DuckDB oracle (exactness);
-    THIS is what a 100 TB job runs. Signature = per-seed min over
-    xxhash64(shingle, seed); banding identical.
+    THIS is what a 100 TB job runs. Shingles never materialize as strings:
+    each token is xxhash64'd ONCE, then n-gram shingle hashes are built
+    arithmetically (rotate-xor combine — overflow-free under ANSI mode),
+    and the k signature minima come from xxhash64 re-mixes of the shingle
+    hash. MinHash over the multiset equals MinHash over the set, so no
+    distinct pass is needed either.
     """
-    sh = H.shingles_spark(text_col, shingle_n)
+
+    def _rot(e: str, r: int) -> str:
+        return f"(shiftleft({e}, {r}) | shiftrightunsigned({e}, {64 - r}))"
+
+    toks = f"regexp_extract_all(lower({text_col}), '{H.TOKEN_REGEX}', 0)"
+    hashes = f"transform({toks}, w -> xxhash64(w))"
+    # shingle hash at position i combines the n word hashes with
+    # position-distinct rotations: rot(h_i, 7*(n-j)) xor ...
+    combine = " ^ ".join(
+        _rot(f"element_at(hs, i + {j})", (7 * (shingle_n - j)) % 63 + 1)
+        for j in range(shingle_n)
+    )
+    sh_hashes = (
+        f"transform(sequence(1, greatest(size(hs) - {shingle_n - 1}, 0)), "
+        f"i -> ({combine}))"
+    )
     mins = ", ".join(
-        f"array_min(transform(sh, s -> xxhash64(s, {seed})))"
+        f"array_min(transform(shs, s -> xxhash64(s, {seed})))"
         for seed in range(n_hashes)
     )
     n_bands = n_hashes // rows_per_band
     sigs = (
-        docs.select(F.col(id_col), F.expr(sh).alias("sh"))
-        .filter(F.size("sh") > 0)
+        docs.select(F.col(id_col), F.expr(hashes).alias("hs"))
+        .filter(F.size("hs") >= shingle_n)
+        .select(id_col, F.expr(sh_hashes).alias("shs"))
         .select(id_col, F.expr(f"array({mins})").alias("sig"))
     )
     band_exprs = []
@@ -221,11 +241,32 @@ def ngram_jaccard_pairs(
     inter/union are integer counts; jaccard = inter/union is one float64
     division — engine-exact. Shuffle volume = shingle postings, bounded by
     distinct-shingle fan-out (explode AFTER array_distinct).
+
+    Shingle identity is a 64-bit rotate-xor combine of per-token xxhash64
+    (same trick as minhash_lsh_candidates_fast): postings shuffle 8-byte
+    ints instead of strings. A cross-shingle hash collision would merge two
+    shingles (P ≈ n²/2^65 — negligible); the DuckDB oracle uses literal
+    string shingles and stays exactly equal in practice and in tests.
     """
-    shingled = docs.select(
-        F.col(id_col),
-        F.expr(H.shingles_spark(text_col, n)).alias("sh"),
-    ).filter(F.size("sh") > 0).persist()  # feeds sizes + both join sides
+
+    def _rot(e: str, r: int) -> str:
+        return f"(shiftleft({e}, {r}) | shiftrightunsigned({e}, {64 - r}))"
+
+    toks = f"regexp_extract_all(lower({text_col}), '{H.TOKEN_REGEX}', 0)"
+    hashes = f"transform({toks}, w -> xxhash64(w))"
+    combine = " ^ ".join(
+        _rot(f"element_at(hs, i + {j})", (7 * (n - j)) % 63 + 1) for j in range(n)
+    )
+    sh_hashes = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {n - 1}, 0)), "
+        f"i -> ({combine})))"
+    )
+    shingled = (
+        docs.select(F.col(id_col), F.expr(hashes).alias("hs"))
+        .filter(F.size("hs") >= n)
+        .select(F.col(id_col), F.expr(sh_hashes).alias("sh"))
+        .persist()  # feeds sizes + both join sides
+    )
     sizes = shingled.select(id_col, F.size("sh").alias("n_sh"))
     posts = shingled.select(id_col, F.explode("sh").alias("shingle")).persist()
     a, b = posts.alias("a"), posts.alias("b")

@@ -13,6 +13,9 @@ the DuckDB oracle matches bitwise; query layers round for cushion anyway.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -134,15 +137,29 @@ def embedding_near_dup_lsh(
     shuffles (bucket_key, id, vec) grouped by key, exact cosine verifies
     candidates only. Recall measured against the exact baseline in tests.
     """
+    from pyspark.sql.functions import pandas_udf
+
     all_planes = fixed_planes(dim, n_tables * planes_per_table)
-    keys = []
-    for t in range(n_tables):
-        planes = all_planes[t * planes_per_table : (t + 1) * planes_per_table]
-        keys.append(f"concat_ws(':', {t}, {srp_bucket_expr(vec_col, planes)})")
+    # one Arrow-batched matmul computes ALL table buckets: X @ P.T > 0 →
+    # bit matrix → per-table bucket ints (the vectorized path; the pure-SQL
+    # fold variant srp_bucket_expr remains for ann_lsh_topk)
+    P = np.asarray(all_planes, dtype=np.float64).T  # (dim, tables*ppt)
+    weights = (1 << np.arange(planes_per_table, dtype=np.int64))
+
+    @pandas_udf("array<string>")
+    def srp_keys(col: pd.Series) -> pd.Series:
+        X = np.stack(col.to_numpy()).astype(np.float64)
+        bits = (X @ P > 0).astype(np.int64)  # (n, tables*ppt)
+        out = []
+        per_table = bits.reshape(len(X), n_tables, planes_per_table) @ weights
+        for row in per_table:
+            out.append([f"{t}:{int(b)}" for t, b in enumerate(row)])
+        return pd.Series(out)
+
     bucketed = vecs.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(F.expr("array(" + ", ".join(keys) + ")")).alias("bucket_key"),
+        F.explode(srp_keys(F.col(vec_col))).alias("bucket_key"),
     ).persist()  # both join sides — one bucket computation, not two
     a = bucketed.select(
         "bucket_key", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -176,8 +193,6 @@ def topk_cosine_pandas(
     matmul) — the vectorized production path for wide scans: per-batch
     X @ q is SIMD, per-partition top-k, then a global TakeOrdered over
     (partitions × k) rows only."""
-    import numpy as np
-    import pandas as pd
     from collections.abc import Iterator
 
     q = np.asarray(query_vec, dtype=np.float64)
