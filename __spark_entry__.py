@@ -950,6 +950,44 @@ from documents
 """
 
 
+def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver documents table into the input_hint page schema
+    (url, warc_ts, html binary, text, lang) so the REAL extraction operator
+    can run inside the driver's correctness gate."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc</title></head><body>"
+              "<nav><a href='/home'>home</a> <a href='/about'>about</a></nav>"
+              "<main><p>"),
+        F.col("text"),
+        F.lit("</p></main><footer><a href='/terms'>terms</a></footer></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://synth.example.org/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def q_extract_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction operator itself (mapInPandas over Arrow
+    batches, boilerplate strip + spans + branch routing) over pages
+    synthesized from the driver table. Not SQL-expressible (the block
+    scorer + smoothing is the engine's own model) → rows-only driver
+    check; byte-exactness is enforced by the golden-fixture pytest tier."""
+    from deepseek_ocr_api_rs_spark.operators.extract import extract_documents
+
+    _ensure_shipped(spark)
+    pages = _synth_pages(spark, sf_dir)
+    out = extract_documents(pages)
+    return out.select(
+        "url", "branch", "extracted_text", "n_chars",
+        "n_blocks_total", "n_blocks_accepted",
+    ).orderBy("url")
+
+
 def q_extract_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 normalize_text canonicalization (inference.rs:142-147) as pure
     built-ins over the driver documents table."""
@@ -974,22 +1012,27 @@ from documents
 # driver contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the text-pipeline composite over sf0.001 documents —
-    normalize → token stats → quality → lang-id → fingerprint → simhash,
-    one projection, all JVM-side."""
+    """Flagship: the REAL extraction pipeline (Arrow-UDF boilerplate strip
+    over synthesized pages) joined with the JVM-side text-analysis
+    composite — the engine's two core surfaces in one plan."""
     sf_dir = "/root/testdata/sf0.001"
+    _ensure_shipped(spark)
+    from deepseek_ocr_api_rs_spark.operators.extract import extract_documents
+
+    extracted = extract_documents(_synth_pages(spark, sf_dir)).select(
+        "url", "branch", "extracted_text", "n_chars", "n_blocks_accepted"
+    )
     docs = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
-    return docs.select(
-        "doc_id",
+    analysis = docs.select(
+        F.concat(F.lit("https://synth.example.org/doc/"), F.col("doc_id")).alias("url"),
         "lang",
-        norm.alias("norm_text"),
         T.token_count("text").alias("n_tokens"),
         F.round(T.quality_score("text"), 4).alias("quality"),
         T.lang_id("text").alias("lang_pred"),
         T.fingerprint("text").alias("fp"),
         F.expr(H.simhash_spark("text")).alias("simhash"),
     )
+    return extracted.join(analysis, "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1031,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
         "q_stream_hourly_counts": q_stream_hourly_counts,
         "q_image_meta": q_image_meta,
+        "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
         "q_markdown_polish": q_markdown_polish,
         "q_extract_normalize": q_extract_normalize,
