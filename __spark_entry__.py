@@ -760,9 +760,12 @@ order by o_custkey
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (the resume-filter join shape, §7.2-6)."""
+    """Anti-join (the resume-filter join shape, §7.2-6): customers with no
+    orders in 1998 H1 — a non-trivial result set at every SF."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-07-01")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -772,7 +775,12 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_ANTI_SQL = """
 select c_custkey, c_mktsegment from customer
-where not exists (select 1 from orders where o_custkey = c_custkey)
+where not exists (
+  select 1 from orders
+  where o_custkey = c_custkey
+    and o_orderdate >= timestamp '1998-01-01 00:00:00'
+    and o_orderdate <  timestamp '1998-07-01 00:00:00'
+)
 order by c_custkey
 """
 
