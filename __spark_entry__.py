@@ -996,6 +996,61 @@ def q_extract_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data quality gate (gopher-style rule stack):
+    keep docs passing length + quality + repetition + lang-agreement rules,
+    and report which rule dropped the rest — the end-of-pipeline filter a
+    training corpus runs after extraction + dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)"
+    all_sh = (
+        f"transform(sequence(1, greatest(size({toks}) - 2, 0)), "
+        f"i -> array_join(slice({toks}, i, 3), ' '))"
+    )
+    rep = (
+        F.lit(1.0)
+        - F.expr(f"size(array_distinct({all_sh}))")
+        / F.greatest(F.expr(f"size({all_sh})"), F.lit(1))
+    )
+    quality = F.round(T.quality_score("text"), 4)
+    verdict = (
+        F.when(T.token_count("text") < 10, F.lit("too_short"))
+        .when(quality <= 0.4, F.lit("low_quality"))
+        .when(rep >= 0.5, F.lit("repetitive"))
+        .when(T.lang_id("text") != F.col("lang"), F.lit("lang_mismatch"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        docs.select("doc_id", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("verdict")
+    )
+
+
+def _quality_filter_sql() -> str:
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    all_sh = (
+        f"list_transform(range(1, greatest(len({toks}) - 2, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    rep = f"(1.0 - len(list_distinct({all_sh})) * 1.0 / greatest(len({all_sh}), 1))"
+    quality = f"round({T.quality_score_duckdb('text')}, 4)"
+    return f"""
+with v as (
+  select doc_id,
+    case when {T.token_count_duckdb('text')} < 10 then 'too_short'
+         when {quality} <= 0.4 then 'low_quality'
+         when {rep} >= 0.5 then 'repetitive'
+         when ({T.lang_id_duckdb('text')}) != lang then 'lang_mismatch'
+         else 'keep' end as verdict
+  from documents
+)
+select verdict, count(*) as n_docs, min(doc_id) as first_doc
+from v group by verdict order by verdict
+"""
+
+
 def q_extract_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 normalize_text canonicalization (inference.rs:142-147) as pure
     built-ins over the driver documents table."""
@@ -1067,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_rollup": q_revenue_rollup,
         "q_token_stats": q_token_stats,
         "q_quality_scores": q_quality_scores,
+        "q_quality_filter": q_quality_filter,
         "q_lang_id": q_lang_id,
         "q_fingerprints": q_fingerprints,
         "q_dedup_exact": q_dedup_exact,
@@ -1112,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         "q_revenue_rollup": _Q_ROLLUP_SQL,
         "q_token_stats": _Q_TOKENS_SQL,
         "q_quality_scores": _Q_QUALITY_SQL,
+        "q_quality_filter": _quality_filter_sql(),
         "q_lang_id": _Q_LANG_SQL,
         "q_fingerprints": _Q_FP_SQL,
         "q_dedup_exact": _Q_DEDUP_EXACT_SQL,

@@ -73,3 +73,38 @@ def test_extraction_is_map_only_after_repartition(spark, corpus_path):
 def test_simhash_fast_partial_aggregation(spark):
     df = entrymod.q_simhash_fast(spark, SF)
     assert has_partial_aggregate(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """bucketBy co-location: joining two tables bucketed on the join key
+    plans ZERO exchanges — the co-located-join half of the partitioning
+    story (conf: 'repartition()/bucketing for co-located joins')."""
+    from deepseek_ocr_api_rs_spark.operators.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "orderkey")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "orderkey")
+    write_bucketed(li, "b_lineitem", "orderkey", n_buckets=8, path=str(tmp_path / "li"))
+    write_bucketed(orders, "b_orders", "orderkey", n_buckets=8, path=str(tmp_path / "ord"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast (planner then ignores bucketing);
+        # disable broadcast to exercise the bucketed sort-merge path the
+        # join takes at fact-to-fact scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "b_lineitem", "b_orders", "orderkey")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the result is right
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists b_lineitem")
+        spark.sql("drop table if exists b_orders")
