@@ -34,7 +34,13 @@ def _extract_payloads(docs: list[dict]) -> list[dict]:
     payloads = []
     for d in docs:
         raw = d.get("html_base64")
-        payloads.append(base64.b64decode(raw) if raw else None)
+        try:
+            # strict validation: malformed base64 routes that document to
+            # the error branch (per-doc isolation — one bad payload must
+            # not fail the batch; the 400 path is for malformed REQUESTS)
+            payloads.append(base64.b64decode(raw, validate=True) if raw else None)
+        except Exception:
+            payloads.append(None)
     out = extract_batch(payloads)
     rows = []
     for i, d in enumerate(docs):

@@ -81,3 +81,40 @@ def test_batch_order_invariance(payloads):
     rev = extract_batch(list(reversed(payloads)))
     assert list(fwd.extracted_text) == list(reversed(list(rev.extracted_text)))
     assert list(fwd.branch) == list(reversed(list(rev.branch)))
+
+
+# --- PDF reading-order properties ------------------------------------------
+
+_span = st.builds(
+    lambda page, col, line, x, w: {
+        "page": page,
+        "x0": round(col * 200.0 + 20.0 + x, 2),
+        "y0": round(line * 14.0 + 40.0, 2),
+        "x1": round(col * 200.0 + 20.0 + x + w, 2),
+        "y1": round(line * 14.0 + 52.0, 2),
+        "text": f"s{page}_{col}_{line}_{round(x, 2)}",
+    },
+    page=st.integers(0, 1),
+    col=st.integers(0, 2),
+    line=st.integers(0, 5),
+    x=st.floats(0, 9.5).map(lambda v: round(v, 2)),
+    w=st.floats(30, 120).map(lambda v: round(v, 2)),
+)
+
+
+@given(st.lists(_span, min_size=1, max_size=25, unique_by=lambda s: (s["page"], s["x0"], s["y0"])))
+@settings(max_examples=80, deadline=None)
+def test_pdf_order_permutation_invariant(spans):
+    """Reading order is a pure function of geometry: any input permutation
+    of (distinct-keyed) spans yields the same assembled text — the E6
+    permute-then-flatten determinism."""
+    import random
+
+    from deepseek_ocr_api_rs_spark.extraction.pdf_spans import assemble_pdf_text
+
+    base = assemble_pdf_text(spans, 612.0)
+    rng = random.Random(7)
+    for _ in range(3):
+        shuffled = spans[:]
+        rng.shuffle(shuffled)
+        assert assemble_pdf_text(shuffled, 612.0) == base

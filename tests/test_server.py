@@ -97,3 +97,17 @@ def test_bad_request_is_400(server):
 def test_unknown_path_404(server):
     code, _ = _post(f"{server}/v1/whatever", {"documents": []})
     assert code == 404
+
+
+def test_malformed_base64_isolated_to_error_branch(server):
+    body = {
+        "documents": [
+            {"url": "good", "html_base64": base64.b64encode(b"<p>hello world today</p>").decode()},
+            {"url": "bad", "html_base64": "!!!not-base64!!!"},
+        ]
+    }
+    code, raw = _post(f"{server}/v1/extract", body)
+    assert code == 200
+    results = {r["url"]: r for r in json.loads(raw)["results"]}
+    assert results["good"]["branch"] == "html"
+    assert results["bad"]["branch"] == "error"
