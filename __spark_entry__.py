@@ -859,6 +859,14 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_lsh(vecs, threshold=0.45).orderBy("id_a", "id_b")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (probe nearest inverted lists; rows-only —
+    approximate by design, recall measured in tests vs the exact baseline)."""
+    _ensure_shipped(spark)
+    vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.ivf_topk(vecs, _query_vec(spark, sf_dir), k=10, nprobe=6)
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
@@ -1134,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_fast": q_simhash_fast,
         "q_neardup_lsh": q_neardup_lsh,
         "q_cosine_topk_pandas": q_cosine_topk_pandas,
+        "q_ann_ivf": q_ann_ivf,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
         "q_stream_hourly_counts": q_stream_hourly_counts,

@@ -176,3 +176,25 @@ def test_sessionize_gap_boundaries(spark):
     )
     out = {r.event_id: r.session_seq for r in sessionize(df).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_ivf_topk_recall(spark, vecs):
+    """IVF with nprobe=6/16 must recover most of the exact top-10 (and all
+    of the top hits that live in probed lists — scores are exact)."""
+    q = [float(x) for x in vecs.filter("vec_id = 0").first().embedding]
+    rest = vecs.filter("vec_id != 0")
+    exact = [r.vec_id for r in S.topk_cosine(rest, q, k=10).collect()]
+    approx = [r.vec_id for r in S.ivf_topk(rest, q, k=10, nprobe=6).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, (exact, approx)
+    # scores of returned ids are exact (same cosine arithmetic)
+    ex = {r.vec_id: r.cosine for r in S.cosine_to_query(rest, q).collect()}
+    for r in S.ivf_topk(rest, q, k=10, nprobe=6).collect():
+        assert abs(ex[r.vec_id] - r.cosine) < 1e-5
+
+
+def test_ivf_assignment_partitions_corpus(spark, vecs):
+    assigned = S.ivf_assign(vecs.select("vec_id", "embedding"))
+    counts = assigned.groupBy("centroid").count().collect()
+    assert sum(r["count"] for r in counts) == vecs.count()
+    assert len(counts) > 4  # corpus spreads over many inverted lists
