@@ -102,6 +102,19 @@ def _html_doc(rng: random.Random, lang: str, title: str) -> str:
             parts.append(f"<table>{rows}</table>")
         elif kind < 0.36:
             parts.append(f"<pre>result = engine.extract(doc_{rng.randint(0, 99)})</pre>")
+        elif kind < 0.42:
+            parts.append(f"<blockquote>{_sentence(rng, lang, rng.randint(6, 14))}</blockquote>")
+        elif kind < 0.47:
+            items = "".join(
+                f"<dt>{_sentence(rng, lang, 2)}</dt><dd>{_sentence(rng, lang, rng.randint(4, 10))}</dd>"
+                for _ in range(rng.randint(1, 3))
+            )
+            parts.append(f"<dl>{items}</dl>")
+        elif kind < 0.52:
+            parts.append(
+                f"<figure><img src='/img/{rng.randint(0, 99)}.jpg'>"
+                f"<figcaption>{_sentence(rng, lang, rng.randint(3, 8))}</figcaption></figure>"
+            )
         else:
             parts.append(f"<p>{_paragraph(rng, lang)}</p>")
     parts.append("</article></main>")
