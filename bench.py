@@ -34,7 +34,9 @@ def _bench_corpus(spark, n_docs: int, cache_dir: str = "/tmp/spark_graft_bench")
     to serial; cached across bench invocations AND parallelism levels so
     local[8] and local[32] read the exact same bytes.
     """
-    path = os.path.join(cache_dir, f"docs_{n_docs}.parquet")
+    from deepseek_ocr_api_rs_spark.fixtures.corpus import CORPUS_VERSION
+
+    path = os.path.join(cache_dir, f"docs_v{CORPUS_VERSION}_{n_docs}.parquet")
     done_marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(done_marker):
         return path

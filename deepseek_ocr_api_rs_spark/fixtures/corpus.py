@@ -23,6 +23,8 @@ import random
 import pandas as pd
 
 SEED = 42
+# bump when the generator grammar changes — invalidates bench corpus caches
+CORPUS_VERSION = 2
 
 HOT_HOSTS = ["bigportal.example.com", "megablog.example.net"]
 COLD_HOST_COUNT = 200
