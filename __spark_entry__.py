@@ -352,7 +352,7 @@ def q_salted_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_SALTED_SQL = """
-select source, count(*) as n_docs, sum(n_chars) as total_chars
+select source, count(*) as n_docs, cast(sum(n_chars) as bigint) as total_chars
 from documents group by source order by source
 """
 
@@ -678,8 +678,8 @@ with marked as (
   window w as (partition by user_id order by ts asc, event_id asc)
 ), sess as (
   select user_id, ts, value,
-    sum(is_new) over (partition by user_id order by ts asc, event_id asc
-                      rows unbounded preceding) as session_seq
+    cast(sum(is_new) over (partition by user_id order by ts asc, event_id asc
+                           rows unbounded preceding) as bigint) as session_seq
   from marked
 )
 select user_id, session_seq,
