@@ -894,24 +894,33 @@ from events group by 1, 2
 
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column → typed metadata via an
-    Arrow-batched mapInPandas (decode stubbed deterministically — the
-    oracle reproduces the stub arithmetically)."""
-    from deepseek_ocr_api_rs_spark.operators.multimodal import image_metadata
+    """Multimodal roundtrip: synthesize REAL image payloads (PNG/JPEG/GIF,
+    format by doc_id % 3, dims by doc_id arithmetic) in one Arrow stage, then
+    REAL-header-decode them back (stdlib struct: PNG IHDR, JPEG SOF scan, GIF
+    screen descriptor — crates/server/src/generation.rs:276-305's real-image
+    contract) in a second. The oracle reproduces the dims arithmetic; the
+    bytes in between are genuine image files, so a decode bug breaks the
+    hash."""
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_image_payloads,
+    )
 
     _ensure_shipped(spark)
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = synthesize_image_payloads(docs)
+    return (
+        image_metadata(payloads)
+        .select("doc_id", "width", "height", "mode")
+        .orderBy("doc_id")
     )
-    return image_metadata(docs).orderBy("doc_id")
 
 
 _Q_IMAGE_SQL = """
 select doc_id,
-  cast(octet_length(encode(text)) as bigint) as n_bytes,
-  cast(octet_length(encode(text)) % 640 + 1 as int) as width,
-  cast(octet_length(encode(text)) % 480 + 1 as int) as height,
-  case when octet_length(encode(text)) > 0 then 'RGB' else 'EMPTY' end as mode
+  cast(doc_id % 64 + 1 as int) as width,
+  cast(doc_id % 48 + 1 as int) as height,
+  case cast(doc_id % 3 as int) when 0 then 'PNG' when 1 then 'JPEG' else 'GIF' end as mode
 from documents order by doc_id
 """
 

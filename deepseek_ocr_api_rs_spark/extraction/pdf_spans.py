@@ -6,16 +6,23 @@ Analogue of the reference's tile regroup/permute/flatten reading-order math
 with newline separators inserted exactly like ``append_row_breaks``
 (model/mod.rs:496-508) inserts the image_newline token per grid row.
 
-The synthetic "PDF" payload (this sandbox has no real PDF decoder) is
-``%PDF-`` magic followed by a JSON object ``{"width": W, "spans": [...]}``
-with spans ``{"page": int, "x0,y0,x1,y1": float, "text": str}`` — the
-geometry is real, only the container format is fake, so the layout operator
-(the part that matters) is fully exercised.
+Two container formats feed the same layout math:
+
+1. **Real PDFs** — actual PDF syntax (objects, FlateDecode streams, BT/ET
+   text operators), parsed by ``pdf_real.parse_real_pdf`` (stdlib re+zlib).
+   This is the reference's "real input" contract
+   (crates/cli/src/app.rs:116-122, crates/server/src/generation.rs:263-305).
+2. **JSON geometry container** — ``%PDF-`` magic + JSON
+   ``{"width": W, "spans": [...]}`` with spans
+   ``{"page": int, "x0,y0,x1,y1": float, "text": str}`` — kept for layout
+   goldens where exact hand-authored geometry matters.
 """
 
 from __future__ import annotations
 
 import json
+
+from deepseek_ocr_api_rs_spark.extraction.pdf_real import parse_real_pdf
 
 PDF_MAGIC = b"%PDF-"
 DEFAULT_PAGE_WIDTH = 612.0
@@ -24,17 +31,23 @@ Y_QUANTUM = 2.0             # spans within this y distance are one visual line
 
 
 def parse_pdf_payload(data: bytes) -> tuple[float, list[dict]] | None:
-    """Return (page_width, spans) or None if not parseable."""
+    """Return (page_width, spans) or None if not parseable.
+
+    Dispatch: JSON geometry container if the byte after the header line is
+    ``{``; otherwise real-PDF object parse (pdf_real)."""
     if not data.startswith(PDF_MAGIC):
         return None
-    try:
-        body = data.split(b"\n", 1)[1]
-        obj = json.loads(body.decode("utf-8"))
-        spans = obj["spans"]
-        width = float(obj.get("width", DEFAULT_PAGE_WIDTH))
-    except Exception:
-        return None
-    return width, spans
+    parts = data.split(b"\n", 1)
+    body = parts[1] if len(parts) > 1 else b""
+    if body.lstrip()[:1] == b"{":
+        try:
+            obj = json.loads(body.decode("utf-8"))
+            spans = obj["spans"]
+            width = float(obj.get("width", DEFAULT_PAGE_WIDTH))
+        except Exception:
+            return None
+        return width, spans
+    return parse_real_pdf(data)
 
 
 def detect_columns(x_centers: list[float], page_width: float) -> list[float]:

@@ -24,7 +24,7 @@ import pandas as pd
 
 SEED = 42
 # bump when the generator grammar changes — invalidates bench corpus caches
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 HOT_HOSTS = ["bigportal.example.com", "megablog.example.net"]
 COLD_HOST_COUNT = 200
@@ -136,7 +136,11 @@ def _pdf_doc(rng: random.Random) -> bytes:
     """Synthetic layout: 1-3 columns × 1-2 pages, spans shuffled + y-jitter.
 
     Geometry is generated in reading order, then shuffled, so the reading-
-    order reconstruction operator has real work to do.
+    order reconstruction operator has real work to do. Container roll:
+    ~half the docs become REAL PDFs (pdf_real.make_pdf_bytes — object
+    structure, xref, BT/ET text operators; alternating Flate-compressed /
+    uncompressed / TJ-array variants), the rest keep the JSON geometry
+    container — both flow through the same layout math.
     """
     width = 612.0
     n_cols = rng.randint(1, 3)
@@ -160,6 +164,16 @@ def _pdf_doc(rng: random.Random) -> bytes:
                 )
                 y += rng.choice([14.0, 14.0, 28.0])
     rng.shuffle(spans)
+    roll = rng.random()
+    if roll < 0.5:
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
+
+        return make_pdf_bytes(
+            spans,
+            width=width,
+            compress=roll < 0.25,
+            use_tj_every=3 if roll < 0.125 else 0,
+        )
     payload = {"width": width, "spans": spans}
     return b"%PDF-1.7\n" + json.dumps(payload, sort_keys=True).encode("utf-8")
 

@@ -2,14 +2,21 @@
 
 Image/audio/video bytes are carried as ``binary`` columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over ``mapInPandas``. The decode itself is STUBBED in this container (no
-image/audio libraries available — clearly marked below); the Spark-side
-plumbing — schema, batching, partitioning, UDF signature — is real and
-tested, which is the part that has to hold at 100 TB.
+over ``mapInPandas``.
+
+The image HEADER decode is REAL (stdlib struct/zlib — PNG IHDR, JPEG SOF
+marker scan, GIF logical screen descriptor), mirroring the reference's real
+image loads (crates/server/src/generation.rs:276-305). Full pixel decode /
+resample / FFT still require libraries absent from this container and stay
+stubbed behind ``real_decode_stub`` — the Spark-side plumbing (schema,
+batching, partitioning, UDF signature) is real and tested either way, which
+is the part that has to hold at 100 TB.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,22 +43,171 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# JPEG start-of-frame markers (carry dims); excludes DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
+    """REAL image header decode, stdlib only. Returns (width, height, format)
+    for PNG / JPEG / GIF payloads, None when the magic is unrecognized or the
+    header is truncated. Header fields per the public specs: PNG IHDR
+    big-endian dims at bytes 16-24; JPEG dims in the first SOFn segment; GIF
+    little-endian logical-screen dims at bytes 6-10."""
+    if payload is None or len(payload) < 10:
+        return None
+    b = bytes(payload)
+    if b.startswith(PNG_MAGIC):
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return (w, h, "PNG")
+        return None
+    if b[:3] == b"GIF" and b[3:6] in (b"87a", b"89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return (w, h, "GIF")
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        n = len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen
+                return None
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return (w, h, "JPEG")
+            i += 2 + seg_len
+    return None
+
+
 def _fake_decode_dims(n_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """DETERMINISTIC FAKE of an image-header decode (this container has no
-    PIL/libjpeg). Real implementation would parse magic + header bytes; the
-    fake derives dims arithmetically from payload length so the oracle can
-    reproduce it. Swap with a real decoder via ``decode_fn``."""
+    """Deterministic fallback for payloads that are NOT recognized images
+    (text blobs in the driver tables): derives dims arithmetically from the
+    payload length so oracles can reproduce it."""
     width = (n_bytes % 640 + 1).astype(np.int32)
     height = (n_bytes % 480 + 1).astype(np.int32)
     return width, height
 
 
+def _decode_dims_batch(
+    payloads,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch decode: real header parse where magic matches, deterministic
+    length-derived fallback otherwise. Returns (n_bytes, width, height, mode)
+    numpy arrays. The per-payload header peek is O(1) bytes — fine inside an
+    Arrow batch; no pixel data is touched."""
+    n = len(payloads)
+    n_bytes = np.zeros(n, dtype=np.int64)
+    width = np.zeros(n, dtype=np.int32)
+    height = np.zeros(n, dtype=np.int32)
+    mode = np.empty(n, dtype=object)
+    for i, payload in enumerate(payloads):
+        nb = len(payload) if payload is not None else 0
+        n_bytes[i] = nb
+        decoded = decode_image_dims(payload)
+        if decoded is not None:
+            width[i], height[i], mode[i] = decoded
+        else:
+            width[i] = nb % 640 + 1
+            height[i] = nb % 480 + 1
+            mode[i] = "RGB" if nb > 0 else "EMPTY"
+    return n_bytes, width, height, mode
+
+
 def real_decode_stub(payload: bytes) -> tuple[int, int, str]:
-    """Placeholder for a real image decode. Kept separate so the pipeline
-    shape doesn't change when a real library lands."""
+    """Placeholder for a real PIXEL decode (full raster, not just headers).
+    Kept separate so the pipeline shape doesn't change when a real library
+    lands."""
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
+        "pixel decoding requires an image library not present in this "
         "container; production deployments plug a decoder in here"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic REAL-format image synthesizers (fixtures + roundtrip queries)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png_bytes(width: int, height: int) -> bytes:
+    """Valid 8-bit RGB PNG: signature, IHDR (CRC-correct), IDAT holding a
+    zlib stream of zero-filtered black scanlines, IEND."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"\x00" * (height * (1 + 3 * width))  # filter byte + RGB per row
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg_bytes(width: int, height: int) -> bytes:
+    """Structurally real JPEG header: SOI, APP0/JFIF, SOF0 with dims, EOI.
+    (No entropy-coded data — header-decode fixtures only.)"""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    components = b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + len(components), 8, height, width, 3)
+        + components
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_gif_bytes(width: int, height: int) -> bytes:
+    """GIF89a logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+def synthesize_image_payloads(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 64, max_h: int = 48
+) -> DataFrame:
+    """doc_id → deterministic real image payload (format cycles PNG/JPEG/GIF
+    by doc_id % 3; dims doc_id % max_w + 1 × doc_id % max_h + 1). Used by the
+    roundtrip query q_image_meta: the arithmetic is SQL-expressible, the
+    bytes in between are real image files."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w, h = int(d % max_w + 1), int(d % max_h + 1)
+                k = int(d % 3)
+                if k == 0:
+                    payloads.append(make_png_bytes(w, h))
+                elif k == 1:
+                    payloads.append(make_jpeg_bytes(w, h))
+                else:
+                    payloads.append(make_gif_bytes(w, h))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
     )
 
 
@@ -79,10 +235,7 @@ def resize_images(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes = pdf[binary_col].map(
-                lambda b: len(b) if b is not None else 0
-            ).to_numpy(dtype=np.int64)
-            w, h = _fake_decode_dims(n_bytes)
+            _, w, h, _mode = _decode_dims_batch(list(pdf[binary_col]))
             scale = np.minimum(max_side / np.maximum(w, 1), max_side / np.maximum(h, 1))
             scale = np.minimum(scale, 1.0)
             yield pd.DataFrame(
@@ -190,23 +343,23 @@ def audio_features(
 def image_metadata(docs: DataFrame, id_col: str = "doc_id", binary_col: str = "payload") -> DataFrame:
     """binary column → typed metadata rows, Arrow-batched.
 
-    The batch shape is the point: one pandas DataFrame per Arrow batch,
-    vectorized numpy over the byte lengths, zero per-row Python calls.
+    Real header decode (PNG/JPEG/GIF magic + fixed-offset dims) per payload;
+    deterministic length-derived fallback for non-image payloads. One pandas
+    DataFrame per Arrow batch; only O(1) header bytes are touched per row.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes = pdf[binary_col].map(
-                lambda b: len(b) if b is not None else 0
-            ).to_numpy(dtype=np.int64)
-            width, height = _fake_decode_dims(n_bytes)
+            n_bytes, width, height, mode = _decode_dims_batch(
+                list(pdf[binary_col])
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
                     "n_bytes": n_bytes,
                     "width": width,
                     "height": height,
-                    "mode": np.where(n_bytes > 0, "RGB", "EMPTY"),
+                    "mode": mode,
                 }
             )
 

@@ -1,0 +1,223 @@
+"""Real-PDF parser tests (extraction/pdf_real.py).
+
+Tier-3 unit tests (hand-assembled PDF bytes, no Spark) plus a scalar↔Spark
+parity check via the corpus sweep in test_batch_parity.py. Mirrors the
+reference's "real input" contract: crates/cli/src/app.rs:116-122 loads real
+documents; our PDF branch must decode actual PDF syntax, not just the JSON
+geometry container.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+    make_pdf_bytes,
+    parse_real_pdf,
+)
+from deepseek_ocr_api_rs_spark.extraction.pdf_spans import (
+    assemble_pdf_text,
+    parse_pdf_payload,
+)
+
+
+def _minimal_pdf(content: bytes, compress: bool = False) -> bytes:
+    """Hand-assembled one-page PDF around the given content stream."""
+    if compress:
+        payload = zlib.compress(content, 9)
+        head = f"<< /Length {len(payload)} /Filter /FlateDecode >>"
+    else:
+        payload = content
+        head = f"<< /Length {len(payload)} >>"
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (
+            2,
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+            None,
+        ),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            None,
+        ),
+        (4, head.encode(), payload),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None),
+    ]
+    for num, h, stream in objs:
+        offs[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + h
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for num in range(1, 6):
+        out += f"{offs[num]:010d} 00000 n \n".encode()
+    out += f"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n{xref}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+CONTENT = b"""BT
+/F1 12 Tf
+72 720 Td
+(Hello real) Tj
+0 -14 Td
+(PDF world) Tj
+ET
+"""
+
+
+def test_uncompressed_tj():
+    parsed = parse_real_pdf(_minimal_pdf(CONTENT))
+    assert parsed is not None
+    width, spans = parsed
+    assert width == 612.0
+    assert [s["text"] for s in spans] == ["Hello real", "PDF world"]
+    # y flip: first line is higher on the page -> smaller top-down y0
+    assert spans[0]["y0"] < spans[1]["y0"]
+    assert spans[0]["x0"] == 72.0
+    text = assemble_pdf_text(spans, width)
+    assert text == "Hello real\nPDF world"
+
+
+def test_flate_identical_to_uncompressed():
+    a = parse_real_pdf(_minimal_pdf(CONTENT, compress=False))
+    b = parse_real_pdf(_minimal_pdf(CONTENT, compress=True))
+    assert a == b
+
+
+def test_tj_array_hex_and_escapes():
+    content = (
+        b"BT /F1 10 Tf 50 700 Tm "
+        b"[(Wo) -20 (rld)] TJ "
+        b"0 -20 Td "
+        b"(par\\(en\\) and \\\\slash) Tj "
+        b"0 -20 Td "
+        b"<48657821> Tj "
+        b"0 -20 Td "
+        b"(oct\\101l) Tj "
+        b"ET"
+    )
+    _, spans = parse_real_pdf(_minimal_pdf(content))
+    assert [s["text"] for s in spans] == [
+        "World",
+        "par(en) and \\slash",
+        "Hex!",
+        "octAl",
+    ]
+
+
+def test_quote_operator_and_leading():
+    content = (
+        b"BT /F1 10 Tf 14 TL 72 700 Td "
+        b"(line one) Tj "
+        b"(line two) ' "
+        b"T* (line three) Tj "
+        b"ET"
+    )
+    _, spans = parse_real_pdf(_minimal_pdf(content))
+    assert [s["text"] for s in spans] == ["line one", "line two", "line three"]
+    ys = [s["y0"] for s in spans]
+    assert ys == sorted(ys) and len(set(ys)) == 3  # strictly descending page pos
+
+
+def test_same_line_tj_sequence_joins_with_space():
+    # consecutive Tj on one line -> same quantized line, increasing x
+    content = b"BT /F1 10 Tf 72 700 Tm (alpha) Tj ( beta) Tj ET"
+    _, spans = parse_real_pdf(_minimal_pdf(content))
+    assert len(spans) == 2
+    assert spans[1]["x0"] > spans[0]["x0"]
+    assert spans[0]["y0"] == spans[1]["y0"]
+    assert assemble_pdf_text(spans, 612.0) == "alpha beta"
+
+
+def test_roundtrip_make_then_parse():
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 190.0, "y1": 112.0, "text": "first span"},
+        {"page": 0, "x0": 40.0, "y0": 130.0, "x1": 160.0, "y1": 142.0, "text": "second"},
+        {"page": 1, "x0": 320.0, "y0": 60.0, "x1": 560.0, "y1": 72.0, "text": "page two right"},
+    ]
+    for compress in (False, True):
+        for tj in (0, 2):
+            data = make_pdf_bytes(spans, compress=compress, use_tj_every=tj)
+            parsed = parse_real_pdf(data)
+            assert parsed is not None, (compress, tj)
+            width, got = parsed
+            assert width == 612.0
+            assert [s["text"] for s in got] == [s["text"] for s in spans]
+            assert [s["page"] for s in got] == [0, 0, 1]
+            for g, s in zip(got, spans):
+                assert g["x0"] == pytest.approx(s["x0"], abs=0.02)
+                assert g["y0"] == pytest.approx(s["y0"], abs=0.02)
+                assert g["x1"] == pytest.approx(s["x1"], abs=0.51)
+
+
+def test_two_column_real_pdf_reading_order():
+    # left column written AFTER right column in the stream; layout must
+    # still produce left-then-right reading order (column detection)
+    spans = [
+        {"page": 0, "x0": 330.0, "y0": 40.0, "x1": 560.0, "y1": 52.0, "text": "right top"},
+        {"page": 0, "x0": 330.0, "y0": 60.0, "x1": 560.0, "y1": 72.0, "text": "right bottom"},
+        {"page": 0, "x0": 20.0, "y0": 40.0, "x1": 250.0, "y1": 52.0, "text": "left top"},
+        {"page": 0, "x0": 20.0, "y0": 60.0, "x1": 250.0, "y1": 72.0, "text": "left bottom"},
+    ]
+    data = make_pdf_bytes(spans, compress=True)
+    width, got = parse_real_pdf(data)
+    text = assemble_pdf_text(got, width)
+    assert text == "left top\nleft bottom\n\nright top\nright bottom"
+
+
+def test_dispatch_via_parse_pdf_payload():
+    data = make_pdf_bytes(
+        [{"page": 0, "x0": 10.0, "y0": 20.0, "x1": 110.0, "y1": 32.0, "text": "dispatched"}]
+    )
+    parsed = parse_pdf_payload(data)
+    assert parsed is not None
+    _, spans = parsed
+    assert spans[0]["text"] == "dispatched"
+
+
+def test_malformed_real_pdf_returns_none():
+    assert parse_real_pdf(b"%PDF-1.7\ngarbage no objects") is None
+    assert parse_pdf_payload(b"%PDF-1.7\nnot json not pdf") is None
+    # objects but no pages
+    assert parse_real_pdf(b"%PDF-1.7\n1 0 obj\n<< /Foo /Bar >>\nendobj\n") is None
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    # /Length as an indirect reference must not truncate the stream
+    content = b"BT /F1 10 Tf 72 700 Tm (indirect length) Tj ET"
+    pdf = _minimal_pdf(content).replace(
+        f"<< /Length {len(content)} >>".encode(), b"<< /Length 9 0 R >>"
+    )
+    parsed = parse_real_pdf(pdf)
+    assert parsed is not None
+    _, spans = parsed
+    assert spans[0]["text"] == "indirect length"
+
+
+def test_multiple_content_streams_concatenate():
+    data = make_pdf_bytes(
+        [{"page": 0, "x0": 10.0, "y0": 20.0, "x1": 110.0, "y1": 32.0, "text": "one"}]
+    )
+    # append a second content stream object and reference both
+    extra = b"BT /F1 10 Tf 10 730 Tm (two) Tj ET"
+    data = data.replace(
+        b"/Contents 5 0 R",
+        b"/Contents [5 0 R 9 0 R]",
+    ).replace(
+        b"\nxref",
+        b"9 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n\nxref"
+        % (len(extra), extra),
+        1,
+    )
+    parsed = parse_real_pdf(data)
+    assert parsed is not None
+    _, spans = parsed
+    assert sorted(s["text"] for s in spans) == ["one", "two"]
