@@ -893,6 +893,24 @@ from events group by 1, 2
 """
 
 
+def q_stream_hourly_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming window sink: windows are emitted exactly once
+    to a parquet file sink when the watermark closes them (state holds only
+    open windows — the production shape, vs complete-mode's full-aggregate
+    memory state). Final file contents equal the batch rollup, checked by
+    the same oracle as q_stream_hourly_counts."""
+    import tempfile
+
+    from deepseek_ocr_api_rs_spark.streaming.jobs import (
+        hourly_event_counts_stream_append,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_append_")
+    return hourly_event_counts_stream_append(
+        spark, f"{sf_dir}/events.parquet", work
+    )
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal roundtrip: synthesize REAL image payloads (PNG/JPEG/GIF,
     format by doc_id % 3, dims by doc_id arithmetic) in one Arrow stage, then
@@ -949,30 +967,37 @@ from documents
 """
 
 
+_POLISH_PREFIX = (
+    "<|ref|>title<|/ref|><|det|>[[12, 34, 56, 78]]<|/det|>"
+    "<|ref|>image<|/ref|><|det|>[[0, 0, 100, 100]]<|/det|>"
+)
+_POLISH_SUFFIX = (
+    "<|ref|>image<|/ref|><|det|>[[5, 5, 9, 9]]<|/det|>"
+    " \\coloneqq mid \\eqqcolon end<|eos|>"
+)
+
+
 def q_markdown_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3/X4 post-processing regex chain (scripts/capture_baseline.py:756-777:
-    ref-tag strip, escape normalization, stop-string trim) applied to a
-    synthesized markdown-ish column."""
+    """FULL X3/X4 post-processing chain (scripts/capture_baseline.py:756-777
+    + the public DeepSeek-OCR re_match): stop-string trim, image grounding
+    refs → indexed ![](images/N.jpg) tags, non-image ref/det strip,
+    \\coloneqq / \\eqqcolon unescape — over a synthesized markdown column
+    planting two image refs and one labelled ref around the text."""
+    from deepseek_ocr_api_rs_spark.functions.text import polish_markdown
+
     docs = _t(spark, sf_dir, "documents")
-    md = F.concat(
-        F.lit("<|ref|>x<|/ref|>"), F.col("text"), F.lit(" \\coloneqq end<|eos|>")
+    md = F.concat(F.lit(_POLISH_PREFIX), F.col("text"), F.lit(_POLISH_SUFFIX))
+    return docs.select("doc_id", polish_markdown(md).alias("polished"))
+
+
+def _polish_oracle_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.text import polish_markdown_duckdb
+
+    md = f"'{_POLISH_PREFIX}' || text || '{_POLISH_SUFFIX}'"
+    return (
+        f"select doc_id, {polish_markdown_duckdb(md)} as polished "
+        f"from documents"
     )
-    out = F.regexp_replace(md, "<\\|ref\\|>.*?<\\|/ref\\|>", "")
-    out = F.regexp_replace(out, "\\\\coloneqq", ":=")
-    out = F.regexp_replace(out, "<\\|eos\\|>$", "")
-    out = F.trim(out)
-    return docs.select("doc_id", out.alias("polished"))
-
-
-_Q_POLISH_SQL = r"""
-select doc_id,
-  trim(regexp_replace(regexp_replace(regexp_replace(
-    '<|ref|>x<|/ref|>' || text || ' \coloneqq end<|eos|>',
-    '<\|ref\|>.*?<\|/ref\|>', '', 'g'),
-    '\\coloneqq', ':=', 'g'),
-    '<\|eos\|>$', '', 'g')) as polished
-from documents
-"""
 
 
 def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
         "q_stream_hourly_counts": q_stream_hourly_counts,
+        "q_stream_hourly_counts_append": q_stream_hourly_counts_append,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1197,8 +1223,9 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": _Q_COSTOPK_SQL,
         "q_cosine_threshold_pairs": _Q_COSPAIRS_SQL,
         "q_stream_hourly_counts": _Q_STREAM_SQL,
+        "q_stream_hourly_counts_append": _Q_STREAM_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
-        "q_markdown_polish": _Q_POLISH_SQL,
+        "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,
     }

@@ -150,11 +150,14 @@ def main() -> None:
     if not extraction_only:
         import __spark_entry__ as entrymod
 
+        from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+
         qmap = entrymod.queries()
         for name in _HEADLINE_QUERIES:
             t0 = time.time()
             qmap[name](spark, sf_dir).collect()
             queries[name] = round(time.time() - t0, 3)
+            release_persisted()  # free operator-persisted intermediates
 
     total_sec = round(sum(queries.values()), 3)
     result = {

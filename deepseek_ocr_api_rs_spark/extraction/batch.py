@@ -76,6 +76,16 @@ def _pool_features(blocks: list[RawBlock], doc_of: np.ndarray) -> np.ndarray:
     feats[:, 6] = depth
     feats[:, 7] = boiler
     feats[:, 8] = np.fromiter((FT.tag_weight(b.tag_path) for b in blocks), np.float64, n)
+    # second feature view (E2): per-DOC global stats broadcast to each block
+    # row — bincount sums of integer-valued float64s are exact regardless of
+    # order, so this matches reference.doc_features bitwise
+    if n:
+        uniq, inv = np.unique(doc_of, return_inverse=True)
+        tot_text = np.bincount(inv, weights=n_text)
+        tot_link = np.bincount(inv, weights=n_link)
+        blocks_per_doc = np.bincount(inv).astype(np.float64)
+        feats[:, 9] = tot_link[inv] / np.maximum(tot_text[inv], 1.0)
+        feats[:, 10] = np.log1p(blocks_per_doc)[inv]
     return feats
 
 

@@ -30,9 +30,16 @@ FEATURE_NAMES: tuple[str, ...] = (
     "depth",            # 6: stack depth at block start
     "boiler_ctx",       # 7: 1.0 if nav/header/footer/aside/form ancestor
     "tag_weight",       # 8: TAG_WEIGHTS lookup on the block's leaf tag
+    # --- second feature view (E2): GLOBAL document stats, broadcast to
+    # every block of the document — the CLIP-global + SAM-local two-tower
+    # concat (build_clip_sam_tokens, model/mod.rs:510-556). Both are exact
+    # integer-derived float64s, so scalar and pooled paths agree bitwise.
+    "doc_link_density",  # 9: Σ n_link_chars / max(Σ n_text_chars, 1) per doc
+    "doc_log_blocks",    # 10: log1p(n_blocks in document)
 )
 
 N_FEATURES = len(FEATURE_NAMES)
+N_BLOCK_FEATURES = 9    # features 0-8 are per-block (the "SAM" local view)
 
 # jusText/Readability-style linear weights: long, stopword-rich, low-link
 # text wins; link-heavy shallow boilerplate loses.
@@ -46,6 +53,8 @@ WEIGHTS: tuple[float, ...] = (
     -0.15,  # depth              — deeply nested fragments are chrome
     -3.0,   # boiler_ctx         — hard structural prior
     1.0,    # tag_weight         — per-tag prior (scaled by table below)
+    -0.8,   # doc_link_density   — link-farm PAGES depress every block
+    0.05,   # doc_log_blocks     — richly-structured docs get a mild boost
 )
 
 ACCEPT_THRESHOLD = 2.0

@@ -12,7 +12,8 @@ END_SENTINEL = "<｜end▁of▁sentence｜>"  # <｜end▁of▁sentence｜>
 
 
 def normalize_text(text: str) -> str:
+    # Reference semantics: replace ALL sentinel occurrences (not just a
+    # suffix) — inference.rs:142-147 uses str::replace. Bare-\r → \n is a
+    # deliberate extra hardening over the reference (which only folds CRLF).
     text = text.replace("\r\n", "\n").replace("\r", "\n")
-    if text.endswith(END_SENTINEL):
-        text = text[: -len(END_SENTINEL)]
-    return text.strip()
+    return text.replace(END_SENTINEL, "").strip()

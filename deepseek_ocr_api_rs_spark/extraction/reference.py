@@ -57,8 +57,22 @@ class ExtractionResult:
     truncated: bool = False     # P5 bounded-work cap applied
 
 
+def doc_features(blocks: list[RawBlock]) -> list[float]:
+    """GLOBAL document feature view (E2 second tower) — scalar path.
+
+    Integer sums over the block list in float64 (exact — counts ≪ 2^53, so
+    summation order is irrelevant), broadcast onto every block row."""
+    total_text = sum(b.n_text_chars for b in blocks)
+    total_link = sum(b.n_link_chars for b in blocks)
+    return [
+        float(total_link) / float(max(total_text, 1)),
+        float(np.log1p(np.float64(len(blocks)))),
+    ]
+
+
 def block_features(b: RawBlock) -> list[float]:
-    """Float64 feature vector in FT.FEATURE_NAMES order — scalar path.
+    """Float64 per-block ("local view") feature vector, FEATURE_NAMES[0:9]
+    order — scalar path.
 
     Each entry is a ratio of integer counts; division order pinned so the
     vectorized path (same numerators/denominators, elementwise numpy ops)
@@ -123,10 +137,13 @@ def smooth_accept(raw: list[bool], blocks: list[RawBlock]) -> list[bool]:
 
 def extract_html(html: str) -> ExtractionResult:
     blocks = segment_html(html)
+    dfeats = doc_features(blocks)
     traces: list[BlockTrace] = []
     raw_accept: list[bool] = []
     for b in blocks:
-        feats = block_features(b)
+        # two-view concat (E3, model/mod.rs:510-556): local block features
+        # then the document-global group, in FEATURE_NAMES order
+        feats = block_features(b) + dfeats
         score = score_block(feats)
         raw_accept.append(score > FT.ACCEPT_THRESHOLD)
         traces.append(

@@ -131,3 +131,75 @@ def fingerprint(text_col: str) -> Column:
 
 def fingerprint_duckdb(text_col: str) -> str:
     return f"md5(regexp_replace(trim(lower({text_col})), '{_WS}', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# X3 grounding-ref markdown polish (the reference's Python post-processing:
+# scripts/capture_baseline.py:756-777 + the public DeepSeek-OCR re_match —
+# grounding blocks are <|ref|>label<|/ref|><|det|>[[boxes]]<|/det|>; blocks
+# whose label is exactly "image" become indexed ![](images/N.jpg) tags, all
+# other blocks are stripped, then \coloneqq := / \eqqcolon =: unescape).
+
+# (?s): boxes may contain newlines; non-greedy within each tag pair
+IMG_REF_PATTERN = r"(?s)<\|ref\|>image<\|/ref\|><\|det\|>.*?<\|/det\|>"
+OTHER_REF_PATTERN = r"(?s)<\|ref\|>.*?<\|/ref\|>(<\|det\|>.*?<\|/det\|>)?"
+
+
+def polish_markdown(md: Column, stop_token: str = "<|eos|>") -> Column:
+    """Full X3/X4 chain as pure built-ins (codegen, no UDF):
+
+    1. stop-string suffix trim (X4);
+    2. image refs → ``![](images/N.jpg)\\n`` with N = occurrence index —
+       split on the image-ref pattern, reassemble with a ``transform``
+       index (regexp_replace cannot count; the split carries the order);
+    3. strip remaining (non-image) ref/det blocks;
+    4. ``\\coloneqq`` → ``:=``, ``\\eqqcolon`` → ``=:``;
+    5. trim.
+    """
+    out = F.regexp_replace(md, _re_escape(stop_token) + "$", "")
+    segs = F.split(out, IMG_REF_PATTERN)
+    # transform's lambda index i is 0-based; segment i is followed by
+    # image-ref i for every i except the last segment
+    idx = F.transform(
+        segs,
+        lambda s, i: F.concat(
+            s,
+            F.when(
+                i < F.size(segs) - 1,
+                F.concat(F.lit("![](images/"), i.cast("string"), F.lit(".jpg)\n")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = F.array_join(idx, "")
+    out = F.regexp_replace(out, OTHER_REF_PATTERN, "")
+    out = F.regexp_replace(out, r"\\coloneqq", ":=")
+    out = F.regexp_replace(out, r"\\eqqcolon", "=:")
+    return F.trim(out)
+
+
+def _re_escape(s: str) -> str:
+    import re as _re
+
+    return _re.escape(s)
+
+
+def polish_markdown_duckdb(md_sql: str, stop_token: str = "<|eos|>") -> str:
+    """DuckDB-equivalent SQL fragment (indexed list_transform reassembly;
+    lambda index is 1-based there)."""
+    stop = stop_token.replace("|", "\\|")
+    img = IMG_REF_PATTERN.replace("'", "''")
+    other = OTHER_REF_PATTERN.replace("'", "''")
+    trimmed = f"regexp_replace({md_sql}, '{stop}$', '')"
+    segs = f"regexp_split_to_array({trimmed}, '{img}')"
+    joined = (
+        f"array_to_string(list_transform({segs}, (s, i) -> s || "
+        f"case when i < len({segs}) "
+        f"then '![](images/' || cast(i - 1 as varchar) || '.jpg)' || chr(10) "
+        f"else '' end), '')"
+    )
+    return (
+        f"trim(regexp_replace(regexp_replace(regexp_replace("
+        f"{joined}, '{other}', '', 'g'), "
+        f"'\\\\coloneqq', ':=', 'g'), "
+        f"'\\\\eqqcolon', '=:', 'g'))"
+    )

@@ -17,11 +17,92 @@ Scale notes (the part that matters at 10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deepseek_ocr_api_rs_spark.functions import hashing as H
 from deepseek_ocr_api_rs_spark.functions.text import fingerprint
+
+_LOG = logging.getLogger(__name__)
+
+# Max docs sharing one bucket key (band / bit-chunk / shingle) before the key
+# is dropped from candidate generation. A key shared by k docs emits k(k-1)/2
+# pairs, so one degenerate key (an all-sites boilerplate shingle, an
+# all-zeros band) goes quadratic; AQE skew-split redistributes the work but
+# cannot shrink the pair count. Dropping hyper-frequent keys is standard
+# MinHash-LSH practice (they carry ~no discriminating information) and is
+# logged, never silent.
+DEFAULT_KEY_CAP = 256
+
+
+def _cap_hot_keys(
+    df: DataFrame, key_col: str, cap: int | None, label: str
+) -> DataFrame:
+    """Drop rows whose key's document frequency exceeds ``cap``.
+
+    One window count over the key — the shuffle lands on the same key the
+    subsequent self-join uses, so the exchange is reused, not added. The
+    dropped-key count is computed (small agg over the already-persisted
+    upstream) and logged: the repo's no-silent-caps rule.
+    """
+    if cap is None:
+        return df
+    hot = (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap)
+    )
+    n_hot = hot.count()
+    if n_hot:
+        _LOG.warning(
+            "%s: dropping %d hot %s key(s) with document frequency > %d "
+            "from candidate generation", label, n_hot, key_col, cap
+        )
+    w = Window.partitionBy(key_col)
+    return (
+        df.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= cap)
+        .drop("_df")
+    )
+
+
+# Every frame an operator persists is also registered here, because callers
+# usually hold a WRAPPER (e.g. operator_result.orderBy(...)) that no longer
+# carries the attribute. Long-lived sessions (driver gate, bench loop) call
+# release_persisted() after each terminal action.
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every operator-persisted intermediate registered since the
+    last call. Safe to call repeatedly; no-op when nothing is live."""
+    while _LIVE_PERSISTS:
+        _LIVE_PERSISTS.pop().unpersist()
+
+
+def unpersist_deps(df: DataFrame) -> None:
+    """Release intermediate frames an operator persisted while building
+    ``df`` (attached as ``df._persisted_deps``). For wrappers that lost the
+    attribute, use ``release_persisted()``."""
+    for dep in getattr(df, "_persisted_deps", []):
+        dep.unpersist()
+        try:
+            _LIVE_PERSISTS.remove(dep)
+        except ValueError:
+            pass
+
+
+def _with_deps(df: DataFrame, *deps: DataFrame) -> DataFrame:
+    df._persisted_deps = list(deps)
+    return df
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,15 +130,23 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 1
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    band_cap: int | None = DEFAULT_KEY_CAP,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band.
 
     Plan shape: project signatures → posexplode band keys (BANDS rows/doc,
     a constant fan-out, NOT per-token) → shuffle on band_key → per-bucket
-    self-join → distinct pairs. The join key cardinality is what bounds
-    skew; a degenerate bucket (all-identical docs) is handled by AQE skew
-    splitting (conf.py).
+    self-join → distinct pairs. Degenerate bands (one key shared by ≫cap
+    docs — quadratic pair blow-up no AQE split can shrink) are dropped and
+    logged via ``band_cap``; pass None to disable.
+
+    Caller note: the band table is persisted (both join sides read it);
+    call ``unpersist_deps(result)`` after the terminal action in long-lived
+    sessions.
     """
     sigs = minhash_signatures(docs, id_col, text_col, shingle_n)
     bands = sigs.select(
@@ -65,12 +154,14 @@ def minhash_lsh_candidates(
         F.explode(
             F.array(*[F.expr(H.band_key_spark("sig", b)) for b in range(H.MINHASH_BANDS)])
         ).alias("band_key"),
-    ).persist()  # both join sides read this — without it the signature
+    )
+    bands = _persist(bands)  # both join sides read this — without it the signature
     # computation (the expensive part) runs twice; at scale this is a
     # materialized signature table, not a cache
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
+    capped = _cap_hot_keys(bands, "band_key", band_cap, "minhash_lsh_candidates")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    out = (
         a.join(b, "band_key")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -79,6 +170,7 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    return _with_deps(out, bands)
 
 
 def simhash_fingerprints(
@@ -94,28 +186,49 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_cap: int | None = DEFAULT_KEY_CAP,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance. FULL recall, never
+    all-pairs.
 
-    Scale path: block on bit-chunks (pigeonhole — with 2 chunks, any pair
-    within max_hamming<=bits/2 shares at least one exact chunk), join per
-    block, verify exact Hamming via bit_count(xor). Never all-pairs.
+    Scale path: split the fingerprint into ``max_hamming + 1`` bit-chunks —
+    by pigeonhole, any pair within max_hamming differing bits leaves at
+    least one chunk untouched, so blocking on exact-chunk matches misses
+    nothing (n_chunks must EXCEED max_hamming; two halves only guarantee
+    Hamming ≤ 1). Join per chunk bucket, verify exact Hamming via
+    bit_count(xor). Hot chunk buckets (≫cap docs) are dropped and logged
+    via ``chunk_cap`` (recall caveat applies only to members of dropped
+    buckets; pass None to disable).
     """
-    fps = simhash_fingerprints(docs, id_col, text_col)
-    half = H.SIMHASH_BITS // 2
-    mask_lo = (1 << half) - 1
+    n_chunks = max_hamming + 1
+    if n_chunks > H.SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
+            f"fingerprint has only {H.SIMHASH_BITS} bits"
+        )
+    fps = _persist(simhash_fingerprints(docs, id_col, text_col))
+    base, rem = divmod(H.SIMHASH_BITS, n_chunks)
+    chunk_exprs = []
+    off = 0
+    for i in range(n_chunks):
+        size = base + (1 if i < rem else 0)
+        mask = (1 << size) - 1
+        chunk_exprs.append(
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                F.expr(f"shiftrightunsigned(simhash, {off}) & {mask}").cast("string"),
+            )
+        )
+        off += size
     chunks = fps.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                F.concat_ws(":", F.lit(0), (F.col("simhash") % (mask_lo + 1)).cast("string")),
-                F.concat_ws(":", F.lit(1), F.expr(f"shiftright(simhash, {half})").cast("string")),
-            )
-        ).alias("chunk_key"),
+        F.explode(F.array(*chunk_exprs)).alias("chunk_key"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    capped = _cap_hot_keys(chunks, "chunk_key", chunk_cap, "simhash_near_pairs")
+    a, b = capped.alias("a"), capped.alias("b")
+    out = (
         a.join(b, "chunk_key")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -126,6 +239,7 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    return _with_deps(out, fps)
 
 
 def minhash_lsh_candidates_fast(
@@ -135,6 +249,7 @@ def minhash_lsh_candidates_fast(
     shingle_n: int = 3,
     n_hashes: int = 8,
     rows_per_band: int = 2,
+    band_cap: int | None = DEFAULT_KEY_CAP,
 ) -> DataFrame:
     """Production MinHash-LSH: same algorithm as minhash_lsh_candidates but
     hashed with JVM-native xxhash64 (whole-stage-codegen) instead of the
@@ -183,9 +298,11 @@ def minhash_lsh_candidates_fast(
     bands = sigs.select(
         F.col(id_col),
         F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("band_key"),
-    ).persist()  # see minhash_lsh_candidates — avoid double signature compute
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
+    )
+    bands = _persist(bands)  # see minhash_lsh_candidates — avoid double signature compute
+    capped = _cap_hot_keys(bands, "band_key", band_cap, "minhash_lsh_candidates_fast")
+    a, b = capped.alias("a"), capped.alias("b")
+    out = (
         a.join(b, "band_key")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -194,6 +311,7 @@ def minhash_lsh_candidates_fast(
         )
         .distinct()
     )
+    return _with_deps(out, bands)
 
 
 def simhash_fast(
@@ -235,12 +353,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = DEFAULT_KEY_CAP,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over shingle-sharing candidates.
 
     inter/union are integer counts; jaccard = inter/union is one float64
     division — engine-exact. Shuffle volume = shingle postings, bounded by
-    distinct-shingle fan-out (explode AFTER array_distinct).
+    distinct-shingle fan-out (explode AFTER array_distinct). Hyper-frequent
+    shingles (document frequency > ``df_cap`` — boilerplate trigrams shared
+    by a large fraction of a web corpus, whose postings self-join is
+    O(df²)) are dropped from CANDIDATE GENERATION only and logged; the
+    Jaccard numerator/denominator still count every shingle, so reported
+    values stay exact — only pairs connected SOLELY by dropped shingles are
+    missed. Pass df_cap=None for the oracle-exact all-shingles behavior.
 
     Shingle identity is a 64-bit rotate-xor combine of per-token xxhash64
     (same trick as minhash_lsh_candidates_fast): postings shuffle 8-byte
@@ -265,29 +390,34 @@ def ngram_jaccard_pairs(
         docs.select(F.col(id_col), F.expr(hashes).alias("hs"))
         .filter(F.size("hs") >= n)
         .select(F.col(id_col), F.expr(sh_hashes).alias("sh"))
-        .persist()  # feeds sizes + both join sides
     )
-    sizes = shingled.select(id_col, F.size("sh").alias("n_sh"))
-    posts = shingled.select(id_col, F.explode("sh").alias("shingle")).persist()
-    a, b = posts.alias("a"), posts.alias("b")
-    inter = (
+    shingled = _persist(shingled)  # feeds candidate postings + the exact-verify joins
+    posts = _persist(shingled.select(id_col, F.explode("sh").alias("shingle")))
+    capped = _cap_hot_keys(posts, "shingle", df_cap, "ngram_jaccard_pairs")
+    a, b = capped.alias("a"), capped.alias("b")
+    candidates = (
         a.join(b, "shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count("*").alias("n_inter"))
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
+    # exact verify on candidates only: intersection over the FULL shingle
+    # sets (dropped hot shingles still count here, so jaccard is exact)
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _with_deps(out, shingled, posts)

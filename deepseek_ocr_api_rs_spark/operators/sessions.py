@@ -65,17 +65,28 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+    strict: bool = True,
 ) -> DataFrame:
     """Dup-pair graph → (id, component) labels, component = min id reachable.
 
-    Iterative label propagation (large-star/small-star simplified): each
-    round joins labels across edges and keeps the min; stops when no label
-    changes. Converges in O(log n) rounds on typical dup clusters (which
-    are small and dense). Each round is one shuffle on id; intermediate
-    label frames are persisted and replaced (the loop-state discipline of
-    iterative Spark algorithms).
+    Each round does (1) min-label propagation across edges, then (2)
+    POINTER JUMPING — every node re-labels to its label's label
+    (Shiloach–Vishkin-style path halving, the same doubling trick as
+    large-star/small-star): propagation distance doubles per round, so a
+    diameter-d component converges in O(log d) rounds, not O(d). A chain of
+    10^6 near-dup docs needs ~20 rounds, not 10^6.
+
+    Loop-state discipline: label frames are persisted and replaced each
+    round, and ``localCheckpoint()`` every ``checkpoint_every`` rounds cuts
+    the plan lineage (otherwise the DAG grows linearly and re-evaluates from
+    scratch on executor loss). On exhaustion without convergence the result
+    would be silently WRONG, so ``strict=True`` raises; ``strict=False``
+    logs a warning and returns the partial labels.
     """
+    import logging
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -88,15 +99,16 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
-    for _ in range(max_iter):
-        # candidate labels flowing across edges
+    converged = False
+    for it in range(max_iter):
+        # (1) candidate labels flowing across edges
         prop = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), F.col("component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = (
+        propagated = (
             labels.select("id", F.col("component").alias("old"))
             .join(prop.select("id", F.col("component").alias("new")), "id", "left")
             .select(
@@ -105,8 +117,20 @@ def connected_components(
                     "component"
                 ),
             )
-            .persist()
         )
+        # (2) pointer jumping: component ← label(component). Labels only
+        # decrease, so the grandparent label is always ≤ the parent label.
+        parents = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("gp")
+        )
+        new_labels = (
+            propagated.join(parents, "component", "left")
+            .select("id", F.coalesce("gp", "component").alias("component"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -117,6 +141,15 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter="
+            f"{max_iter}; labels would be incorrect for long chains"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
     return labels.select("id", "component")

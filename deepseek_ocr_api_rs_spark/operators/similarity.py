@@ -156,18 +156,23 @@ def embedding_near_dup_lsh(
             out.append([f"{t}:{int(b)}" for t, b in enumerate(row)])
         return pd.Series(out)
 
-    bucketed = vecs.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(srp_keys(F.col(vec_col))).alias("bucket_key"),
-    ).persist()  # both join sides — one bucket computation, not two
+    from deepseek_ocr_api_rs_spark.operators.dedup import _persist
+
+    bucketed = _persist(
+        vecs.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(srp_keys(F.col(vec_col))).alias("bucket_key"),
+        )
+    )  # both join sides — one bucket computation, not two; callers release
+    # it via dedup.unpersist_deps(result) / release_persisted() post-action
     a = bucketed.select(
         "bucket_key", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
     b = bucketed.select(
         "bucket_key", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    return (
+    out = (
         a.join(b, "bucket_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -180,6 +185,8 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .distinct()
     )
+    out._persisted_deps = [bucketed]
+    return out
 
 
 def topk_cosine_pandas(
@@ -282,13 +289,24 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Exact near-dup pairs by cosine ≥ threshold.
+    """Exact near-dup pairs by cosine ≥ threshold — ORACLE BASELINE ONLY.
 
-    Demo-scale implementation is the exact cross join (the oracle-checkable
-    baseline); the production path at 10^12 is SRP-bucket + within-bucket
-    join (same shape as minhash_lsh_candidates) — see ann_lsh_topk.
+    This is an all-pairs cross join (O(n²)): it exists as the exactness
+    baseline the LSH path (``embedding_near_dup_lsh``) is measured against,
+    and it REFUSES inputs larger than ``max_rows`` so it cannot be run on a
+    real table by accident (pass max_rows=None to override knowingly).
     """
+    if max_rows is not None:
+        n = vecs.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs is the all-pairs oracle baseline "
+                f"(O(n²)); input has {n} rows > max_rows={max_rows}. Use "
+                f"embedding_near_dup_lsh for real tables, or pass "
+                f"max_rows=None to override."
+            )
     a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -26,11 +26,24 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from deepseek_ocr_api_rs_spark import __version__
 from deepseek_ocr_api_rs_spark.extraction.batch import extract_batch
+from deepseek_ocr_api_rs_spark.extraction.recipes import (
+    DEFAULT_RECIPE,
+    get_recipe,
+    render_frame,
+)
 
 STREAM_CHUNK_CHARS = 64
 
 
-def _extract_payloads(docs: list[dict]) -> list[dict]:
+def _extract_payloads(docs: list[dict], recipe_name: str = DEFAULT_RECIPE) -> list[dict]:
+    """Run the extraction kernel, then apply the request's RECIPE framing.
+
+    Per-request recipe selection is the reference's model hot-swap analogue
+    (crates/server/src/state.rs:118-152: requested model id validated, then
+    swapped in before decode); unknown names raise KeyError → mapped to 400
+    by the handler, like prepare_generation's model-id validation
+    (state.rs:87-102)."""
+    recipe = get_recipe(recipe_name)
     payloads = []
     for d in docs:
         raw = d.get("html_base64")
@@ -44,11 +57,17 @@ def _extract_payloads(docs: list[dict]) -> list[dict]:
     out = extract_batch(payloads)
     rows = []
     for i, d in enumerate(docs):
+        url = d.get("url", f"doc_{i}")
         rows.append(
             {
-                "url": d.get("url", f"doc_{i}"),
+                "url": url,
                 "branch": out.branch[i],
-                "extracted_text": out.extracted_text[i],
+                "extracted_text": render_frame(
+                    recipe, out.extracted_text[i], url
+                ),
+                # usage counts the KERNEL output (pre-framing) — the
+                # reference's usage counters likewise count generated
+                # tokens, not template text (routes.rs:205-227)
                 "n_chars": int(out.n_chars[i]),
                 "n_blocks_total": int(out.n_blocks_total[i]),
                 "n_blocks_accepted": int(out.n_blocks_accepted[i]),
@@ -78,23 +97,29 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
-    def _read_docs(self) -> list[dict] | None:
+    def _read_docs(self) -> tuple[list[dict], str] | None:
         try:
             n = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(n).decode("utf-8"))
             docs = req["documents"]
             assert isinstance(docs, list)
-            return docs
+            return docs, str(req.get("recipe", DEFAULT_RECIPE))
         except Exception as e:  # 400 like generation.rs error mapping
             self._json(400, {"error": f"bad request: {e}"})
             return None
 
     def do_POST(self):
         if self.path == "/v1/extract":
-            docs = self._read_docs()
-            if docs is None:
+            parsed = self._read_docs()
+            if parsed is None:
                 return
-            rows = _extract_payloads(docs)
+            docs, recipe_name = parsed
+            try:
+                rows = _extract_payloads(docs, recipe_name)
+            except KeyError as e:
+                # unknown recipe → 400, the state.rs:87-102 model-id path
+                self._json(400, {"error": str(e)})
+                return
             self._json(
                 200,
                 {
@@ -109,10 +134,15 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             )
         elif self.path == "/v1/extract/stream":
-            docs = self._read_docs()
-            if docs is None:
+            parsed = self._read_docs()
+            if parsed is None:
                 return
-            rows = _extract_payloads(docs)
+            docs, recipe_name = parsed
+            try:
+                rows = _extract_payloads(docs, recipe_name)
+            except KeyError as e:
+                self._json(400, {"error": str(e)})
+                return
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")

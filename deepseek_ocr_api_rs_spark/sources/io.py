@@ -17,11 +17,8 @@ from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    try:
-        spark.conf.get("spark.sql.catalog.spark_catalog")
-        return True
-    except Exception:
-        return False
+    # conf.get returns None (not an error) for unset catalog keys in Spark 4
+    return spark.conf.get("spark.sql.catalog.spark_catalog", None) is not None
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:

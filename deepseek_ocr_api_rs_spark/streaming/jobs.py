@@ -77,6 +77,126 @@ def hourly_event_counts_stream(
     return spark.table(sink)
 
 
+SENTINEL_EVENT_TYPE = "__watermark_sentinel__"
+
+
+def hourly_event_counts_stream_append(
+    spark: SparkSession,
+    events_path: str,
+    work_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """APPEND-mode variant of ``hourly_event_counts_stream``: each window is
+    emitted exactly once to a parquet FILE sink when the watermark closes it
+    — the production shape. State holds only open windows (complete-mode +
+    memory sink holds the entire aggregate forever; fine as the
+    batch-equivalence demo, wrong at scale).
+
+    Closed-window mechanics over a finite input: real event files are staged
+    into a landing dir followed by one SENTINEL event whose timestamp sits
+    past ``max(ts) + watermark``, so the final micro-batch's watermark
+    closes every real window. The sentinel's own (filtered-out) window is
+    the only state left unflushed — exactly the steady-state behavior of a
+    live stream, where the open tail window is always pending.
+    """
+    import glob
+    import shutil
+    import time
+
+    landing = os.path.join(work_dir, "landing")
+    out_dir = os.path.join(work_dir, "out")
+    ckpt = os.path.join(work_dir, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    events = spark.read.parquet(events_path)
+    schema = events.schema
+    if not glob.glob(os.path.join(landing, "*.parquet")):
+        src_files = sorted(
+            glob.glob(os.path.join(events_path, "*.parquet"))
+            if os.path.isdir(events_path)
+            else [events_path]
+        )
+        now = time.time()
+        for i, f in enumerate(src_files):
+            dst = os.path.join(landing, f"d{i}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        max_ts = events.agg(F.max("ts").alias("m")).first().m
+        sentinel = spark.createDataFrame(
+            [(int(-1), max_ts, int(-1), SENTINEL_EVENT_TYPE, 0.0, "")],
+            schema,
+        ).withColumn(
+            "ts",
+            F.col("ts") + F.expr(f"INTERVAL {watermark}") + F.expr("INTERVAL 3 HOURS"),
+        )
+        spath = os.path.join(work_dir, "_sentinel")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(spath)
+        for f in glob.glob(os.path.join(spath, "*.parquet")):
+            dst = os.path.join(landing, "z_sentinel.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (now, now))  # strictly after the data files
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # data batch(es), then sentinel
+        .parquet(landing)
+    )
+    stream = stream.withColumn("ts_event", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts_event", watermark)
+        .groupBy(F.window("ts_event", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).filter(
+        F.col("event_type") != SENTINEL_EVENT_TYPE
+    )
+
+
+def _dedup_batch(
+    seen_list: list[bytes], ids, fps
+) -> tuple[list[bytes] | None, list[int], list[str]]:
+    """Pure (state, batch) → (state'|None, out) core of streaming_dedup.
+
+    Returns the NEW state list only when the batch added fingerprints
+    (None ⇒ caller skips the state write entirely), and the appended tail is
+    exactly the batch's first-seen digests — state work is O(new
+    fingerprints), never a re-sort/re-serialize of the whole history.
+    """
+    seen = set(seen_list)
+    new: list[bytes] = []
+    out_ids: list[int] = []
+    out_fps: list[str] = []
+    for doc_id, fp in zip(ids, fps):
+        fpb = bytes(fp)
+        if fpb in seen:
+            continue
+        seen.add(fpb)
+        new.append(fpb)
+        out_ids.append(int(doc_id))
+        out_fps.append(fpb.hex())
+    return (seen_list + new if new else None), out_ids, out_fps
+
+
 def streaming_dedup(
     spark: SparkSession,
     docs_path: str,
@@ -84,21 +204,26 @@ def streaming_dedup(
     key_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_shards: int = 16,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
-    cross-micro-batch exact dedup. Per group (e.g. per lang/host), the
-    state carries the set of seen content fingerprints; only first-seen
-    documents are emitted.
+    cross-micro-batch exact dedup. Only first-seen documents are emitted.
 
     This is the reference's mutable per-request KV-cache pattern
     (crates/core/src/cache.rs:358-401 — growable state keyed to a scope,
-    cleared/carried by the runtime) re-expressed as Spark-managed keyed
-    state: the store grows across batches, survives restarts via the
-    streaming checkpoint, and the operator code stays a pure
-    (state, batch) -> (state', output) function.
-    """
-    import hashlib
+    carried by the runtime) re-expressed as Spark-managed keyed state, with
+    the cache's GROWTH discipline honored:
 
+    - the fingerprint itself (md5 of whitespace-canonicalized text) is
+      computed JVM-side before the stateful operator — codegen, no Python;
+    - state is keyed on (group, fp-shard): ``n_shards`` sub-states per group
+      keep each state value small and bound the per-batch rewrite to the
+      shards a batch actually touches (same fp → same shard, so dedup stays
+      exact);
+    - state is an ``array<binary>`` of 16-byte digests appended in arrival
+      order — no sort, no string join/split; batches with no new
+      fingerprints write NOTHING (see ``_dedup_batch``).
+    """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -106,21 +231,25 @@ def streaming_dedup(
     schema = spark.read.parquet(docs_path).schema
 
     def dedup_fn(key, pdfs, state: GroupState):
-        seen = set(state.get[0].split("\x00")) if state.exists else set()
-        out_ids, out_fps = [], []
+        seen_list = [bytes(b) for b in state.get[0]] if state.exists else []
+        group_key = str(key[0])
+        all_ids: list[int] = []
+        all_fps: list[str] = []
         for pdf in pdfs:
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                fp = hashlib.md5(
-                    " ".join(str(text).lower().split()).encode()
-                ).hexdigest()
-                if fp in seen:
-                    continue
-                seen.add(fp)
-                out_ids.append(int(doc_id))
-                out_fps.append(fp)
-        state.update((("\x00".join(sorted(seen))),))
+            seen_list_new, out_ids, out_fps = _dedup_batch(
+                seen_list, pdf[id_col], pdf["fp"]
+            )
+            if seen_list_new is not None:
+                seen_list = seen_list_new
+                state.update((seen_list,))
+            all_ids.extend(out_ids)
+            all_fps.extend(out_fps)
         yield pd.DataFrame(
-            {"group_key": [key[0]] * len(out_ids), id_col: out_ids, "fp": out_fps}
+            {
+                "group_key": [group_key] * len(all_ids),
+                id_col: all_ids,
+                "fp": all_fps,
+            }
         )
 
     stream = (
@@ -128,12 +257,18 @@ def streaming_dedup(
         .option("maxFilesPerTrigger", "1")  # force multi-batch processing
         .parquet(docs_path)
     )
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fingered = stream.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.unhex(F.md5(F.encode(canon, "UTF-8"))).alias("fp"),
+    ).withColumn("fp_shard", F.pmod(F.xxhash64("fp"), F.lit(n_shards)))
     deduped = (
-        stream.groupBy(F.col(key_col))
+        fingered.groupBy(F.col(key_col), F.col("fp_shard"))
         .applyInPandasWithState(
             dedup_fn,
             outputStructType=f"group_key string, {id_col} long, fp string",
-            stateStructType="seen string",
+            stateStructType="seen array<binary>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -86,7 +86,16 @@ def main() -> None:
     best8 = max(r["extraction_docs_per_sec"] for r in results[lo])
     best32 = max(r["extraction_docs_per_sec"] for r in results[hi])
     efficiency = (best32 / best8) / 4.0
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
     report = {
+        "commit": commit,
+        "generated_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
         "n_docs": n_docs,
         "n_cores_low": lo,
         "n_cores_high": hi,
@@ -99,25 +108,35 @@ def main() -> None:
         "all_runs": {str(k): v for k, v in results.items()},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    # keep-best: never regress a previously recorded better efficiency
-    # (runs sample different load windows of a shared box)
+    # ALWAYS record the latest run (tagged with the commit it measured) so
+    # the report describes current code; the historical best is kept in a
+    # separate field for context, never substituted for the measurement.
     prev_path = os.path.join(REPO, "BENCH", "scaling.json")
+    historical_best = None
     if os.path.exists(prev_path):
         try:
             prev = json.load(open(prev_path))
-            if prev.get("scaling_efficiency", 0) >= report["scaling_efficiency"]:
-                print(
-                    f"previous run was better ({prev['scaling_efficiency']} >= "
-                    f"{report['scaling_efficiency']}); keeping it"
-                )
-                return
+            candidates = [prev.get("historical_best"), {
+                "scaling_efficiency": prev.get("scaling_efficiency"),
+                "commit": prev.get("commit", "unknown"),
+                "generated_at": prev.get("generated_at"),
+            }]
+            historical_best = max(
+                (c for c in candidates if c and c.get("scaling_efficiency")),
+                key=lambda c: c["scaling_efficiency"],
+                default=None,
+            )
         except Exception:
             pass
+    if historical_best and historical_best["scaling_efficiency"] > report["scaling_efficiency"]:
+        report["historical_best"] = historical_best
     with open(prev_path, "w") as f:
         json.dump(report, f, indent=2)
     md = f"""# BENCH/BASELINE — scaling evidence (extraction pipeline)
 
-Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by `python scripts/scaling_bench.py`.
+Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by `python scripts/scaling_bench.py`
+at commit `{commit}` (always the LATEST run — historical best, if higher,
+is kept separately in BENCH/scaling.json, never substituted).
 
 The north_rule requires throughput scaling efficiency ≥ 0.8 moving from N
 to 4N executors on the same input. No multi-node cluster exists in this

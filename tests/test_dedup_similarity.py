@@ -198,3 +198,126 @@ def test_ivf_assignment_partitions_corpus(spark, vecs):
     counts = assigned.groupBy("centroid").count().collect()
     assert sum(r["count"] for r in counts) == vecs.count()
     assert len(counts) > 4  # corpus spreads over many inverted lists
+
+
+# ---------------------------------------------------------------------------
+# round-2: document-frequency caps, pigeonhole recall, persist lifecycle
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """One shingle shared by ALL docs must not go quadratic: with the df cap
+    it contributes zero candidate pairs, while normal near-dup pairs keep
+    their exact jaccard values."""
+    hot = "common boiler plate"  # one trigram shared by every doc
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(50)]
+    # plant one real near-dup pair sharing most shingles
+    rows.append((100, f"{hot} unique1 filler1 shared tail"))
+    rows.append((101, f"{hot} unique1 filler1 shared tails"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.ngram_jaccard_pairs(df, n=3, threshold=0.3, df_cap=10)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    D.unpersist_deps(pairs)
+    # the hot shingle alone (jaccard would be tiny anyway) created no pairs;
+    # the planted pair survives via its non-hot shared shingles
+    assert (100, 101) in got
+    assert all(a in (1, 100) or a >= 100 for (a, b) in got), got
+    # exactness: values computed over FULL shingle sets, not the capped join
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            df, n=3, threshold=0.3, df_cap=None
+        ).collect()
+    }
+    assert got[(100, 101)] == uncapped[(100, 101)]
+
+
+def test_minhash_band_cap_bounds_degenerate_bucket(spark):
+    """All-identical docs put every doc in the same band buckets; the cap
+    must drop those buckets instead of emitting k(k-1)/2 pairs."""
+    same = "identical text repeated in every single document here"
+    rows = [(i, same) for i in range(40)]
+    rows += [(1000, "a distinct document about something else entirely okay"),
+             (1001, "a distinct document about something else entirely fine")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.minhash_lsh_candidates_fast(df, shingle_n=3, band_cap=10)
+    n_capped = capped.count()
+    D.unpersist_deps(capped)
+    # 40 identical docs would alone emit 780 pairs uncapped
+    assert n_capped < 50
+    # the normal near-dup pair is still found
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates_fast(df, shingle_n=3, band_cap=10)
+        .filter(F.col("id_a") == 1000).collect()
+    }
+    assert (1000, 1001) in found
+
+
+def test_simhash_near_pairs_cross_chunk_recall(spark):
+    """Pigeonhole with max_hamming+1 chunks: recall holds even when the
+    differing bits split across BOTH halves of the fingerprint (the 2-chunk
+    layout silently dropped these)."""
+    from deepseek_ocr_api_rs_spark.functions import hashing as H
+
+    fps = {1: 0b000000000000000000000000}
+    # flip 3 bits spread across the word: 2 in the low half, 1 in the high
+    fps[2] = fps[1] ^ (1 << 2) ^ (1 << 5) ^ (1 << 20)
+    df = spark.createDataFrame(
+        [(k, int(v)) for k, v in fps.items()], "doc_id long, simhash long"
+    )
+    # drive simhash_near_pairs' blocking directly on planted fingerprints
+    import deepseek_ocr_api_rs_spark.operators.dedup as dedup_mod
+
+    orig = dedup_mod.simhash_fingerprints
+    try:
+        dedup_mod.simhash_fingerprints = lambda d, id_col="doc_id", text_col="text": d
+        pairs = dedup_mod.simhash_near_pairs(
+            df, max_hamming=3, text_col="simhash"
+        ).collect()
+    finally:
+        dedup_mod.simhash_fingerprints = orig
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 3
+
+
+def test_embedding_near_dup_pairs_refuses_large_input(spark, vecs):
+    with pytest.raises(ValueError, match="all-pairs oracle baseline"):
+        S.embedding_near_dup_pairs(vecs, max_rows=10)
+
+
+def test_unpersist_deps_releases_cache(spark, docs):
+    pairs = D.minhash_lsh_candidates_fast(docs.select("doc_id", "text"))
+    pairs.count()
+    deps = getattr(pairs, "_persisted_deps", [])
+    assert deps, "operator should expose its persisted intermediates"
+    assert any(d.storageLevel.useMemory for d in deps)
+    D.unpersist_deps(pairs)
+    assert all(not d.storageLevel.useMemory for d in deps)
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 600-node chain has diameter 599: one-hop propagation would need
+    ~600 rounds; pointer jumping must converge within max_iter=25 (O(log d))
+    and label every node with the chain head."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
+
+    n = 600
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    ).coalesce(4)
+    got = {r.id: r.component for r in connected_components(df, max_iter=25).collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2, strict=True)
+    # non-strict returns partial labels with a warning instead
+    partial = connected_components(df, max_iter=2, strict=False)
+    assert partial.count() == 65

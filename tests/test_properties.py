@@ -118,3 +118,32 @@ def test_pdf_order_permutation_invariant(spans):
         shuffled = spans[:]
         rng.shuffle(shuffled)
         assert assemble_pdf_text(shuffled, 612.0) == base
+
+
+def test_polish_markdown_edges(spark):
+    """X3 chain edge cases: indexed image refs, non-image det strip, escapes,
+    stop token only as suffix, no-ref passthrough."""
+    from deepseek_ocr_api_rs_spark.functions.text import polish_markdown
+    import pyspark.sql.functions as F
+
+    cases = [
+        # (input, expected)
+        ("plain text<|eos|>", "plain text"),
+        ("keep <|eos|> middle", "keep <|eos|> middle"),
+        (
+            "<|ref|>image<|/ref|><|det|>[[1,2]]<|/det|>a"
+            "<|ref|>image<|/ref|><|det|>[[3,\n4]]<|/det|>b",
+            "![](images/0.jpg)\na![](images/1.jpg)\nb",
+        ),
+        (
+            "x<|ref|>table<|/ref|><|det|>[[0]]<|/det|>y<|ref|>bare<|/ref|>z",
+            "xyz",
+        ),
+        ("a \\coloneqq b \\eqqcolon c", "a := b =: c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, md string"
+    )
+    got = {r.i: r.out for r in df.select("i", polish_markdown(F.col("md")).alias("out")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -49,9 +49,12 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, con, name):
+    from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
     got = _canon(q(spark, SF_DIR).toPandas())
+    release_persisted()  # free operator-persisted intermediates per query
     if name not in oracles:
         assert len(got) >= 0  # rows-only check (driver's weaker path)
         return

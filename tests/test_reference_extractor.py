@@ -24,6 +24,8 @@ def test_normalize_text():
     assert normalize_text("a\r\nb\rc\n") == "a\nb\nc"
     assert normalize_text("  x  " + END_SENTINEL) == "x"
     assert normalize_text("x" + END_SENTINEL) == "x"
+    # reference uses str::replace — ALL occurrences go, not just a suffix
+    assert normalize_text(f"a{END_SENTINEL}b{END_SENTINEL}") == "ab"
 
 
 def test_segment_skips_script_style():

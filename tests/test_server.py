@@ -111,3 +111,32 @@ def test_malformed_base64_isolated_to_error_branch(server):
     results = {r["url"]: r for r in json.loads(raw)["results"]}
     assert results["good"]["branch"] == "html"
     assert results["bad"]["branch"] == "error"
+
+
+def test_recipe_selection_and_unknown_recipe(server):
+    """Per-request recipe = the model hot-swap analogue (state.rs:118-152):
+    markdown recipe frames the output; unknown recipe → 400."""
+    body = {
+        "documents": [
+            {
+                "url": "u1",
+                "html_base64": base64.b64encode(
+                    b"<p>framed content body here</p>"
+                ).decode(),
+            }
+        ],
+        "recipe": "markdown",
+    }
+    code, raw = _post(f"{server}/v1/extract", body)
+    assert code == 200
+    out = json.loads(raw)
+    text = out["results"][0]["extracted_text"]
+    assert text.startswith("# u1\n\n")
+    assert "framed content body here" in text
+    # usage counts kernel chars, not framing
+    assert out["results"][0]["n_chars"] == len("framed content body here")
+
+    body["recipe"] = "no-such-recipe"
+    code, raw = _post(f"{server}/v1/extract", body)
+    assert code == 400
+    assert "unknown recipe" in json.loads(raw)["error"]

@@ -165,3 +165,51 @@ def test_audio_features_deterministic(spark):
     rows = {r.doc_id: r for r in audio_features(docs).collect()}
     assert rows[1].energy == 6 and rows[1].n_bytes == 3
     assert rows[2].energy == 0 and rows[2].n_bytes == 0
+
+
+def test_stream_append_mode_equals_batch(spark, tmp_path):
+    """Append-mode file sink: closed windows emitted exactly once equal the
+    batch rollup (no complete-mode full-aggregate state)."""
+    from deepseek_ocr_api_rs_spark.streaming.jobs import (
+        hourly_event_counts_stream_append,
+    )
+
+    got = hourly_event_counts_stream_append(
+        spark, f"{SF}/events.parquet", str(tmp_path / "work")
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+    g = got.withColumn("window_start", F.col("window_start").cast("string"))
+    b = batch.withColumn("window_start", F.col("window_start").cast("string"))
+    assert g.count() == b.count()
+    assert g.exceptAll(b).count() == 0
+    # exactly-once: re-reading the sink (idempotent call reuses staged
+    # landing + checkpoint -> no duplicate windows appended)
+    again = hourly_event_counts_stream_append(
+        spark, f"{SF}/events.parquet", str(tmp_path / "work")
+    )
+    assert again.count() == b.count()
+
+
+def test_dedup_state_grows_by_new_fingerprints_only():
+    """KV-cache growth discipline: state work is O(new fps); no-new batches
+    write nothing; existing state is appended to, never re-sorted."""
+    from deepseek_ocr_api_rs_spark.streaming.jobs import _dedup_batch
+
+    fp1, fp2, fp3 = b"\x01" * 16, b"\x02" * 16, b"\x03" * 16
+    state0 = [fp2]  # arrival order preserved, unsorted
+    new_state, ids, fps = _dedup_batch(state0, [10, 11, 12], [fp3, fp2, fp1])
+    assert ids == [10, 12]
+    assert fps == [fp3.hex(), fp1.hex()]
+    assert new_state == [fp2, fp3, fp1]  # appended tail == first-seen order
+    # all-duplicate batch -> None: the caller skips the state write
+    no_change, ids2, _ = _dedup_batch(new_state, [13], [fp2])
+    assert no_change is None and ids2 == []
