@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deepseek_ocr_api_rs_spark.functions import hashing as H
@@ -37,15 +37,23 @@ _LOG = logging.getLogger(__name__)
 DEFAULT_KEY_CAP = 256
 
 
+# When more hot keys than this exist, the broadcast anti-join falls back to
+# a shuffle anti-join (a corpus where >100k distinct keys each hit >cap docs
+# is pathological, but the fallback keeps it correct rather than OOMing the
+# driver with the broadcast table).
+_HOT_KEY_BROADCAST_LIMIT = 100_000
+
+
 def _cap_hot_keys(
     df: DataFrame, key_col: str, cap: int | None, label: str
 ) -> DataFrame:
     """Drop rows whose key's document frequency exceeds ``cap``.
 
-    One window count over the key — the shuffle lands on the same key the
-    subsequent self-join uses, so the exchange is reused, not added. The
-    dropped-key count is computed (small agg over the already-persisted
-    upstream) and logged: the repo's no-silent-caps rule.
+    Hot keys are FEW by construction (each exceeds cap docs), so the drop is
+    a broadcast LEFT ANTI join — map-side, no shuffle of the postings. The
+    single count action doubles as the log line: the repo's no-silent-caps
+    rule. ``df`` must already be persisted by the caller (it is, at every
+    call site) so the counting pass doesn't recompute the pipeline.
     """
     if cap is None:
         return df
@@ -53,19 +61,21 @@ def _cap_hot_keys(
         df.groupBy(key_col)
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > cap)
+        .select(key_col)
+        .persist()
     )
     n_hot = hot.count()
-    if n_hot:
-        _LOG.warning(
-            "%s: dropping %d hot %s key(s) with document frequency > %d "
-            "from candidate generation", label, n_hot, key_col, cap
-        )
-    w = Window.partitionBy(key_col)
-    return (
-        df.withColumn("_df", F.count("*").over(w))
-        .filter(F.col("_df") <= cap)
-        .drop("_df")
+    if n_hot == 0:
+        hot.unpersist()
+        return df
+    _LOG.warning(
+        "%s: dropping %d hot %s key(s) with document frequency > %d "
+        "from candidate generation", label, n_hot, key_col, cap
     )
+    _LIVE_PERSISTS.append(hot)
+    if n_hot <= _HOT_KEY_BROADCAST_LIMIT:
+        return df.join(F.broadcast(hot), key_col, "left_anti")
+    return df.join(hot, key_col, "left_anti")
 
 
 # Every frame an operator persists is also registered here, because callers
@@ -394,6 +404,38 @@ def ngram_jaccard_pairs(
     shingled = _persist(shingled)  # feeds candidate postings + the exact-verify joins
     posts = _persist(shingled.select(id_col, F.explode("sh").alias("shingle")))
     capped = _cap_hot_keys(posts, "shingle", df_cap, "ngram_jaccard_pairs")
+    if capped is posts:
+        # no key exceeded the cap (or cap disabled) → capped == exact, so
+        # the single-pass layout applies: intersection counts fall straight
+        # out of the postings self-join groupBy, no second verify pass
+        sizes = shingled.select(id_col, F.size("sh").alias("n_sh"))
+        a, b = posts.alias("a"), posts.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        out = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        return _with_deps(out, shingled, posts)
+    # hot shingles were dropped: candidate pairs come from the CAPPED
+    # postings, but jaccard is verified against the FULL shingle sets
+    # (array_intersect), so reported values stay exact — only pairs
+    # connected SOLELY by dropped shingles are missed
     a, b = capped.alias("a"), capped.alias("b")
     candidates = (
         a.join(b, "shingle")
@@ -404,8 +446,6 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    # exact verify on candidates only: intersection over the FULL shingle
-    # sets (dropped hot shingles still count here, so jaccard is exact)
     sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     out = (
