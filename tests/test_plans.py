@@ -108,3 +108,37 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists b_lineitem")
         spark.sql("drop table if exists b_orders")
+
+
+def test_hot_key_cap_is_broadcast_anti_join(spark):
+    """The df-cap must not add a shuffle: dropping hot keys resolves to a
+    BroadcastHashJoin LeftAnti over the (few) hot keys."""
+    from deepseek_ocr_api_rs_spark.operators.dedup import (
+        minhash_lsh_candidates_fast,
+        release_persisted,
+    )
+
+    rows = [(i, "identical text repeated in every document") for i in range(30)]
+    rows += [(100 + i, f"unique doc number {i} talks about topic {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates_fast(df, shingle_n=3, band_cap=8)
+    plan = physical_plan(pairs)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    pairs.count()
+    release_persisted()
+
+
+def test_image_meta_roundtrip_no_exchange(spark):
+    """synthesize → decode is two chained Arrow stages over the same
+    partitioning: zero exchanges, pure map pipeline."""
+    import pyspark.sql.functions as F
+
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        image_metadata,
+        synthesize_image_payloads,
+    )
+
+    base = spark.range(100).select(F.col("id").alias("doc_id"))
+    meta = image_metadata(synthesize_image_payloads(base))
+    assert count_exchanges(meta) == 0, physical_plan(meta)[:2000]
