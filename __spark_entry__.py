@@ -392,6 +392,84 @@ from documents
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenizer counts (GPT-2 pattern family restricted
+    to Java-regex/RE2-common syntax) alongside the whitespace counter —
+    the training-data-pipeline token-counting mandate."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+_Q_BPE_SQL = f"""
+select doc_id,
+  {T.bpe_token_count_duckdb('text')} as n_bpe_tokens,
+  {T.token_count_duckdb('text')} as n_ws_tokens
+from documents
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type value matrix (fixed IN-list so the plan is
+    one partial-aggregated groupBy, no extra distinct pass)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(_DEC)).cast("double"))
+    )
+    cols = [F.col("user_id")] + [
+        F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"v_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return piv.select(*cols).orderBy("user_id")
+
+
+_Q_PIVOT_SQL = """
+select user_id,
+""" + ",\n".join(
+    f"  round(coalesce(cast(sum(cast(value as decimal(18,2))) "
+    f"filter (where event_type = '{t}') as double), 0.0), 2) as v_{t}"
+    for t in _EVENT_TYPES
+) + """
+from events group by user_id order by user_id
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS rollup over (source, lang): per-cell, per-source, and
+    grand-total rows in ONE aggregation (Spark expands to a single Expand +
+    hash-agg — no self-union of scans)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gs_documents")
+    return spark.sql("""
+        select coalesce(source, 'ALL') as source,
+               coalesce(lang, 'ALL') as lang,
+               count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as total_chars
+        from gs_documents
+        group by grouping sets ((source, lang), (source), ())
+        order by source, lang
+    """)
+
+
+_Q_GROUPING_SQL = """
+select coalesce(source, 'ALL') as source,
+       coalesce(lang, 'ALL') as lang,
+       count(*) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars
+from documents
+group by grouping sets ((source, lang), (source), ())
+order by source, lang
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1163,6 +1241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_users": q_distinct_users,
         "q_revenue_rollup": q_revenue_rollup,
         "q_token_stats": q_token_stats,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_pivot_event_values": q_pivot_event_values,
+        "q_grouping_sets": q_grouping_sets,
         "q_quality_scores": q_quality_scores,
         "q_quality_filter": q_quality_filter,
         "q_lang_id": q_lang_id,
@@ -1211,6 +1292,9 @@ def oracle_sql() -> dict[str, str]:
         "q_distinct_users": _Q_DISTINCT_SQL,
         "q_revenue_rollup": _Q_ROLLUP_SQL,
         "q_token_stats": _Q_TOKENS_SQL,
+        "q_bpe_tokens": _Q_BPE_SQL,
+        "q_pivot_event_values": _Q_PIVOT_SQL,
+        "q_grouping_sets": _Q_GROUPING_SQL,
         "q_quality_scores": _Q_QUALITY_SQL,
         "q_quality_filter": _quality_filter_sql(),
         "q_lang_id": _Q_LANG_SQL,

@@ -203,3 +203,28 @@ def polish_markdown_duckdb(md_sql: str, stop_token: str = "<|eos|>") -> str:
         f"'\\\\coloneqq', ':=', 'g'), "
         f"'\\\\eqqcolon', '=:', 'g'))"
     )
+
+
+# BPE-ish pre-tokenizer (the GPT-2 pattern family, restricted to syntax both
+# Java regex and DuckDB's RE2 accept — no lookahead): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_TOKEN_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+|\s+"
+)
+
+
+def bpe_token_count(text_col: str) -> Column:
+    """Count BPE-style pre-tokens (whitespace-only matches excluded) — the
+    'token counting' mandate's regex variant alongside ``token_count``'s
+    whitespace splitter. Pure built-ins: regexp_extract_all + filter + size."""
+    matches = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), F.lit(0))
+    non_ws = F.filter(matches, lambda m: F.trim(m) != F.lit(""))
+    return F.size(non_ws).cast("long")
+
+
+def bpe_token_count_duckdb(text_col: str) -> str:
+    rx = BPE_TOKEN_REGEX.replace("'", "''")
+    return (
+        f"cast(len(list_filter(regexp_extract_all({text_col}, '{rx}'), "
+        f"m -> trim(m) != '')) as bigint)"
+    )
