@@ -142,3 +142,24 @@ def test_image_meta_roundtrip_no_exchange(spark):
     base = spark.range(100).select(F.col("id").alias("doc_id"))
     meta = image_metadata(synthesize_image_payloads(base))
     assert count_exchanges(meta) == 0, physical_plan(meta)[:2000]
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """The IVF scale claim made in ivf_topk's docstring, executed: store the
+    table partitioned by the precomputed centroid column and a probe of
+    nprobe centroids must prune the scan to those partitions (PartitionFilters),
+    reading nprobe/n_centroids of the data."""
+    import pyspark.sql.functions as F
+
+    from deepseek_ocr_api_rs_spark.operators.similarity import ivf_assign
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "ivf")
+    ivf_assign(vecs).write.partitionBy("centroid").parquet(out)
+    table = spark.read.parquet(out)
+    probed = table.filter(F.col("centroid").isin([1, 3]))
+    plan = physical_plan(probed)
+    assert "PartitionFilters" in plan, plan[:1500]
+    assert "centroid" in plan.split("PartitionFilters", 1)[1][:300]
+    per = {r.centroid: r["count"] for r in table.groupBy("centroid").count().collect()}
+    assert probed.count() == per.get(1, 0) + per.get(3, 0)

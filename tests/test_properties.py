@@ -147,3 +147,52 @@ def test_polish_markdown_edges(spark):
     got = {r.i: r.out for r in df.select("i", polish_markdown(F.col("md")).alias("out")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+# --- real-PDF writer/parser roundtrip (extraction/pdf_real.py) ---
+
+_pdf_text = st.text(
+    alphabet=st.sampled_from(list("abcDEF 019().,\\-")), min_size=1, max_size=30
+).filter(lambda s: s.strip())
+
+
+@st.composite
+def _pdf_spans(draw):
+    n_pages = draw(st.integers(1, 2))
+    spans = []
+    for page in range(n_pages):
+        for _ in range(draw(st.integers(1, 4))):
+            x0 = draw(st.floats(0, 500)).__round__(2)
+            y0 = draw(st.floats(0, 700)).__round__(2)
+            w = draw(st.floats(10, 300)).__round__(2)
+            spans.append(
+                {
+                    "page": page,
+                    "x0": x0,
+                    "y0": y0,
+                    "x1": round(x0 + w, 2),
+                    "y1": round(y0 + 12.0, 2),
+                    "text": draw(_pdf_text),
+                }
+            )
+    return spans
+
+
+@given(_pdf_spans(), st.booleans(), st.sampled_from([0, 2]))
+@settings(max_examples=60, deadline=None)
+def test_pdf_writer_parser_roundtrip(spans, compress, tj):
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        make_pdf_bytes,
+        parse_real_pdf,
+    )
+
+    data = make_pdf_bytes(spans, compress=compress, use_tj_every=tj)
+    parsed = parse_real_pdf(data)
+    assert parsed is not None
+    width, got = parsed
+    assert width == 612.0
+    assert [s["text"] for s in got] == [s["text"] for s in spans]
+    assert [s["page"] for s in got] == [s["page"] for s in spans]
+    for g, s in zip(got, spans):
+        assert abs(g["x0"] - s["x0"]) <= 0.02, (g, s)
+        assert abs(g["y0"] - s["y0"]) <= 0.02, (g, s)
