@@ -470,6 +470,74 @@ order by source, lang
 """
 
 
+def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-PDF roundtrip through the extraction operator: documents.text →
+    one span per word (first 40) → ``make_pdf_bytes`` (genuine PDF: object
+    structure, xref, alternating Flate-compressed/uncompressed streams) →
+    the extraction pdf branch (object scan → zlib FlateDecode → BT/ET
+    text-operator interpretation → column/reading-order assembly,
+    extraction/pdf_real.py + pdf_spans.py). The oracle is the same words
+    joined by newlines — any parser/layout bug breaks the value hash."""
+    from deepseek_ocr_api_rs_spark.operators.extract import extract_documents
+
+    _ensure_shipped(spark)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select("doc_id", "text")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = str(text).split()[:40]
+                spans = [
+                    {
+                        "page": 0,
+                        "x0": 20.0,
+                        "y0": 10.0 + 14.0 * i,
+                        "x1": 120.0,
+                        "y1": 22.0 + 14.0 * i,
+                        "text": w,
+                    }
+                    for i, w in enumerate(words)
+                ]
+                payloads.append(
+                    make_pdf_bytes(spans, compress=bool(int(doc_id) % 2 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pages = docs.mapInPandas(gen, "doc_id long, payload binary").select(
+        F.concat(F.lit("pdf://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract_documents(pages)
+    return out.select(
+        F.split(F.col("url"), "://")[1].cast("long").alias("doc_id"),
+        "branch",
+        F.col("extracted_text").alias("pdf_text"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+_Q_PDF_ROUNDTRIP_SQL = r"""
+select doc_id,
+  'pdf' as branch,
+  array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 40), chr(10)) as pdf_text,
+  cast(length(array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 40), chr(10))) as bigint) as n_chars
+from documents where trim(text) != ''
+order by doc_id
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1244,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokens": q_bpe_tokens,
         "q_pivot_event_values": q_pivot_event_values,
         "q_grouping_sets": q_grouping_sets,
+        "q_pdf_real_roundtrip": q_pdf_real_roundtrip,
         "q_quality_scores": q_quality_scores,
         "q_quality_filter": q_quality_filter,
         "q_lang_id": q_lang_id,
@@ -1295,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_tokens": _Q_BPE_SQL,
         "q_pivot_event_values": _Q_PIVOT_SQL,
         "q_grouping_sets": _Q_GROUPING_SQL,
+        "q_pdf_real_roundtrip": _Q_PDF_ROUNDTRIP_SQL,
         "q_quality_scores": _Q_QUALITY_SQL,
         "q_quality_filter": _quality_filter_sql(),
         "q_lang_id": _Q_LANG_SQL,
