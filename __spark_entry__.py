@@ -1057,6 +1057,33 @@ def q_stream_hourly_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (purchases × same-user clicks
+    within 1 hour) run to completion with AvailableNow — bounded state via
+    watermark + time-bound condition; final rows equal the batch self-join
+    the oracle runs."""
+    from deepseek_ocr_api_rs_spark.streaming.jobs import click_purchase_stream_join
+
+    return click_purchase_stream_join(
+        spark, f"{sf_dir}/events.parquet"
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+_Q_STREAM_JOIN_SQL = """
+select p.user_id as user_id,
+  c.event_id as click_id,
+  p.event_id as purchase_id,
+  cast(floor(epoch(p.ts)) as bigint) - cast(floor(epoch(c.ts)) as bigint) as gap_seconds
+from events p
+join events c
+  on c.user_id = p.user_id
+ and c.ts <= p.ts
+ and c.ts >= p.ts - interval 1 hour
+where p.event_type = 'purchase' and c.event_type = 'click'
+order by user_id, click_id, purchase_id
+"""
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal roundtrip: synthesize REAL image payloads (PNG/JPEG/GIF,
     format by doc_id % 3, dims by doc_id arithmetic) in one Arrow stage, then
@@ -1331,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
         "q_stream_hourly_counts": q_stream_hourly_counts,
         "q_stream_hourly_counts_append": q_stream_hourly_counts_append,
+        "q_stream_click_purchase_join": q_stream_click_purchase_join,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1378,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_threshold_pairs": _Q_COSPAIRS_SQL,
         "q_stream_hourly_counts": _Q_STREAM_SQL,
         "q_stream_hourly_counts_append": _Q_STREAM_SQL,
+        "q_stream_click_purchase_join": _Q_STREAM_JOIN_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),

@@ -77,6 +77,67 @@ def hourly_event_counts_stream(
     return spark.table(sink)
 
 
+def click_purchase_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each purchase matched to the
+    same user's clicks in the preceding ``window``. Both sides carry
+    watermarks and the join condition is time-bounded, so Spark can evict
+    state for rows older than watermark+window — the bounded-state shape a
+    100 TB clickstream needs (an unbounded-condition stream join would hold
+    both streams forever). AvailableNow over static input ⇒ final result
+    equals the batch self-join, which is what the oracle checks.
+    """
+    schema = spark.read.parquet(events_path).schema
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        if events_path.endswith(".parquet"):
+            parent, fname = os.path.split(events_path)
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", fname)
+                .parquet(parent)
+            )
+        else:
+            s = spark.readStream.schema(schema).parquet(events_path)
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", watermark)
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL {window}"
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_seconds"),
+    )
+    sink = f"join_result_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 SENTINEL_EVENT_TYPE = "__watermark_sentinel__"
 
 
