@@ -470,6 +470,62 @@ order by source, lang
 """
 
 
+_KMV_K = 64
+# KMV needs a hash that SPREADS over [0, P): a small multiplier keeps
+# consecutive ids clustered near zero and wrecks the estimator, so use a
+# full-width multiplicative mix (classic LCG constants; products < 2^63).
+_KMV_MULT = 1103515245
+_KMV_ADD = 12345
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type, built
+    from the pinned polynomial hash so BOTH engines compute the identical
+    estimate (a sketch whose oracle is exact — unlike HLL, whose register
+    layout is engine-private). Estimate = (k-1) / u_k where u_k is the k-th
+    smallest normalized hash; exact count when the group has ≤ k members.
+    Plan shape: distinct → hash projection → ONE window for the k-th
+    minimum + one count agg — no collect, no full-set materialization."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") * _KMV_MULT + _KMV_ADD) % H.P
+    d = ev.select("event_type", "user_id").distinct().withColumn("h", h)
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("h").alias("kth_h"))
+    )
+    n = d.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("n_exact") <= _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) / (F.col("kth_h").cast("double") / F.lit(float(H.P)))
+    )
+    return (
+        n.join(kth, "event_type", "left")
+        .select("event_type", "n_exact", F.round(est, 4).alias("kmv_estimate"))
+        .orderBy("event_type")
+    )
+
+
+_Q_KMV_SQL = f"""
+with d as (select distinct event_type, user_id from events),
+h as (select event_type, (user_id * {_KMV_MULT} + {_KMV_ADD}) % {H.P} as h from d),
+r as (select event_type, h,
+        row_number() over (partition by event_type order by h) as rn
+      from h),
+n as (select event_type, count(*) as n_exact from h group by event_type)
+select n.event_type as event_type, n_exact,
+  round(case when n_exact <= {_KMV_K} then cast(n_exact as double)
+             else {float(_KMV_K - 1)} / (cast(r.h as double) / {float(H.P)}) end,
+        4) as kmv_estimate
+from n left join r on r.event_type = n.event_type and r.rn = {_KMV_K}
+order by n.event_type
+"""
+
+
 def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-PDF roundtrip through the extraction operator: documents.text →
     one span per word (first 40) → ``make_pdf_bytes`` (genuine PDF: object
@@ -1340,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_event_values": q_pivot_event_values,
         "q_grouping_sets": q_grouping_sets,
         "q_pdf_real_roundtrip": q_pdf_real_roundtrip,
+        "q_kmv_distinct_users": q_kmv_distinct_users,
         "q_quality_scores": q_quality_scores,
         "q_quality_filter": q_quality_filter,
         "q_lang_id": q_lang_id,
@@ -1393,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot_event_values": _Q_PIVOT_SQL,
         "q_grouping_sets": _Q_GROUPING_SQL,
         "q_pdf_real_roundtrip": _Q_PDF_ROUNDTRIP_SQL,
+        "q_kmv_distinct_users": _Q_KMV_SQL,
         "q_quality_scores": _Q_QUALITY_SQL,
         "q_quality_filter": _quality_filter_sql(),
         "q_lang_id": _Q_LANG_SQL,
