@@ -1113,6 +1113,22 @@ def q_stream_hourly_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as a STATEFUL STREAM: applyInPandasWithState with
+    EventTimeTimeout — open sessions live in keyed state across
+    micro-batches and are flushed by the watermark when the user goes quiet.
+    Integer-only session arithmetic (cents, floor-seconds) makes the final
+    output equal the batch sessionizer's oracle bit-for-bit."""
+    import tempfile
+
+    from deepseek_ocr_api_rs_spark.streaming.jobs import sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="sess_stream_")
+    return sessionize_stream(spark, f"{sf_dir}/events.parquet", work).orderBy(
+        "user_id", "session_seq"
+    )
+
+
 def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join (purchases × same-user clicks
     within 1 hour) run to completion with AvailableNow — bounded state via
@@ -1416,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly_counts": q_stream_hourly_counts,
         "q_stream_hourly_counts_append": q_stream_hourly_counts_append,
         "q_stream_click_purchase_join": q_stream_click_purchase_join,
+        "q_sessionize_stream": q_sessionize_stream,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1465,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_hourly_counts": _Q_STREAM_SQL,
         "q_stream_hourly_counts_append": _Q_STREAM_SQL,
         "q_stream_click_purchase_join": _Q_STREAM_JOIN_SQL,
+        "q_sessionize_stream": _Q_SESSION_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),

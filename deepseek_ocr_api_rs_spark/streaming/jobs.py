@@ -77,6 +77,191 @@ def hourly_event_counts_stream(
     return spark.table(sink)
 
 
+def _sessionize_events(
+    state_tuple: tuple | None,
+    rows: list[tuple[int, int, int]],
+    gap_seconds: int,
+) -> tuple[tuple | None, list[tuple]]:
+    """Pure sessionization step: (open-session state, batch rows sorted by
+    (epoch_s, event_id)) → (new state, closed sessions). State tuple =
+    (start_s, last_s, n_events, cents, seq). Integer arithmetic only —
+    bit-exact vs the batch sessionizer's oracle."""
+    closed: list[tuple] = []
+    cur = state_tuple
+    for epoch_s, _event_id, cents in rows:
+        if cur is None:
+            cur = (epoch_s, epoch_s, 1, cents, 1)
+        elif epoch_s - cur[1] > gap_seconds:
+            closed.append(cur)
+            cur = (epoch_s, epoch_s, 1, cents, cur[4] + 1)
+        else:
+            cur = (cur[0], epoch_s, cur[2] + 1, cur[3] + cents, cur[4])
+    return cur, closed
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    work_dir: str,
+    gap_minutes: int = 30,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Streaming gap-sessionization: ``applyInPandasWithState`` with
+    EVENT-TIME TIMEOUT. The open session lives in keyed state across
+    micro-batches; a session closes either when a later event of the same
+    user arrives past the gap, or when the WATERMARK passes
+    ``last_event + gap`` (the timeout path — how a live stream emits
+    sessions for users who simply stopped).
+
+    Mechanics mirrored from the reference's scope-guarded mutable cache
+    (crates/core/src/cache.rs:358-401): state is created, grown, and
+    reclaimed by the runtime against an explicit horizon (the watermark).
+
+    Determinism: session arithmetic is integer-only — value is converted
+    to CENTS (decimal(18,2)·100 → long) JVM-side, timestamps to floor
+    seconds, so the emitted rollups equal the batch sessionizer's DuckDB
+    oracle bit-for-bit. Input is staged into ``n_slices`` time-ordered files
+    (a landing directory in event-time order, the production file-stream
+    shape) plus one far-future sentinel event (user_id −1, NOT filtered
+    before the stateful op — the watermark is computed from the column the
+    operator sees, so filtering the sentinel would silence it) that pushes
+    the watermark past every real session's timeout.
+
+    Lateness bound: the staged replay advances event time by the whole data
+    span within seconds of wall time, so the watermark delay is sized to
+    span + gap (a live deployment uses its real out-of-orderness bound —
+    with a bound smaller than the span, mid-replay timeouts would race the
+    slices; the TIMEOUT path itself is identical either way).
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_seconds = gap_minutes * 60
+    landing = os.path.join(work_dir, "landing")
+    os.makedirs(landing, exist_ok=True)
+    events = spark.read.parquet(events_path)
+    schema = events.schema
+
+    mn, mx = events.agg(F.min("ts"), F.max("ts")).first()
+    span_seconds = int((mx - mn).total_seconds()) + 1
+    delay_seconds = span_seconds + gap_seconds + 3600
+
+    if not glob.glob(os.path.join(landing, "*.parquet")):
+        import datetime as _dt
+
+        bounds = [
+            mn + _dt.timedelta(seconds=span_seconds * (i + 1) / n_slices)
+            for i in range(n_slices - 1)
+        ]
+        now = _time.time()
+        lo = None
+        for i in range(n_slices):
+            hi = bounds[i] if i < len(bounds) else None
+            sl = events
+            if lo is not None:
+                sl = sl.filter(F.col("ts") > F.lit(lo))
+            if hi is not None:
+                sl = sl.filter(F.col("ts") <= F.lit(hi))
+            spath = os.path.join(work_dir, f"_slice{i}")
+            sl.coalesce(1).write.mode("overwrite").parquet(spath)
+            for f in glob.glob(os.path.join(spath, "*.parquet")):
+                dst = os.path.join(landing, f"d{i}.parquet")
+                shutil.copy(f, dst)
+                os.utime(dst, (now - 100 + i, now - 100 + i))
+            lo = hi
+        sentinel = spark.createDataFrame(
+            [(int(-1), mx, int(-1), SENTINEL_EVENT_TYPE, 0.0, "")], schema
+        ).withColumn(
+            "ts",
+            F.col("ts")
+            + F.expr(f"INTERVAL {delay_seconds + gap_seconds + 7200} SECONDS"),
+        )
+        spath = os.path.join(work_dir, "_sentinel")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(spath)
+        for f in glob.glob(os.path.join(spath, "*.parquet")):
+            dst = os.path.join(landing, "z_sentinel.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (now, now))
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            start_s, last_s, n, cents, seq = state.get
+            out.append((user_id, seq, n, last_s - start_s, cents / 100.0))
+            state.remove()
+        elif user_id < 0:
+            pass  # the watermark sentinel carries no session
+        else:
+            rows: list[tuple[int, int, int]] = []
+            for pdf in pdfs:
+                rows.extend(
+                    zip(
+                        pdf["epoch_s"].astype("int64"),
+                        pdf["event_id"].astype("int64"),
+                        pdf["cents"].astype("int64"),
+                    )
+                )
+            rows.sort(key=lambda r: (r[0], r[1]))
+            cur = tuple(state.get) if state.exists else None
+            cur, closed = _sessionize_events(cur, rows, gap_seconds)
+            out.extend(
+                (user_id, c[4], c[2], c[1] - c[0], c[3] / 100.0) for c in closed
+            )
+            if cur is not None:
+                state.update(cur)
+                # close via watermark when the user goes quiet; never set a
+                # timeout at or below the current watermark (runtime error)
+                timeout_ms = max(
+                    (cur[1] + gap_seconds) * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+                state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_seq", "n_events", "span_seconds", "sum_value"],
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    prepared = stream.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch_s"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.col("ts").cast("timestamp").alias("ts_event"),
+    ).withWatermark("ts_event", f"{delay_seconds} seconds")
+    sessions = prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, session_seq long, n_events long, "
+            "span_seconds long, sum_value double"
+        ),
+        stateStructType="start_s long, last_s long, n long, cents long, seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def click_purchase_stream_join(
     spark: SparkSession,
     events_path: str,

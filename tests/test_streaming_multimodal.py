@@ -213,3 +213,39 @@ def test_dedup_state_grows_by_new_fingerprints_only():
     # all-duplicate batch -> None: the caller skips the state write
     no_change, ids2, _ = _dedup_batch(new_state, [13], [fp2])
     assert no_change is None and ids2 == []
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Stateful streaming sessionization (EventTimeTimeout flush) equals the
+    batch gap-sessionizer exactly — state survives across micro-batches and
+    open sessions are emitted by the watermark, not by data."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import session_stats
+    from deepseek_ocr_api_rs_spark.streaming.jobs import sessionize_stream
+
+    got = sessionize_stream(
+        spark, f"{SF}/events.parquet", str(tmp_path / "w"), n_slices=3
+    )
+    batch = session_stats(spark.read.parquet(f"{SF}/events.parquet"), 30)
+    g = got.orderBy("user_id", "session_seq").collect()
+    b = batch.orderBy("user_id", "session_seq").collect()
+    assert len(g) == len(b) and len(g) > 0
+    for rg, rb in zip(g, b):
+        assert (rg.user_id, rg.session_seq) == (rb.user_id, rb.session_seq)
+        assert rg.n_events == rb.n_events
+        assert rg.span_seconds == rb.span_seconds
+        assert rg.sum_value == float(rb.sum_value)
+
+
+def test_sessionize_events_pure_step():
+    from deepseek_ocr_api_rs_spark.streaming.jobs import _sessionize_events
+
+    gap = 1800
+    # one continuing session then a gap -> close with seq carried
+    st, closed = _sessionize_events(None, [(0, 1, 100), (60, 2, 50)], gap)
+    assert closed == [] and st == (0, 60, 2, 150, 1)
+    st, closed = _sessionize_events(st, [(60 + 1801, 3, 25)], gap)
+    assert closed == [(0, 60, 2, 150, 1)]
+    assert st == (1861, 1861, 1, 25, 2)  # seq advanced to 2
+    # boundary: exactly gap seconds is the SAME session (> gap closes)
+    st2, closed2 = _sessionize_events(None, [(0, 1, 1), (1800, 2, 1)], gap)
+    assert closed2 == [] and st2[2] == 2
