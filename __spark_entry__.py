@@ -537,10 +537,16 @@ def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepseek_ocr_api_rs_spark.operators.extract import extract_documents
 
     _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.trim("text") != "")
         .select("doc_id", "text")
+        # the documents table is a single parquet file → without an explicit
+        # repartition the whole write+parse pipeline runs in ONE task; the
+        # roundtrip is embarrassingly parallel, so spread it (the same
+        # one-planned-exchange-then-map-only shape as the extraction job)
+        .repartition(n_parts, "doc_id")
     )
 
     def gen(batches):

@@ -99,6 +99,8 @@ _HEADLINE_QUERIES = [
     "q_neardup_lsh",
     "q_stream_hourly_counts",
     "q_extract_normalize",
+    "q_pdf_real_roundtrip",
+    "q_stream_click_purchase_join",
 ]
 
 

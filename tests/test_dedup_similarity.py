@@ -321,3 +321,20 @@ def test_connected_components_raises_on_non_convergence(spark):
     # non-strict returns partial labels with a warning instead
     partial = connected_components(df, max_iter=2, strict=False)
     assert partial.count() == 65
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=64 over 1000 planted distinct ids: the estimator must land
+    within the ~1/sqrt(k) error band (deterministic — pinned mix hash)."""
+    import __spark_entry__ as entrymod
+
+    rows = [(i % 1000, "view", i) for i in range(3000)]  # dupes collapse
+    df = spark.createDataFrame(rows, "user_id long, event_type string, event_id long")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = entrymod.q_kmv_distinct_users(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_exact == 1000
+    assert abs(r.kmv_estimate - 1000) / 1000 < 0.35, r.kmv_estimate
