@@ -91,6 +91,40 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
     return stream
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_INT_RE = re.compile(rb"\d+")
+
+
+def _expand_object_streams(
+    objs: dict[int, tuple[bytes, bytes | None]],
+) -> None:
+    """Inline objects stored inside /Type /ObjStm compressed object streams
+    (PDF 1.5+ — modern writers put page/catalog DICTS there, so a parser
+    without this sees no page tree at all). Layout per PDF 32000 §7.5.7:
+    /N pairs of (objnum, offset) ints, then the objects back to back
+    starting at /First. Contained objects are dict-only (no streams).
+    Existing top-level objects win on number collision."""
+    for num in list(objs):
+        head, stream = objs[num]
+        if stream is None or not _OBJSTM_RE.search(head):
+            continue
+        data = _decode_stream(head, stream)
+        if data is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header_ints = [int(x) for x in _INT_RE.findall(data[:first])]
+        pairs = list(zip(header_ints[0::2], header_ints[1::2]))[:n]
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            body = data[first + off : first + end]
+            if objnum not in objs:
+                objs[objnum] = (body, None)
+
+
 def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
     """Parse a ``(...)`` literal string starting at the '(' — PDF 32000 §7.3.4.2:
     nested parens, backslash escapes incl. up-to-3-digit octal, line folds."""
@@ -316,6 +350,7 @@ def parse_real_pdf(data: bytes) -> tuple[float, list[dict]] | None:
     objs = _extract_objects(data)
     if not objs:
         return None
+    _expand_object_streams(objs)
     pages_nodes = sorted(
         n for n, (h, _) in objs.items() if _PAGES_TYPE_RE.search(h)
     )

@@ -221,3 +221,40 @@ def test_multiple_content_streams_concatenate():
     assert parsed is not None
     _, spans = parsed
     assert sorted(s["text"] for s in spans) == ["one", "two"]
+
+
+def test_object_stream_pages():
+    """PDF 1.5 object streams: page/catalog dicts live inside a compressed
+    /Type /ObjStm container; the parser must inline them to find the page
+    tree (modern writers emit this layout by default)."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (from objstm) Tj ET"
+    # objects 1 (catalog), 2 (pages), 3 (page) packed into one ObjStm
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    header = b""
+    for num, body in inner:
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b" "
+    payload = zlib.compress(header + bodies, 9)
+    out = bytearray(b"%PDF-1.5\n")
+    out += (
+        f"4 0 obj\n<< /Type /ObjStm /N {len(inner)} /First {len(header)} "
+        f"/Length {len(payload)} /Filter /FlateDecode >>\nstream\n".encode()
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    out += (
+        f"5 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"%%EOF\n"
+    parsed = parse_real_pdf(bytes(out))
+    assert parsed is not None
+    width, spans = parsed
+    assert width == 612.0
+    assert [s["text"] for s in spans] == ["from objstm"]
