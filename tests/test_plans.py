@@ -163,3 +163,42 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     assert "centroid" in plan.split("PartitionFilters", 1)[1][:300]
     per = {r.centroid: r["count"] for r in table.groupBy("centroid").count().collect()}
     assert probed.count() == per.get(1, 0) + per.get(3, 0)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join splitting ENGAGES (not just configured): a fact table
+    where one key owns ~half the rows, sort-merge-joined (broadcast off),
+    must show skew=true in the final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        n = 60_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 997).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        dim = spark.range(997).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("d")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame's own QueryExecution (count() builds a
+        # separate one whose adaptive plan we would not see)
+        assert len(joined.collect()) == n
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
