@@ -1119,6 +1119,48 @@ def q_stream_hourly_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (the point-in-time operator vanilla Spark lacks — kdb aj /
+    pandas merge_asof): each purchase gets the user's LATEST click at or
+    before it, via the union+window carry implementation (one shuffle, no
+    range explosion — operators/asof.py). Oracle: DuckDB correlated
+    order-by-desc-limit-1 form."""
+    from deepseek_ocr_api_rs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        right_payload=["click_id"],
+        tiebreak="click_id",
+        left_id="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "click_id",
+    ).orderBy("user_id", "purchase_id")
+
+
+_Q_ASOF_SQL = """
+with p as (select user_id, ts, event_id as purchase_id from events where event_type = 'purchase'),
+c as (select user_id, ts, event_id as click_id from events where event_type = 'click')
+select p.user_id, p.purchase_id,
+  (select c.click_id from c
+    where c.user_id = p.user_id and c.ts <= p.ts
+    order by c.ts desc, c.click_id desc limit 1) as click_id
+from p order by user_id, purchase_id
+"""
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization as a STATEFUL STREAM: applyInPandasWithState with
     EventTimeTimeout — open sessions live in keyed state across
@@ -1439,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly_counts_append": q_stream_hourly_counts_append,
         "q_stream_click_purchase_join": q_stream_click_purchase_join,
         "q_sessionize_stream": q_sessionize_stream,
+        "q_asof_click_before_purchase": q_asof_click_before_purchase,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1489,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_hourly_counts_append": _Q_STREAM_SQL,
         "q_stream_click_purchase_join": _Q_STREAM_JOIN_SQL,
         "q_sessionize_stream": _Q_SESSION_SQL,
+        "q_asof_click_before_purchase": _Q_ASOF_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),

@@ -338,3 +338,29 @@ def test_kmv_estimate_accuracy(spark):
     r = out[0]
     assert r.n_exact == 1000
     assert abs(r.kmv_estimate - 1000) / 1000 < 0.35, r.kmv_estimate
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time correctness: inclusive ts match, max-tiebreak on equal
+    timestamps, null when no right row precedes, per-key isolation."""
+    from deepseek_ocr_api_rs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 1000), (1, 50, 1001), (1, 10, 1002), (2, 100, 2000)],
+        "user_id long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 50, 9), (1, 80, 3), (2, 500, 5)],
+        "user_id long, ts long, click_id long",
+    )
+    out = {
+        r.event_id: r.click_id
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            right_payload=["click_id"], tiebreak="click_id",
+        ).collect()
+    }
+    assert out[1000] == 3      # latest ts <= 100
+    assert out[1001] == 9      # inclusive equal-ts match, max tiebreak wins
+    assert out[1002] is None   # nothing at or before ts=10
+    assert out[2000] is None   # other user's clicks are all later
