@@ -1161,6 +1161,57 @@ from p order by user_id, purchase_id
 """
 
 
+def q_range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned RANGE JOIN: clicks landing inside each purchase's
+    [ts, ts + 1h] window, counted per purchase (zero-click purchases kept).
+    The join is an equi-join on (user_id, time-bin) + exact filter — never a
+    per-key cross product (operators/asof.range_join)."""
+    from deepseek_ocr_api_rs_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = range_join(
+        clicks, purchases, key="user_id",
+        point_ts="click_ts", start_ts="start_ts", end_ts="end_ts",
+    )
+    counts = pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks_within_1h")
+    )
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "user_id",
+            "purchase_id",
+            F.coalesce("n_clicks_within_1h", F.lit(0)).alias("n_clicks_within_1h"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+_Q_RANGE_JOIN_SQL = """
+with p as (select user_id, event_id as purchase_id, ts from events where event_type = 'purchase'),
+c as (select user_id, ts as click_ts from events where event_type = 'click')
+select p.user_id, p.purchase_id,
+  cast(count(c.click_ts) as bigint) as n_clicks_within_1h
+from p left join c
+  on c.user_id = p.user_id
+ and c.click_ts >= p.ts
+ and c.click_ts <= p.ts + interval 1 hour
+group by p.user_id, p.purchase_id
+order by p.user_id, p.purchase_id
+"""
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization as a STATEFUL STREAM: applyInPandasWithState with
     EventTimeTimeout — open sessions live in keyed state across
@@ -1482,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_click_purchase_join": q_stream_click_purchase_join,
         "q_sessionize_stream": q_sessionize_stream,
         "q_asof_click_before_purchase": q_asof_click_before_purchase,
+        "q_range_join_clicks_after_purchase": q_range_join_clicks_after_purchase,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1533,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_click_purchase_join": _Q_STREAM_JOIN_SQL,
         "q_sessionize_stream": _Q_SESSION_SQL,
         "q_asof_click_before_purchase": _Q_ASOF_SQL,
+        "q_range_join_clicks_after_purchase": _Q_RANGE_JOIN_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),

@@ -81,3 +81,45 @@ def asof_join(
     for c in right_payload:
         out = out.withColumn(c, F.col("_asof")[c])
     return out.drop("_lid", "_asof")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """RANGE (interval-overlap) JOIN: all (interval, point) pairs with
+    ``start_ts <= point_ts <= end_ts`` per key — the other time-series join
+    vanilla Spark only offers as a cross-product-with-filter.
+
+    Scale shape: BINNING. Each interval explodes to the time bins it
+    overlaps (a constant ≈ span/bin fan-out), each point maps to one bin,
+    and the join becomes an equi-join on (key, bin) + an exact filter — no
+    per-key cross product, shuffle volume ≈ points + intervals × bins/interval.
+    Pick ``bin_seconds`` near the typical interval span so the fan-out stays
+    ≈ 2. Columns of the two inputs must be disjoint apart from ``key``.
+    """
+    bin_lit = F.lit(bin_seconds)
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts).cast("timestamp")) / bin_lit),
+                F.floor(F.unix_timestamp(F.col(end_ts).cast("timestamp")) / bin_lit),
+            )
+        ),
+    )
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(point_ts).cast("timestamp")) / bin_lit)
+    )
+    return (
+        i.join(p, [key, "_bin"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_bin")
+    )
