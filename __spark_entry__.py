@@ -1161,6 +1161,46 @@ from p order by user_id, purchase_id
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate refreshed INCREMENTALLY in two
+    phases (history first, then the last day lands — only its date partition
+    recomputes, via dynamic partition overwrite). The oracle is the
+    from-scratch hourly rollup: the hash match proves incremental refresh
+    converges to the batch answer."""
+    import tempfile
+
+    from deepseek_ocr_api_rs_spark.operators.rollup import (
+        read_rollup,
+        refresh_hourly_rollup,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="hypertable_")
+    last_day = events.agg(F.max(F.to_date("ts"))).first()[0]
+    refresh_hourly_rollup(
+        spark, events.filter(F.to_date("ts") < F.lit(last_day)), out
+    )
+    refresh_hourly_rollup(spark, events, out)  # only last_day recomputes
+    return (
+        read_rollup(spark, out)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_Q_HYPERTABLE_SQL = """
+select date_trunc('hour', ts) as window_start, event_type,
+  count(*) as n_events,
+  round(cast(sum(cast(value as decimal(18,2))) as double), 2) as sum_value
+from events group by 1, 2 order by 1, 2
+"""
+
+
 def q_range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned RANGE JOIN: clicks landing inside each purchase's
     [ts, ts + 1h] window, counted per purchase (zero-click purchases kept).
@@ -1534,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_stream": q_sessionize_stream,
         "q_asof_click_before_purchase": q_asof_click_before_purchase,
         "q_range_join_clicks_after_purchase": q_range_join_clicks_after_purchase,
+        "q_hypertable_rollup": q_hypertable_rollup,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1586,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sessionize_stream": _Q_SESSION_SQL,
         "q_asof_click_before_purchase": _Q_ASOF_SQL,
         "q_range_join_clicks_after_purchase": _Q_RANGE_JOIN_SQL,
+        "q_hypertable_rollup": _Q_HYPERTABLE_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
