@@ -196,3 +196,22 @@ def test_pdf_writer_parser_roundtrip(spans, compress, tj):
     for g, s in zip(got, spans):
         assert abs(g["x0"] - s["x0"]) <= 0.02, (g, s)
         assert abs(g["y0"] - s["y0"]) <= 0.02, (g, s)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_pdf_parser_never_raises_on_garbage(blob):
+    """Error-branch contract: hostile bytes after the magic may parse to
+    None or to spans, but must never raise (one bad document cannot fail a
+    whole Arrow batch)."""
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import parse_real_pdf
+
+    out = parse_real_pdf(b"%PDF-1.7\n" + blob)
+    assert out is None or isinstance(out, tuple)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_extract_document_never_raises(blob):
+    res = extract_document(blob)
+    assert res.branch in ("html", "pdf", "error")
