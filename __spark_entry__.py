@@ -1161,6 +1161,53 @@ from p order by user_id, purchase_id
 """
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (the training-data dedup of
+    repeated SPANS, not whole documents — Lee et al.'s exact-substring
+    family restated on word windows): per document, how many of its distinct
+    5-gram windows occur in ≥2 documents. Plan: one explode → one shingle
+    count agg → one shuffle back — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct({H.shingles_spark('text', 5)})")
+        ).alias("s"),
+    )
+    dfreq = shingled.groupBy("s").agg(F.count("*").alias("d"))
+    dup_counts = (
+        shingled.join(dfreq.filter(F.col("d") >= 2), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_passages"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_passages", F.lit(0)).alias("n_dup_passages"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_DUP_PASSAGES_SQL = f"""
+with sh as (
+  select distinct doc_id, unnest({H.shingles_duckdb('text', 5)}) as s
+  from documents
+), dfreq as (
+  select s, count(*) as d from sh group by s
+), dup as (
+  select sh.doc_id, cast(count(*) as bigint) as n_dup_passages
+  from sh join dfreq on sh.s = dfreq.s and dfreq.d >= 2
+  group by sh.doc_id
+)
+select documents.doc_id, coalesce(dup.n_dup_passages, 0) as n_dup_passages
+from documents left join dup on documents.doc_id = dup.doc_id
+order by documents.doc_id
+"""
+
+
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate refreshed INCREMENTALLY in two
     phases (history first, then the last day lands — only its date partition
@@ -1575,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_click_before_purchase": q_asof_click_before_purchase,
         "q_range_join_clicks_after_purchase": q_range_join_clicks_after_purchase,
         "q_hypertable_rollup": q_hypertable_rollup,
+        "q_dup_passages": q_dup_passages,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1628,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_click_before_purchase": _Q_ASOF_SQL,
         "q_range_join_clicks_after_purchase": _Q_RANGE_JOIN_SQL,
         "q_hypertable_rollup": _Q_HYPERTABLE_SQL,
+        "q_dup_passages": _Q_DUP_PASSAGES_SQL,
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
