@@ -1075,6 +1075,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(vecs, _query_vec(spark, sf_dir), k=10, nprobe=6)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN scale path (16-byte codes + ADC table scan + exact rerank;
+    rows-only — approximate by design, recall pinned in tests vs the exact
+    baseline)."""
+    _ensure_shipped(spark)
+    vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return S.pq_topk(vecs, _query_vec(spark, sf_dir), k=10, rerank=100)
+
+
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
@@ -1613,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_lsh": q_neardup_lsh,
         "q_cosine_topk_pandas": q_cosine_topk_pandas,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_pq": q_ann_pq,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
         "q_stream_hourly_counts": q_stream_hourly_counts,

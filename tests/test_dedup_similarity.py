@@ -364,3 +364,25 @@ def test_asof_join_semantics(spark):
     assert out[1001] == 9      # inclusive equal-ts match, max tiebreak wins
     assert out[1002] is None   # nothing at or before ts=10
     assert out[2000] is None   # other user's clicks are all later
+
+
+def test_pq_topk_recall(spark, vecs):
+    """PQ+ADC with exact rerank: recall@10 vs brute force stays high even
+    with untrained (pinned random) codebooks; an exact corpus vector used as
+    the query must return itself at rank 1 (rerank is exact cosine)."""
+    base = vecs.filter("vec_id != 0")
+    q = [float(v) for v in vecs.filter("vec_id = 5").first().embedding]
+    exact = [r.vec_id for r in S.topk_cosine(base, q, k=10).collect()]
+    got = S.pq_topk(base, q, k=10, rerank=100).collect()
+    recall = len({r.vec_id for r in got} & set(exact)) / 10
+    assert recall >= 0.7, recall
+    assert got[0].vec_id == 5 and got[0].cosine == 1.0
+
+
+def test_pq_encode_shape_and_determinism(spark, vecs):
+    rows = S.pq_encode(vecs.limit(20)).collect()
+    again = {r.vec_id: r.pq_code for r in S.pq_encode(vecs.limit(20)).collect()}
+    for r in rows:
+        assert len(r.pq_code) == 16
+        assert all(0 <= c < 256 for c in r.pq_code)
+        assert again[r.vec_id] == r.pq_code
