@@ -1170,6 +1170,134 @@ from p order by user_id, purchase_id
 """
 
 
+_STRATA_RATES = {"en": 0.10, "de": 0.30, "es": 0.20, "fr": 0.30, "zh": 0.50}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep-rates applied
+    via the pinned mix hash (K6 seeded-sampling analogue, engine-exact —
+    Spark's sampleBy is partition-order-dependent and could not be
+    oracle-checked). One projection + filter; zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * _KMV_MULT + _KMV_ADD) % H.P
+    expr = F.lit(0.0)
+    for lang, r in _STRATA_RATES.items():
+        expr = F.when(F.col("lang") == lang, F.lit(r)).otherwise(expr)
+    return (
+        docs.withColumn("_h", h)
+        .filter(F.col("_h") < expr * F.lit(float(H.P)))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_oracle_sql() -> str:
+    cases = " ".join(
+        f"when lang = '{lang}' then {r}" for lang, r in _STRATA_RATES.items()
+    )
+    return f"""
+select doc_id, lang from documents
+where (doc_id * {_KMV_MULT} + {_KMV_ADD}) % {H.P}
+      < (case {cases} else 0.0 end) * {float(H.P)}
+order by doc_id
+"""
+
+
+_SEARCH_TERMS = ("data", "query", "table")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the corpus: BM25-shaped scoring of every
+    document for a fixed multi-term query, top 20. Plan: tokenize → filter
+    to the query terms BEFORE any shuffle (postings stay tiny) → per-term tf
+    → per-term document frequency (one small agg) → score → TakeOrdered.
+
+    Engine exactness: idf uses the RATIONAL BM25 core (N - df + 0.5)/(df + 0.5)
+    without the ln wrapper — Java's Math.log and DuckDB's libm log can differ
+    in the last ulp, and ln is monotone so ranking is unchanged; documented
+    deviation, same discipline as the pinned hash family."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)")).alias("term"),
+    )
+    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avg_dl = doc_len.agg(F.avg("dl")).first()[0]
+    hits = toks.filter(F.col("term").isin(list(_SEARCH_TERMS)))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    scored = (
+        tf.join(F.broadcast(df_t.withColumn("idf", idf)), "term")
+        .join(doc_len, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avg_dl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("contrib"))),
+                    F.lit(0.0),
+                ).alias(f"_c{i}")
+                for i, t in enumerate(_SEARCH_TERMS)
+            ]
+        )
+    )
+    # fixed-order addition (floating sum order must match the oracle's)
+    total = F.lit(0.0)
+    for i in range(len(_SEARCH_TERMS)):
+        total = total + F.col(f"_c{i}")
+    scored = scored.select("doc_id", F.round(total, 4).alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+with toks as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '{H.TOKEN_REGEX}')) as term
+  from documents
+), dl as (
+  select doc_id, count(*) as dl from toks group by doc_id
+), stats as (
+  select (select count(*) from documents) as n_docs,
+         (select avg(dl) from dl) as avg_dl
+), tf as (
+  select doc_id, term, count(*) as tf from toks
+  where term in ({terms}) group by doc_id, term
+), dft as (
+  select term, count(*) as df from tf group by term
+)
+, contrib as (
+  select tf.doc_id, tf.term,
+    ((cast(n_docs as double) - df + 0.5) / (df + 0.5))
+    * (tf * ({_BM25_K1} + 1))
+    / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avg_dl)) as c
+  from tf join dft using (term) join dl using (doc_id), stats
+)
+select doc_id,
+  round({" + ".join(
+      f"(0.0 + coalesce(max(case when term = '{t}' then c end), 0.0))"
+      for t in _SEARCH_TERMS
+  )}, 4) as score
+from contrib
+group by doc_id
+order by score desc, doc_id asc
+limit 20
+"""
+
+
 def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-passage detection (the training-data dedup of
     repeated SPANS, not whole documents — Lee et al.'s exact-substring
@@ -1633,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join_clicks_after_purchase": q_range_join_clicks_after_purchase,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_dup_passages": q_dup_passages,
+        "q_bm25_search": q_bm25_search,
+        "q_stratified_sample": q_stratified_sample,
         "q_image_meta": q_image_meta,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
@@ -1687,6 +1817,8 @@ def oracle_sql() -> dict[str, str]:
         "q_range_join_clicks_after_purchase": _Q_RANGE_JOIN_SQL,
         "q_hypertable_rollup": _Q_HYPERTABLE_SQL,
         "q_dup_passages": _Q_DUP_PASSAGES_SQL,
+        "q_bm25_search": _bm25_oracle_sql(),
+        "q_stratified_sample": _stratified_oracle_sql(),
         "q_image_meta": _Q_IMAGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
