@@ -484,30 +484,38 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate (a sketch whose oracle is exact — unlike HLL, whose register
     layout is engine-private). Estimate = (k-1) / u_k where u_k is the k-th
     smallest normalized hash; exact count when the group has ≤ k members.
-    Plan shape: distinct → hash projection → ONE window for the k-th
-    minimum + one count agg — no collect, no full-set materialization."""
-    from pyspark.sql import Window
-
+    Plan shape: distinct → hash projection → TWO-PHASE k-minimum (the same
+    partial/merge shape as topk_cosine_pandas): each (group, partition)
+    slice keeps only its k smallest hashes + a row count, then a final
+    merge over the (partitions × groups) bounded arrays — no global
+    per-group sort of the full distinct set, so a 10^9-user group never
+    sorts 10^9 rows to read position k. The global k-th minimum is always
+    contained in the union of per-partition k-minima, so the value (and
+    the oracle hash) is identical to the single-sort formulation."""
     ev = _t(spark, sf_dir, "events")
     h = (F.col("user_id") * _KMV_MULT + _KMV_ADD) % H.P
     d = ev.select("event_type", "user_id").distinct().withColumn("h", h)
-    w = Window.partitionBy("event_type").orderBy("h")
-    kth = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == _KMV_K)
-        .select("event_type", F.col("h").alias("kth_h"))
+    partial = d.groupBy(
+        "event_type", F.spark_partition_id().alias("_p")
+    ).agg(
+        F.count("*").alias("n_part"),
+        F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("mins"),
     )
-    n = d.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    merged = partial.groupBy("event_type").agg(
+        F.sum("n_part").alias("n_exact"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, _KMV_K
+        ).alias("mins"),
+    )
+    kth_h = F.element_at("mins", _KMV_K)
     est = F.when(
         F.col("n_exact") <= _KMV_K, F.col("n_exact").cast("double")
     ).otherwise(
-        F.lit(float(_KMV_K - 1)) / (F.col("kth_h").cast("double") / F.lit(float(H.P)))
+        F.lit(float(_KMV_K - 1)) / (kth_h.cast("double") / F.lit(float(H.P)))
     )
-    return (
-        n.join(kth, "event_type", "left")
-        .select("event_type", "n_exact", F.round(est, 4).alias("kmv_estimate"))
-        .orderBy("event_type")
-    )
+    return merged.select(
+        "event_type", "n_exact", F.round(est, 4).alias("kmv_estimate")
+    ).orderBy("event_type")
 
 
 _Q_KMV_SQL = f"""
@@ -900,14 +908,39 @@ order by user_id, session_seq
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative connected components over MinHash-LSH candidate pairs —
-    dup-cluster resolution (NOT SQL-expressible: iterative fixpoint;
-    rows-only driver check, exactness pytest-verified vs scalar union-find)."""
+    """Iterative connected components (pointer-jumping min-label fixpoint)
+    over the PINNED-HASH MinHash-LSH candidate pairs — dup-cluster
+    resolution, the step after LSH in a real dedup pipeline. Spark runs the
+    iterative algorithm; the oracle expresses the same fixpoint as a DuckDB
+    recursive CTE (reachability → min reachable id per node), so this is
+    hash-exact, not rows-only. The xxhash64 fast-variant pairs stay covered
+    by q_minhash_lsh_fast's pytest recall/exactness tier."""
     from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_candidates_fast(docs, shingle_n=3)
+    pairs = D.minhash_lsh_candidates(docs, shingle_n=3)
     return connected_components(pairs).orderBy("id")
+
+
+def _dup_clusters_sql() -> str:
+    # min-label connected components as a recursive CTE: reach(id, r) =
+    # "r is reachable from id"; component = min(r). The pair table is the
+    # SAME pinned-hash LSH SQL the q_minhash_lsh_candidates oracle uses.
+    pairs = _minhash_lsh_sql()
+    return f"""
+with recursive pairs as ({pairs}),
+edges as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b as src, id_a as dst from pairs
+),
+reach(id, r) as (
+  select src, src from edges
+  union
+  select e.src, reach.r from edges e join reach on e.dst = reach.id
+)
+select id, min(r) as component from reach group by id order by id
+"""
 
 
 def q_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,56 +1243,68 @@ _BM25_B = 0.75
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword retrieval over the corpus: BM25-shaped scoring of every
-    document for a fixed multi-term query, top 20. Plan: tokenize → filter
-    to the query terms BEFORE any shuffle (postings stay tiny) → per-term tf
-    → per-term document frequency (one small agg) → score → TakeOrdered.
+    document for a fixed multi-term query, top 20.
+
+    Plan — the tokenize is the dominant cost at corpus scale, so it runs
+    EXACTLY ONCE: a single projection computes each doc's length and the
+    per-query-term tf straight off the token array (``size``/``filter``
+    higher-order functions — no explode, no shuffle), and that tiny
+    (doc_id, dl, tf…) frame is persisted. Corpus stats (n_docs, avg_dl,
+    per-term df) are ONE 1-row aggregate over it, folded back into the
+    scoring pass as a broadcast cross join — zero driver-side actions in
+    the build path.
 
     Engine exactness: idf uses the RATIONAL BM25 core (N - df + 0.5)/(df + 0.5)
     without the ln wrapper — Java's Math.log and DuckDB's libm log can differ
-    in the last ulp, and ln is monotone so ranking is unchanged; documented
-    deviation, same discipline as the pinned hash family."""
+    in the last ulp. Documented deviation: dropping ln rescales the per-term
+    contributions relative to each other, so with a multi-term query the
+    top-20 ranking is that of rational-idf BM25 and MAY differ from log-idf
+    BM25 (ln is monotone per term, not across a sum); the oracle computes
+    the identical rational formula, so cross-engine parity is exact."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.expr(f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)")).alias("term"),
-    )
-    doc_len = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avg_dl = doc_len.agg(F.avg("dl")).first()[0]
-    hits = toks.filter(F.col("term").isin(list(_SEARCH_TERMS)))
-    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    scored = (
-        tf.join(F.broadcast(df_t.withColumn("idf", idf)), "term")
-        .join(doc_len, "doc_id")
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (_BM25_K1 + 1))
-            / (
-                F.col("tf")
-                + _BM25_K1
-                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avg_dl)))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
+    toks = f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)"
+    per_doc = D._persist(
+        docs.select(
+            "doc_id",
+            F.expr(f"size({toks})").cast("long").alias("dl"),
             *[
-                F.coalesce(
-                    F.max(F.when(F.col("term") == t, F.col("contrib"))),
-                    F.lit(0.0),
-                ).alias(f"_c{i}")
+                F.expr(f"size(filter({toks}, t -> t = '{t}'))")
+                .cast("long")
+                .alias(f"tf_{i}")
                 for i, t in enumerate(_SEARCH_TERMS)
-            ]
+            ],
         )
     )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_SEARCH_TERMS))
+        ],
+    )
+    matched = per_doc.filter(
+        " or ".join(f"tf_{i} > 0" for i in range(len(_SEARCH_TERMS)))
+    ).crossJoin(F.broadcast(stats))
     # fixed-order addition (floating sum order must match the oracle's)
     total = F.lit(0.0)
     for i in range(len(_SEARCH_TERMS)):
-        total = total + F.col(f"_c{i}")
-    scored = scored.select("doc_id", F.round(total, 4).alias("score"))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        contrib = (
+            idf
+            * (F.col(f"tf_{i}") * (_BM25_K1 + 1))
+            / (
+                F.col(f"tf_{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl"))
+            )
+        )
+        total = total + F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(F.lit(0.0))
+    return (
+        matched.select("doc_id", F.round(total, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
 
 
 def _bm25_oracle_sql() -> str:
@@ -1303,13 +1348,18 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated SPANS, not whole documents — Lee et al.'s exact-substring
     family restated on word windows): per document, how many of its distinct
     5-gram windows occur in ≥2 documents. Plan: one explode → one shingle
-    count agg → one shuffle back — never all-pairs."""
+    count agg → one shuffle back — never all-pairs. The shingled frame
+    feeds both the document-frequency agg and the join, so it is persisted
+    (dedup-module discipline) — the expensive array_distinct(shingles)
+    projection runs ONCE, not once per consumer."""
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"array_distinct({H.shingles_spark('text', 5)})")
-        ).alias("s"),
+    shingled = D._persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"array_distinct({H.shingles_spark('text', 5)})")
+            ).alias("s"),
+        )
     )
     dfreq = shingled.groupBy("s").agg(F.count("*").alias("d"))
     dup_counts = (
@@ -1807,7 +1857,11 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh_candidates": _minhash_lsh_sql(),
         "q_simhash": _Q_SIMHASH_SQL,
         "q_ngram_jaccard": _ngram_jaccard_sql(),
+        "q_dup_clusters": _dup_clusters_sql(),
         "q_cosine_topk": _Q_COSTOPK_SQL,
+        # exact brute force with numpy accumulation: same math as
+        # q_cosine_topk, 6-dp rounding absorbs the summation-order ulps
+        "q_cosine_topk_pandas": _Q_COSTOPK_SQL,
         "q_cosine_threshold_pairs": _Q_COSPAIRS_SQL,
         "q_stream_hourly_counts": _Q_STREAM_SQL,
         "q_stream_hourly_counts_append": _Q_STREAM_SQL,

@@ -54,6 +54,14 @@ def _cap_hot_keys(
     single count action doubles as the log line: the repo's no-silent-caps
     rule. ``df`` must already be persisted by the caller (it is, at every
     call site) so the counting pass doesn't recompute the pipeline.
+
+    EAGER ACTION NOTE: that count() runs at DataFrame-CONSTRUCTION time, so
+    merely building a capped operator (minhash_lsh_candidates /
+    simhash_near_pairs / ngram_jaccard_pairs) triggers Spark jobs and
+    registers persists in _LIVE_PERSISTS until release_persisted() /
+    unpersist_deps() is called. Callers that construct plans they may never
+    execute should be aware they still pay this pass; the repo's own
+    terminal paths (gate, bench, tests) always execute-then-release.
     """
     if cap is None:
         return df
@@ -82,6 +90,15 @@ def _cap_hot_keys(
 # usually hold a WRAPPER (e.g. operator_result.orderBy(...)) that no longer
 # carries the attribute. Long-lived sessions (driver gate, bench loop) call
 # release_persisted() after each terminal action.
+#
+# SINGLE-THREADED ASSUMPTION (documented, relied upon): this registry is
+# module-global and shared across all queries in a session. It is correct
+# for the sequential build-run-release pattern the driver gate / bench /
+# pytest use; if two queries ever interleave on one session, a
+# release_persisted() issued after query A would also yank persists query B
+# still needs (B then silently recomputes — correct, but the cache win is
+# lost). Concurrent callers should use unpersist_deps(df) per result frame
+# instead of the global release.
 _LIVE_PERSISTS: list[DataFrame] = []
 
 

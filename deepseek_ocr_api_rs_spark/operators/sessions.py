@@ -80,10 +80,14 @@ def connected_components(
 
     Loop-state discipline: label frames are persisted and replaced each
     round, and ``localCheckpoint()`` every ``checkpoint_every`` rounds cuts
-    the plan lineage (otherwise the DAG grows linearly and re-evaluates from
-    scratch on executor loss). On exhaustion without convergence the result
-    would be silently WRONG, so ``strict=True`` raises; ``strict=False``
-    logs a warning and returns the partial labels.
+    the plan LINEAGE so the optimizer doesn't re-analyze a linearly growing
+    DAG each round. Note localCheckpoint is NOT fault-tolerant — blocks
+    live on executors and cannot be recomputed after executor loss (lineage
+    is truncated), so a lost executor fails the job; a cluster deployment
+    that needs executor-loss resilience should set a checkpoint dir and use
+    reliable ``checkpoint()`` here instead. On exhaustion without
+    convergence the result would be silently WRONG, so ``strict=True``
+    raises; ``strict=False`` logs a warning and returns the partial labels.
     """
     import logging
 
