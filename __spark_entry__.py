@@ -1561,6 +1561,32 @@ from documents order by doc_id
 """
 
 
+def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel path (P1/P2, vision/resample.rs): doc_id-seeded gradient
+    PNGs → full raster decode (zlib inflate + scanline unfilter) → the
+    reference's 22-bit fixed-point bicubic resize → PNG re-encode, all in
+    one Arrow map stage. The bicubic is not SQL-expressible → rows-only
+    driver check; byte-exactness is pinned by tests/test_raster.py goldens
+    and the scalar-vs-vectorized parity tier. The sha2 column makes any
+    pixel change visible in the output."""
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        resize_png_payloads,
+        synthesize_gradient_pngs,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = resize_png_payloads(synthesize_gradient_pngs(docs), max_side=32)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.sha2("resized", 256).alias("resized_sha"),
+    ).orderBy("doc_id")
+
+
 def q_unbase64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 data-URL decode (crates/server/src/generation.rs:276-290): strict
     base64 payload → bytes → text, as pure built-ins. The base64 column is
@@ -1814,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": q_bm25_search,
         "q_stratified_sample": q_stratified_sample,
         "q_image_meta": q_image_meta,
+        "q_png_resize": q_png_resize,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
         "q_markdown_polish": q_markdown_polish,

@@ -1,0 +1,322 @@
+"""Real raster work, stdlib + numpy only: PNG pixel decode and the
+reference's fixed-point bicubic resize.
+
+PNG decode (``decode_png_pixels``): chunk walk, concatenated-IDAT zlib
+inflate, and scanline UNFILTERING (filters 0-4: None/Sub/Up/Average/Paeth,
+PNG spec §9 / RFC 2083) — no image library involved. Supported: 8-bit
+greyscale (0), truecolor (2), palette (3), grey+alpha (4) and RGBA (6),
+non-interlaced; everything else returns None (caller falls back to
+header-only metadata). Output is always an (h, w, 3) uint8 RGB array —
+alpha is dropped, grey broadcast, palette looked up — matching how the
+reference converts every load to RGB8 before preprocessing
+(crates/infer-deepseek/src/vision/preprocess.rs uses RgbImage throughout).
+
+Bicubic resize (``resize_bicubic``): a 1:1 restatement of the reference's
+fixed-point separable resampler (crates/infer-deepseek/src/vision/
+resample.rs:1-160, itself Pillow's algorithm): a=-0.5 kernel, per-output-
+pixel float64 coefficient rows normalized then quantized to int32 at 22-bit
+precision, i64 accumulation seeded with the rounding bias, arithmetic-shift
+clip8 — horizontal pass then vertical pass. Integer accumulation makes the
+result bit-exact and association-order-independent, so the numpy
+vectorization below and a scalar loop produce identical bytes (pinned by
+tests/test_raster.py).
+
+The PNG scanline unfilter doubles as the FlateDecode /Predictor 10-15
+decoder for real-PDF streams (extraction/pdf_real.py) — same algorithm per
+the PDF 32000 §7.4.4.4 reference to PNG filtering.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PRECISION_BITS = 22
+PRECISION_SCALE = float(1 << PRECISION_BITS)
+ROUNDING_BIAS = 1 << (PRECISION_BITS - 1)
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# PNG scanline unfiltering (shared: PNG pixel decode + PDF stream predictors)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def unfilter_scanlines(data: bytes, rowlen: int, bpp: int) -> bytes | None:
+    """Reverse PNG per-row filtering: ``data`` is rows of
+    (1 filter byte + ``rowlen`` payload bytes); ``bpp`` is the byte distance
+    to the corresponding byte of the pixel to the left (≥1). Returns the
+    concatenated unfiltered rows, or None on malformed input.
+
+    Row filters per PNG spec §9: 0 None, 1 Sub (left), 2 Up, 3 Average
+    (floor((left+up)/2)), 4 Paeth. Sub is a cumulative sum mod 256 along
+    the row (vectorized); Average/Paeth need the just-computed left byte so
+    they run as per-byte loops — rows are short (≤ a few KB) and this path
+    is exactness-critical, not throughput-critical.
+    """
+    stride = rowlen + 1
+    if rowlen <= 0 or len(data) < stride or len(data) % stride != 0:
+        return None
+    n_rows = len(data) // stride
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(n_rows, stride)
+    out = np.zeros((n_rows, rowlen), dtype=np.uint8)
+    for y in range(n_rows):
+        ftype = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(rowlen, np.int64)
+        if ftype == 0:
+            out[y] = row.astype(np.uint8)
+        elif ftype == 1:  # Sub: cumsum mod 256 per left-offset lane
+            res = row.copy()
+            for lane in range(bpp):
+                res[lane::bpp] = np.cumsum(row[lane::bpp]) % 256
+            out[y] = res.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = ((row + prev) % 256).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for x in range(rowlen):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(row[x]) + (left + int(prev[x])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for x in range(rowlen):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(out[y - 1, x - bpp]) if (x >= bpp and y > 0) else 0
+                cur[x] = (int(row[x]) + _paeth(a, b, c)) % 256
+        else:
+            return None
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel decode
+
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """Full PNG pixel decode → (h, w, 3) uint8 RGB, or None if the payload
+    is not a PNG this decoder supports (non-8-bit depth, interlaced, or
+    malformed). stdlib zlib + the shared scanline unfilter; never raises."""
+    try:
+        if not payload or not payload.startswith(PNG_MAGIC):
+            return None
+        pos = len(PNG_MAGIC)
+        width = height = -1
+        bit_depth = color_type = interlace = -1
+        idat = bytearray()
+        palette: bytes | None = None
+        n = len(payload)
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                if length < 13:
+                    return None
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data[:13])
+                )
+            elif ctype == b"PLTE":
+                palette = bytes(data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if width <= 0 or height <= 0 or bit_depth != 8 or interlace != 0:
+            return None
+        channels = _CHANNELS.get(color_type)
+        if channels is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        rowlen = width * channels
+        flat = unfilter_scanlines(raw, rowlen, channels)
+        if flat is None:
+            return None
+        img = np.frombuffer(flat, dtype=np.uint8).reshape(height, width, channels)
+        if color_type == 2:
+            return img.copy()
+        if color_type == 6:
+            return img[:, :, :3].copy()
+        if color_type == 0:
+            return np.repeat(img, 3, axis=2)
+        if color_type == 4:
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        if color_type == 3:
+            if palette is None or len(palette) % 3:
+                return None
+            lut = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            idx = img[:, :, 0]
+            if int(idx.max(initial=0)) >= lut.shape[0]:
+                return None
+            return lut[idx]
+        return None
+    except Exception:
+        return None
+
+
+def encode_png_rgb(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → valid truecolor PNG (filter 0 rows, one IDAT)."""
+    h, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-point bicubic resize (resample.rs transliteration)
+
+
+def _round_half_towards_zero(value: float) -> int:
+    import math
+
+    if value >= 0.0:
+        return int(math.floor(value + 0.5))
+    return int(math.ceil(value + 0.5))
+
+
+def _bicubic_kernel(value: float) -> float:
+    a = -0.5
+    x = abs(value)
+    if x < 1.0:
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    if x < 2.0:
+        return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return 0.0
+
+
+def compute_resample_coeffs(
+    input_size: int, output_size: int
+) -> list[tuple[int, np.ndarray]]:
+    """Per-output-index (xmin, int32 coefficient row) — resample.rs
+    compute_resample_coeffs with identical float64 math, normalization and
+    int32 quantization (truncate-toward-zero after ±0.5 bias, as Rust's
+    ``as i32`` does)."""
+    scale = input_size / output_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    out: list[tuple[int, np.ndarray]] = []
+    ss = 1.0 / filterscale
+    for out_index in range(output_size):
+        center = (out_index + 0.5) * scale
+        xmin = _round_half_towards_zero(center - support)
+        if xmin < 0:
+            xmin = 0
+        xmax = _round_half_towards_zero(center + support)
+        if xmax > input_size:
+            xmax = input_size
+        if xmin >= input_size:
+            xmin = max(input_size - 1, 0)
+        if xmax <= xmin:
+            xmax = xmin + 1
+        length = xmax - xmin
+        weights = [
+            _bicubic_kernel((xmin + i - center + 0.5) * ss) for i in range(length)
+        ]
+        total = sum(weights)
+        if total != 0.0:
+            weights = [w / total for w in weights]
+        coeffs = np.empty(length, dtype=np.int32)
+        for i, v in enumerate(weights):
+            coeffs[i] = int(
+                (-0.5 + v * PRECISION_SCALE)
+                if v < 0.0
+                else (0.5 + v * PRECISION_SCALE)
+            )
+        out.append((xmin, coeffs))
+    return out
+
+
+def resize_bicubic(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Fixed-point separable bicubic resize of an (h, w, 3) uint8 image —
+    bit-exact restatement of resample.rs resize_bicubic: horizontal pass to
+    (src_h, dst_w) u8, then vertical pass to (dst_h, dst_w) u8, each output
+    byte = clip((Σ src*coeff_int + ROUNDING_BIAS) >> 22, 0, 255). All-int64
+    accumulation ⇒ the numpy matmul order cannot change the result."""
+    if width <= 0 or height <= 0:
+        return np.zeros((max(height, 0), max(width, 0), 3), dtype=np.uint8)
+    src_h, src_w, _ = img.shape
+    cx = compute_resample_coeffs(src_w, width)
+    cy = compute_resample_coeffs(src_h, height)
+
+    src = img.astype(np.int64)
+    horizontal = np.empty((src_h, width, 3), dtype=np.uint8)
+    for dst_x, (start, coeffs) in enumerate(cx):
+        seg = src[:, start : start + len(coeffs), :]  # (src_h, len, 3)
+        acc = np.tensordot(seg, coeffs.astype(np.int64), axes=([1], [0]))
+        horizontal[:, dst_x, :] = np.clip(
+            (acc + ROUNDING_BIAS) >> PRECISION_BITS, 0, 255
+        ).astype(np.uint8)
+
+    hsrc = horizontal.astype(np.int64)
+    output = np.empty((height, width, 3), dtype=np.uint8)
+    for dst_y, (start, coeffs) in enumerate(cy):
+        seg = hsrc[start : start + len(coeffs), :, :]  # (len, dst_w, 3)
+        acc = np.tensordot(coeffs.astype(np.int64), seg, axes=([0], [0]))
+        output[dst_y, :, :] = np.clip(
+            (acc + ROUNDING_BIAS) >> PRECISION_BITS, 0, 255
+        ).astype(np.uint8)
+    return output
+
+
+def resize_bicubic_scalar(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Direct per-pixel scalar transliteration of resample.rs (loops, no
+    numpy reductions) — the parity witness for the vectorized path."""
+    if width <= 0 or height <= 0:
+        return np.zeros((max(height, 0), max(width, 0), 3), dtype=np.uint8)
+    src_h, src_w, _ = img.shape
+    cx = compute_resample_coeffs(src_w, width)
+    cy = compute_resample_coeffs(src_h, height)
+
+    def clip8(v: int) -> int:
+        return min(max(v >> PRECISION_BITS, 0), 255)
+
+    horizontal = np.zeros((src_h, width, 3), dtype=np.uint8)
+    for y in range(src_h):
+        for dst_x, (start, coeffs) in enumerate(cx):
+            for c in range(3):
+                acc = ROUNDING_BIAS
+                for i, wgt in enumerate(coeffs):
+                    acc += int(img[y, start + i, c]) * int(wgt)
+                horizontal[y, dst_x, c] = clip8(acc)
+    output = np.zeros((height, width, 3), dtype=np.uint8)
+    for dst_y, (start, coeffs) in enumerate(cy):
+        for dst_x in range(width):
+            for c in range(3):
+                acc = ROUNDING_BIAS
+                for i, wgt in enumerate(coeffs):
+                    acc += int(horizontal[start + i, dst_x, c]) * int(wgt)
+                output[dst_y, dst_x, c] = clip8(acc)
+    return output

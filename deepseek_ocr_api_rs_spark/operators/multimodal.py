@@ -6,11 +6,14 @@ over ``mapInPandas``.
 
 The image HEADER decode is REAL (stdlib struct/zlib — PNG IHDR, JPEG SOF
 marker scan, GIF logical screen descriptor), mirroring the reference's real
-image loads (crates/server/src/generation.rs:276-305). Full pixel decode /
-resample / FFT still require libraries absent from this container and stay
-stubbed behind ``real_decode_stub`` — the Spark-side plumbing (schema,
-batching, partitioning, UDF signature) is real and tested either way, which
-is the part that has to hold at 100 TB.
+image loads (crates/server/src/generation.rs:276-305). PNG payloads also
+get a REAL PIXEL path: full raster decode (extraction.raster — zlib inflate
++ scanline unfilter) and the reference's 22-bit fixed-point bicubic resize
+(crates/infer-deepseek/src/vision/resample.rs) in ``resize_png_payloads``.
+JPEG/GIF pixel decode and audio FFT still require libraries absent from
+this container and stay stubbed behind ``real_decode_stub`` — the
+Spark-side plumbing (schema, batching, partitioning, UDF signature) is real
+and tested either way, which is the part that has to hold at 100 TB.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -130,12 +134,16 @@ def _decode_dims_batch(
 
 
 def real_decode_stub(payload: bytes) -> tuple[int, int, str]:
-    """Placeholder for a real PIXEL decode (full raster, not just headers).
-    Kept separate so the pipeline shape doesn't change when a real library
-    lands."""
+    """Placeholder for a real PIXEL decode of JPEG/GIF payloads (entropy
+    decoding needs an image library this container lacks). PNG pixel decode
+    is NO LONGER stubbed — extraction.raster.decode_png_pixels does the full
+    inflate+unfilter raster, and resize_png_payloads below runs the
+    reference's fixed-point bicubic on it. Kept separate so the pipeline
+    shape doesn't change when a JPEG/GIF decoder lands."""
     raise NotImplementedError(
-        "pixel decoding requires an image library not present in this "
-        "container; production deployments plug a decoder in here"
+        "JPEG/GIF pixel decoding requires an image library not present in "
+        "this container; production deployments plug a decoder in here "
+        "(PNG payloads take the real path in resize_png_payloads)"
     )
 
 
@@ -252,6 +260,106 @@ def resize_images(
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(binary_col).alias(binary_col)
     ).mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
+PNG_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def synthesize_gradient_pngs(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 64, max_h: int = 48
+) -> DataFrame:
+    """doc_id → real PNG with deterministic NON-TRIVIAL pixels (a doc_id-
+    seeded gradient), so a downstream pixel decode/resize bug actually
+    changes bytes — unlike the all-black synthesize_image_payloads PNGs."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepseek_ocr_api_rs_spark.extraction.raster import encode_png_rgb
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w, h = int(d % max_w + 8), int(d % max_h + 8)
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (x * 7 + y * 3 + d) % 256,
+                        (x * 2 + y * 11 + d * 5) % 256,
+                        (x * 13 + y * 5 + d * 9) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_png_rgb(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
+    )
+
+
+def resize_png_payloads(
+    docs: DataFrame,
+    max_side: int = 32,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """The REAL pixel path (P1/P2, resample.rs): full PNG raster decode
+    (stdlib zlib + scanline unfilter), target dims by the min-side-ratio
+    rule with banker's rounding, the reference's 22-bit fixed-point bicubic
+    resample, PNG re-encode. Arrow-batched mapInPandas — a map-only stage,
+    no shuffle; the per-image work is integer numpy. Non-PNG payloads (or
+    unsupported PNG variants) pass through with resized = null and out dims
+    from the header/fallback rule — never raises (extraction error-branch
+    discipline)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepseek_ocr_api_rs_spark.extraction.raster import (
+            decode_png_pixels,
+            encode_png_rgb,
+            resize_bicubic,
+        )
+
+        for pdf in batches:
+            _, w_arr, h_arr, _mode = _decode_dims_batch(list(pdf[binary_col]))
+            scale = np.minimum(
+                max_side / np.maximum(w_arr, 1), max_side / np.maximum(h_arr, 1)
+            )
+            scale = np.minimum(scale, 1.0)
+            # banker's rounding — the P1 round_ties_to_even rule, floor 1px
+            ow_arr = np.maximum(np.rint(w_arr * scale), 1).astype(np.int32)
+            oh_arr = np.maximum(np.rint(h_arr * scale), 1).astype(np.int32)
+            resized = []
+            for payload, ow, oh in zip(pdf[binary_col], ow_arr, oh_arr):
+                img = decode_png_pixels(bytes(payload) if payload is not None else b"")
+                if img is None:
+                    resized.append(None)
+                else:
+                    resized.append(
+                        encode_png_rgb(resize_bicubic(img, int(ow), int(oh)))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "width": w_arr,
+                    "height": h_arr,
+                    "out_width": ow_arr,
+                    "out_height": oh_arr,
+                    "resized": resized,
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(binary_col).alias(binary_col)
+    ).mapInPandas(process, schema=PNG_RESIZE_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = StructType(

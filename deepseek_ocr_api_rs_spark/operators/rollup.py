@@ -4,19 +4,31 @@ are recomputed (TimescaleDB continuous-aggregate / materialized-view-refresh
 pattern, restated on parquet partitions + dynamic partition overwrite).
 
 Scale shape: the refresh never rescans history. Changed dates are found by
-comparing per-date input row counts against the previous manifest (one
-pruned aggregate over the scan), the recompute filters the input to those
-dates (partition/predicate pushdown does the skipping), and
+comparing a per-date CONTENT FINGERPRINT — (row count, bit_xor of xxhash64
+over the full row struct) — against the previous manifest (one pruned
+aggregate over the scan; xor is order-independent so the fingerprint is
+partitioning-stable). The recompute filters the input to the changed dates
+(partition/predicate pushdown does the skipping), and
 ``partitionOverwriteMode=dynamic`` swaps ONLY the affected date directories
 atomically-per-partition — the Iceberg-snapshot-append analogue available on
-plain parquet. Same job-granularity resume idea as operators.checkpoint
-(reference KV-cache incrementality, crates/core/src/cache.rs:78-116).
+plain parquet. Dates present in the previous manifest but absent from the
+input are treated as retractions: their partitions are deleted. Same
+job-granularity resume idea as operators.checkpoint (reference KV-cache
+incrementality, crates/core/src/cache.rs:78-116).
+
+Detection limits (documented, not silent): the xor-of-hashes fingerprint
+misses a change only if the multiset delta xors to zero AND the row count is
+unchanged — i.e. replacing a row with a row of identical content (a no-op)
+or an engineered xxhash64 collision. In-place value updates and
+insert+delete pairs that keep the count constant ARE detected (they change
+the xor), which the previous count-only manifest missed.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,43 +48,68 @@ def _hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def _per_date_fingerprints(events: DataFrame) -> dict[str, dict]:
+    """One pruned aggregate: {date: {"n": rows, "fp": xor of row hashes}}.
+
+    The row hash covers EVERY input column, so any value change flips the
+    xor; the count guards the (pair-cancelling) duplicate-row edge of xor.
+    """
+    row_hash = F.xxhash64(*[F.col(c) for c in events.columns])
+    rows = (
+        events.groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count("*").alias("n"), F.bit_xor(row_hash).alias("fp"))
+        .collect()
+    )
+    return {str(r.date): {"n": r.n, "fp": r.fp} for r in rows}
+
+
 def refresh_hourly_rollup(
     spark: SparkSession, events: DataFrame, out_dir: str
 ) -> dict:
     """Refresh the rollup at ``out_dir`` from the current ``events`` table.
 
-    Returns {"refreshed_dates": [...], "skipped_dates": n} — the caller (and
-    tests) can verify no-change dates were not recomputed. Never silent: the
-    returned accounting IS the log.
+    Returns {"refreshed_dates": [...], "skipped_dates": n,
+    "deleted_dates": [...]} — the caller (and tests) can verify no-change
+    dates were not recomputed and retracted dates were dropped. Never
+    silent: the returned accounting IS the log.
     """
     manifest_path = os.path.join(out_dir, "_rollup_manifest.json")
-    prev: dict[str, int] = {}
+    prev: dict[str, dict] = {}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            prev = json.load(f)
+            loaded = json.load(f)
+        # migrate the legacy count-only manifest: unknown fp ⇒ treated as
+        # changed on the next refresh (safe: recompute, never skip)
+        prev = {
+            d: (v if isinstance(v, dict) else {"n": v, "fp": None})
+            for d, v in loaded.items()
+        }
 
-    per_date = {
-        str(r.date): r.n
-        for r in events.groupBy(F.to_date("ts").alias("date"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    changed = sorted(d for d, n in per_date.items() if prev.get(d) != n)
+    per_date = _per_date_fingerprints(events)
+    changed = sorted(d for d, v in per_date.items() if prev.get(d) != v)
+    deleted = sorted(d for d in prev if d not in per_date)
+    rollup_dir = os.path.join(out_dir, "rollup")
     if changed:
         subset = events.filter(F.to_date("ts").isin(changed))
-        writer = (
+        (
             _hourly_rollup(subset)
             .repartition("date")
             .write.mode("overwrite")
             .partitionBy("date")
             .option("partitionOverwriteMode", "dynamic")
+            .parquet(rollup_dir)
         )
-        writer.parquet(os.path.join(out_dir, "rollup"))
+    for d in deleted:
+        part_dir = os.path.join(rollup_dir, f"date={d}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+    if changed or deleted:
         with open(manifest_path, "w") as f:
             json.dump(per_date, f)
     return {
         "refreshed_dates": changed,
         "skipped_dates": len(per_date) - len(changed),
+        "deleted_dates": deleted,
     }
 
 

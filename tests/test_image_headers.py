@@ -108,3 +108,54 @@ def test_fallback_for_text_payloads(spark):
     rows = {r.doc_id: r for r in image_metadata(df).collect()}
     assert rows[1].mode == "RGB" and rows[1].width == 17 % 640 + 1
     assert rows[2].mode == "EMPTY" and rows[2].n_bytes == 0
+
+
+def test_resize_png_payloads_real_pixels_via_spark(spark):
+    """Spark path of the real pixel pipeline: gradient PNG → raster decode →
+    fixed-point bicubic → re-encoded PNG whose bytes equal the same chain
+    run scalar-side (driver) — full engine/driver byte parity."""
+    import hashlib
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        decode_png_pixels,
+        encode_png_rgb,
+        resize_bicubic,
+    )
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        resize_png_payloads,
+        synthesize_gradient_pngs,
+    )
+
+    base = spark.range(20).select(F.col("id").alias("doc_id"))
+    payload_rows = {r.doc_id: bytes(r.payload) for r in synthesize_gradient_pngs(base).collect()}
+    got = {r.doc_id: r for r in resize_png_payloads(synthesize_gradient_pngs(base), max_side=16).collect()}
+    assert len(got) == 20
+    for d, r in got.items():
+        img = decode_png_pixels(payload_rows[d])
+        assert img is not None and img.shape == (r.height, r.width, 3)
+        scale = min(16 / r.width, 16 / r.height, 1.0)
+        assert r.out_width == max(int(np.rint(r.width * scale)), 1)
+        assert r.out_height == max(int(np.rint(r.height * scale)), 1)
+        expected = encode_png_rgb(resize_bicubic(img, r.out_width, r.out_height))
+        assert bytes(r.resized) == expected, f"doc {d}: byte mismatch"
+        # and the resized payload is itself a decodable PNG of the right dims
+        back = decode_png_pixels(bytes(r.resized))
+        assert back is not None and back.shape == (r.out_height, r.out_width, 3)
+
+
+def test_resize_png_payloads_non_png_passthrough(spark):
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        make_jpeg_bytes,
+        resize_png_payloads,
+    )
+
+    df = spark.createDataFrame(
+        [(1, make_jpeg_bytes(40, 20)), (2, b"not an image"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in resize_png_payloads(df, max_side=16).collect()}
+    assert rows[1].resized is None and rows[1].width == 40  # header decoded
+    assert rows[2].resized is None and rows[3].resized is None

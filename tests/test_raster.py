@@ -1,0 +1,199 @@
+"""Raster tier: PNG pixel decode (stdlib zlib + scanline unfilter) and the
+reference's fixed-point bicubic resize (crates/infer-deepseek/src/vision/
+resample.rs) — numpy-vectorized vs scalar-transliteration parity plus pinned
+byte-exact goldens."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from deepseek_ocr_api_rs_spark.extraction.raster import (
+    PNG_MAGIC,
+    decode_png_pixels,
+    encode_png_rgb,
+    resize_bicubic,
+    resize_bicubic_scalar,
+    unfilter_scanlines,
+)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7 + y * 3) % 256, (x * 2 + y * 11) % 256, (x * 13 + y * 5) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, color_type, channels, raw_rows, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(raw_rows))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scanline filters
+
+
+def _apply_filter(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
+    """Forward PNG filter (spec §9) — the inverse of unfilter_scanlines."""
+    n = len(cur)
+    out = bytearray([ftype])
+    for x in range(n):
+        a = int(cur[x - bpp]) if x >= bpp else 0
+        b = int(prev[x])
+        c = int(prev[x - bpp]) if x >= bpp else 0
+        if ftype == 0:
+            v = int(cur[x])
+        elif ftype == 1:
+            v = (int(cur[x]) - a) % 256
+        elif ftype == 2:
+            v = (int(cur[x]) - b) % 256
+        elif ftype == 3:
+            v = (int(cur[x]) - (a + b) // 2) % 256
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = (int(cur[x]) - pred) % 256
+        out.append(v)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_unfilter_inverts_each_filter(ftype):
+    rng = _gradient(6, 10).reshape(6, 30)  # 6 rows of 30 bytes, bpp=3
+    filtered = b"".join(
+        _apply_filter(
+            ftype, rng[y], rng[y - 1] if y > 0 else np.zeros(30, np.uint8), 3
+        )
+        for y in range(6)
+    )
+    got = unfilter_scanlines(filtered, 30, 3)
+    assert got == rng.tobytes()
+
+
+def test_unfilter_mixed_filters_per_row():
+    rng = _gradient(5, 8).reshape(5, 24)
+    ftypes = [0, 1, 2, 3, 4]
+    filtered = b"".join(
+        _apply_filter(
+            ftypes[y], rng[y], rng[y - 1] if y > 0 else np.zeros(24, np.uint8), 3
+        )
+        for y in range(5)
+    )
+    assert unfilter_scanlines(filtered, 24, 3) == rng.tobytes()
+
+
+def test_unfilter_rejects_malformed():
+    assert unfilter_scanlines(b"", 10, 3) is None
+    assert unfilter_scanlines(b"\x00" * 7, 10, 3) is None  # not a multiple
+    assert unfilter_scanlines(b"\x09" + b"\x00" * 10, 10, 3) is None  # bad type
+
+
+# ---------------------------------------------------------------------------
+# PNG decode
+
+
+def test_png_rgb_roundtrip():
+    img = _gradient(30, 40)
+    assert (decode_png_pixels(encode_png_rgb(img)) == img).all()
+
+
+def test_png_grayscale_broadcasts():
+    g = (np.arange(12, dtype=np.uint8) * 5).reshape(3, 4)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+    got = decode_png_pixels(_png(4, 3, 0, 1, raw))
+    assert got.shape == (3, 4, 3)
+    assert (got == g[:, :, None]).all()
+
+
+def test_png_rgba_drops_alpha():
+    img = _gradient(3, 4)
+    rgba = np.concatenate([img, np.full((3, 4, 1), 7, np.uint8)], axis=2)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    got = decode_png_pixels(_png(4, 3, 6, 4, raw))
+    assert (got == img).all()
+
+
+def test_png_palette_lookup():
+    lut = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    got = decode_png_pixels(_png(2, 2, 3, 1, raw, extra=_chunk(b"PLTE", lut.tobytes())))
+    assert (got == lut[idx]).all()
+
+
+def test_png_decode_never_raises_on_garbage():
+    for payload in [b"", b"\x89PNG", PNG_MAGIC + b"\x00" * 3, b"GIF89a", None,
+                    PNG_MAGIC + b"\xff" * 64]:
+        assert decode_png_pixels(payload) is None
+
+
+def test_png_unsupported_returns_none():
+    img = _gradient(2, 2)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(2))
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    assert decode_png_pixels(bad) is None
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    assert decode_png_pixels(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# fixed-point bicubic (resample.rs parity)
+
+
+GOLDEN_HASHES = {
+    (17, 11): "3977d6b41e5602d6",
+    (80, 64): "f9ce2fc7fc39ff28",  # upscale
+    (40, 30): "9f8186af18763214",  # same-size (goes through the kernel)
+    (1, 1): "38c4d90c15493d92",
+}
+
+
+@pytest.mark.parametrize("dims", sorted(GOLDEN_HASHES))
+def test_resize_vectorized_equals_scalar_and_golden(dims):
+    img = _gradient(30, 40)
+    tw, th = dims
+    v = resize_bicubic(img, tw, th)
+    s = resize_bicubic_scalar(img, tw, th)
+    assert v.shape == (th, tw, 3)
+    assert (v == s).all(), "numpy path diverges from scalar transliteration"
+    assert hashlib.sha256(v.tobytes()).hexdigest()[:16] == GOLDEN_HASHES[dims]
+
+
+def test_resize_identity_is_exact():
+    # at scale 1.0 the a=-0.5 kernel is 1 at offset 0 and 0 at ±1 — the
+    # fixed-point pipeline must reproduce the input byte-for-byte
+    img = _gradient(30, 40)
+    assert (resize_bicubic(img, 40, 30) == img).all()
+
+
+def test_resize_deterministic_across_runs():
+    img = _gradient(12, 9)
+    a = resize_bicubic(img, 5, 7)
+    b = resize_bicubic(img.copy(), 5, 7)
+    assert (a == b).all()

@@ -51,3 +51,71 @@ def test_incremental_refresh_touches_only_changed_dates(spark, tmp_path):
     rep4 = refresh_hourly_rollup(spark, late, out)
     assert rep4["refreshed_dates"] == [str(dates[0])]
     _assert_equals_batch(spark, read_rollup(spark, out), late)
+
+
+def test_in_place_update_with_constant_count_is_detected(spark, tmp_path):
+    """The count-only manifest missed value changes that keep per-date row
+    counts constant; the content fingerprint (xor of row hashes) catches
+    them."""
+    out = str(tmp_path / "agg")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    refresh_hourly_rollup(spark, events, out)
+
+    d0 = events.select(F.min(F.to_date("ts")).alias("d")).first().d
+    # same rows, same counts everywhere — but every value on day d0 doubled
+    updated = events.withColumn(
+        "value",
+        F.when(F.to_date("ts") == F.lit(d0), F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    rep = refresh_hourly_rollup(spark, updated, out)
+    assert rep["refreshed_dates"] == [str(d0)]
+    _assert_equals_batch(spark, read_rollup(spark, out), updated)
+
+
+def test_removed_date_partition_is_deleted(spark, tmp_path):
+    """A date present in the previous manifest but absent from the input is
+    a retraction: its partition must disappear from read_rollup, not linger
+    stale."""
+    import os
+
+    out = str(tmp_path / "agg")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    refresh_hourly_rollup(spark, events, out)
+
+    d0 = events.select(F.min(F.to_date("ts")).alias("d")).first().d
+    remaining = events.filter(F.to_date("ts") != F.lit(d0))
+    rep = refresh_hourly_rollup(spark, remaining, out)
+    assert rep["deleted_dates"] == [str(d0)]
+    assert rep["refreshed_dates"] == []  # surviving dates untouched
+    assert not os.path.isdir(os.path.join(out, "rollup", f"date={d0}"))
+    _assert_equals_batch(spark, read_rollup(spark, out), remaining)
+
+    # idempotent: re-running with the same input changes nothing
+    rep2 = refresh_hourly_rollup(spark, remaining, out)
+    assert rep2["refreshed_dates"] == [] and rep2["deleted_dates"] == []
+
+
+def test_legacy_count_only_manifest_migrates(spark, tmp_path):
+    """An old {date: count} manifest is treated as fp-unknown: every date
+    recomputes once (safe direction), then fingerprints take over."""
+    import json
+    import os
+
+    out = str(tmp_path / "agg")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    refresh_hourly_rollup(spark, events, out)
+
+    # rewrite the manifest in the legacy count-only format
+    path = os.path.join(out, "_rollup_manifest.json")
+    with open(path) as f:
+        m = json.load(f)
+    with open(path, "w") as f:
+        json.dump({d: v["n"] for d, v in m.items()}, f)
+
+    rep = refresh_hourly_rollup(spark, events, out)
+    assert sorted(rep["refreshed_dates"]) == sorted(m.keys())
+    rep2 = refresh_hourly_rollup(spark, events, out)
+    assert rep2["refreshed_dates"] == []
+    _assert_equals_batch(spark, read_rollup(spark, out), events)
