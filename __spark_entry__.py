@@ -536,12 +536,17 @@ order by n.event_type
 
 def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-PDF roundtrip through the extraction operator: documents.text →
-    one span per word (first 40) → ``make_pdf_bytes`` (genuine PDF: object
-    structure, xref, alternating Flate-compressed/uncompressed streams) →
-    the extraction pdf branch (object scan → zlib FlateDecode → BT/ET
-    text-operator interpretation → column/reading-order assembly,
+    one span per word (first 40) → a genuine PDF container, ALTERNATING
+    DIALECTS per doc_id: classic (xref table, literal latin-1 strings,
+    Flate-or-raw streams — ``make_pdf_bytes``) and modern third-party
+    (xref STREAM + PNG predictor, ObjStm page tree, indirect /Length, hex
+    UTF-16BE text via /ToUnicode CMap, plus a decoy stale object only
+    xref-driven resolution survives — ``make_pdf_bytes_modern``) → the
+    extraction pdf branch (xref/objstm resolution → FlateDecode+predictor →
+    BT/ET interpretation → column/reading-order assembly,
     extraction/pdf_real.py + pdf_spans.py). The oracle is the same words
-    joined by newlines — any parser/layout bug breaks the value hash."""
+    joined by newlines — any parser/layout bug in EITHER dialect breaks
+    the value hash."""
     from deepseek_ocr_api_rs_spark.operators.extract import extract_documents
 
     _ensure_shipped(spark)
@@ -560,7 +565,10 @@ def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
-        from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+            make_pdf_bytes,
+            make_pdf_bytes_modern,
+        )
 
         for pdf in batches:
             payloads = []
@@ -577,9 +585,13 @@ def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                     for i, w in enumerate(words)
                 ]
-                payloads.append(
-                    make_pdf_bytes(spans, compress=bool(int(doc_id) % 2 == 0))
-                )
+                d = int(doc_id)
+                if d % 2 == 1:
+                    payloads.append(make_pdf_bytes_modern(spans))
+                else:
+                    payloads.append(
+                        make_pdf_bytes(spans, compress=bool(d % 4 == 0))
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     pages = docs.mapInPandas(gen, "doc_id long, payload binary").select(
@@ -1587,6 +1599,73 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_grounding_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grounding-box artifact sink (the golden capture's result_with_boxes
+    rendering, scripts/capture_baseline.py:763-781): doc_id-seeded gradient
+    PNG + markdown planting three <|ref|>/<|det|> tags → box outlines drawn
+    on the raster (numpy) → PNG artifact. Rows-only (pixel drawing isn't
+    SQL); byte behavior pinned by tests/test_grounding.py incl. Spark↔scalar
+    byte equality."""
+    from deepseek_ocr_api_rs_spark.operators.grounding import grounded_artifacts
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        synthesize_gradient_pngs,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    md = F.concat(
+        F.lit("<|ref|>title<|/ref|><|det|>[[0, 0, 999, 99]]<|/det|> doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            " <|ref|>figure<|/ref|>"
+            "<|det|>[[100, 200, 499, 599], [600, 600, 899, 899]]<|/det|>"
+        ),
+    )
+    # markdown is a pure function of doc_id → project it onto the synth
+    # frame (zero shuffles; a join here would exchange both sides for
+    # nothing)
+    payloads = synthesize_gradient_pngs(docs).withColumn("markdown", md)
+    return (
+        grounded_artifacts(payloads)
+        .select(
+            "doc_id",
+            "n_boxes",
+            F.sha2("artifact", 256).alias("artifact_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path: doc_id-seeded genuine RIFF/WAVE PCM synthesis →
+    stdlib chunk-walk parse → numpy rfft → dominant-bin frequency. The
+    fundamental sits EXACTLY on FFT bin 64 + (doc_id%32)·8, so the
+    dominant frequency equals bin·rate/n with zero leakage — doc_id
+    arithmetic the oracle recomputes exactly (bin width 8000/2048 =
+    3.90625 Hz is exact binary). A parser or FFT bug breaks the hash."""
+    from deepseek_ocr_api_rs_spark.operators.audio import (
+        audio_spectral_features,
+        synthesize_wav_payloads,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        audio_spectral_features(synthesize_wav_payloads(docs))
+        .select("doc_id", "sample_rate", "n_samples", "dominant_hz")
+        .orderBy("doc_id")
+    )
+
+
+_Q_AUDIO_SQL = """
+select doc_id,
+  cast(8000 as int) as sample_rate,
+  cast(2048 as bigint) as n_samples,
+  (64 + (doc_id % 32) * 8) * 3.90625 as dominant_hz
+from documents order by doc_id
+"""
+
+
 def q_unbase64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 data-URL decode (crates/server/src/generation.rs:276-290): strict
     base64 payload → bytes → text, as pure built-ins. The base64 column is
@@ -1841,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_image_meta": q_image_meta,
         "q_png_resize": q_png_resize,
+        "q_grounding_boxes": q_grounding_boxes,
+        "q_audio_spectrum": q_audio_spectrum,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
         "q_markdown_polish": q_markdown_polish,
@@ -1901,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_search": _bm25_oracle_sql(),
         "q_stratified_sample": _stratified_oracle_sql(),
         "q_image_meta": _Q_IMAGE_SQL,
+        "q_audio_spectrum": _Q_AUDIO_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -101,6 +101,12 @@ _HEADLINE_QUERIES = [
     "q_extract_normalize",
     "q_pdf_real_roundtrip",
     "q_stream_click_purchase_join",
+    # round-3 additions: the de-recomputed text-retrieval/dedup plans and
+    # the real-pixel path
+    "q_bm25_search",
+    "q_dup_passages",
+    "q_kmv_distinct_users",
+    "q_png_resize",
 ]
 
 

@@ -1,21 +1,29 @@
-"""Real-PDF text extraction, stdlib only (re + zlib).
+"""Real-PDF text extraction, stdlib only (re + zlib; numpy for predictor
+row unfiltering via extraction.raster).
 
 The reference's whole purpose is decoding REAL documents — the CLI loads
 real image/PDF inputs (crates/cli/src/app.rs:116-122) and the server decodes
 data-URL / fetched payloads (crates/server/src/generation.rs:263-305). This
 module gives the PDF branch that "real input" contract: it parses actual PDF
-syntax — object scan, FlateDecode content streams via stdlib ``zlib``, and a
-BT/ET text-operator interpreter (Tj/TJ/Td/TD/TL/T*/Tm/Tf/'/") — and emits
-the same positioned-span dicts the layout operator (``pdf_spans.ordered_spans``)
-already consumes. Page geometry: PDF y grows upward from the bottom-left, so
-spans are flipped to top-down reading coordinates using the page MediaBox.
+syntax — xref-table and xref-stream driven object resolution (regex scan as
+fallback), FlateDecode with /Predictor 2/10-15 row filters, direct AND
+indirect /Length, /Type /ObjStm compressed object streams, /ToUnicode CMap
+text decoding (bfchar/bfrange, UTF-16BE), and a BT/ET text-operator
+interpreter (Tj/TJ/Td/TD/TL/T*/Tm/'/") — and emits the same positioned-span
+dicts the layout operator (``pdf_spans.ordered_spans``) already consumes.
+Page geometry: PDF y grows upward from the bottom-left, so spans are flipped
+to top-down reading coordinates using the page MediaBox.
 
-Scope (documented, not silent): direct-value /Length or endstream-scan,
-FlateDecode only (the one filter stdlib can do), latin-1 text strings,
-no CMap/ToUnicode (fixture PDFs use standard encodings), glyph widths
-estimated at 0.5 em (column detection needs centers + gaps, not exact
-metrics). ``make_pdf_bytes`` is the inverse: assembles a real, readable
-PDF (optionally Flate-compressed) from span dicts for fixtures and tests.
+Remaining scope limits (documented, not silent): FlateDecode is the only
+decompression filter (the one stdlib can do — no LZW/DCT/CCITT), CMap
+codespaces wider than 2 bytes fall back to identity, encrypted PDFs are not
+supported, glyph widths estimated at 0.5 em (column detection needs centers
++ gaps, not exact metrics). ``make_pdf_bytes`` is the inverse: assembles a
+real, readable classic-dialect PDF (xref table, literal strings) from span
+dicts; ``make_pdf_bytes_modern`` assembles the PDF 1.5+ dialect third-party
+writers emit (xref STREAM with PNG predictor, ObjStm'd page tree, indirect
+/Length, Identity-H hex UTF-16BE text with a ToUnicode CMap) so the parser
+is proven against more than its own classic writer.
 """
 
 from __future__ import annotations
@@ -27,12 +35,15 @@ DEFAULT_PAGE_WIDTH = 612.0
 DEFAULT_PAGE_HEIGHT = 792.0
 CHAR_WIDTH_EM = 0.5  # estimated average glyph advance, in units of font size
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.DOTALL)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_OBJ_AT_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
-# direct /Length only: the integer must be followed by the next dict token
+# direct /Length: the integer must be followed by the next dict token
 # ("/" key or ">>"), which excludes indirect "/Length N G R" references —
 # a bare negative lookahead backtracks into matching a digit prefix.
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\s*[/>]")
+_LENGTH_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
+_INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[[^\]]*?/FlateDecode\b)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -40,55 +51,295 @@ _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
 _PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_W_RE = re.compile(rb"/W\s*\[([^\]]*)\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 
 _WHITESPACE = b" \t\r\n\f\x00"
 _DELIMS = b"()<>[]{}/%"
 
 
-def _extract_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """Scan ``N G obj ... endobj`` spans → {obj_num: (head_bytes, stream|None)}.
+def _scan_int_objects(data: bytes) -> dict[int, int]:
+    """{obj_num: value} for bare-integer objects (indirect /Length targets)."""
+    return {int(m.group(1)): int(m.group(2)) for m in _INT_OBJ_RE.finditer(data)}
 
-    The stream payload is sliced by direct /Length when present (exact, safe
-    for binary Flate data), else by scanning to ``endstream``.
+
+def _resolve_length(head: bytes, int_objs: dict[int, int] | None) -> int | None:
+    lm = _LENGTH_RE.search(head)
+    if lm is not None:
+        return int(lm.group(1))
+    im = _LENGTH_INDIRECT_RE.search(head)
+    if im is not None and int_objs:
+        return int_objs.get(int(im.group(1)))
+    return None
+
+
+def _parse_object_at(
+    data: bytes, pos: int, int_objs: dict[int, int] | None
+) -> tuple[int, bytes, bytes | None, int] | None:
+    """Parse one ``N G obj ... endobj`` starting at ``pos`` (leading
+    whitespace allowed) → (num, head, stream|None, end_pos), or None.
+
+    Stream slicing priority: direct /Length (exact, safe for binary Flate
+    data) → indirect /Length resolved via the bare-int object table →
+    endstream scan as the last resort.
     """
+    m = _OBJ_AT_RE.match(data, pos)
+    if m is None:
+        return None
+    num = int(m.group(1))
+    body_start = m.end()
+    endobj = data.find(b"endobj", body_start)
+    sm = _STREAM_START_RE.search(
+        data, body_start, endobj if endobj >= 0 else len(data)
+    )
+    if sm is None:
+        if endobj < 0:
+            return None
+        return (num, data[body_start:endobj], None, endobj + 6)
+    head = data[body_start : sm.start()]
+    length = _resolve_length(head, int_objs)
+    if length is not None and length >= 0:
+        start = sm.end()
+        stream = data[start : start + length]
+        end = data.find(b"endobj", start + length)
+        return (num, head, stream, end + 6 if end >= 0 else len(data))
+    es = data.find(b"endstream", sm.end())
+    stream = data[sm.end() : es if es >= 0 else len(data)].rstrip(b"\r\n")
+    end = data.find(b"endobj", es if es >= 0 else sm.end())
+    return (num, head, stream, end + 6 if end >= 0 else len(data))
+
+
+def _extract_objects(
+    data: bytes, int_objs: dict[int, int] | None = None
+) -> dict[int, tuple[bytes, bytes | None]]:
+    """Linear regex scan of every ``N G obj ... endobj`` span →
+    {obj_num: (head_bytes, stream|None)}. Later occurrences win (the
+    incremental-update convention); xref-resolved objects override this
+    scan entirely in parse_real_pdf."""
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     pos = 0
     while True:
-        m = _OBJ_RE.search(data, pos)
+        m = _OBJ_HEAD_RE.search(data, pos)
         if m is None:
             break
-        num, body = int(m.group(1)), m.group(3)
-        sm = _STREAM_START_RE.search(body)
-        if sm is None:
-            objs[num] = (body, None)
+        parsed = _parse_object_at(data, m.start(), int_objs)
+        if parsed is None:
             pos = m.end()
             continue
-        head = body[: sm.start()]
-        lm = _LENGTH_RE.search(head)
-        if lm is not None:
-            start = m.start(3) + sm.end()
-            stream = data[start : start + int(lm.group(1))]
-            # resume the object scan after this stream's real end — the
-            # non-greedy .*? may have stopped at a fake "endobj" inside
-            # compressed bytes, so re-anchor past `endstream`.
-            end = data.find(b"endobj", start + int(lm.group(1)))
-            pos = end + 6 if end >= 0 else len(data)
-        else:
-            es = body.find(b"endstream", sm.end())
-            stream = body[sm.end() : es if es >= 0 else len(body)]
-            stream = stream.rstrip(b"\r\n")
-            pos = m.end()
+        num, head, stream, end = parsed
         objs[num] = (head, stream)
+        pos = max(end, m.end())
     return objs
+
+
+def _apply_predictor(head: bytes, data: bytes) -> bytes | None:
+    """Reverse a /DecodeParms /Predictor transform on inflated stream data.
+
+    Predictor 2 = TIFF horizontal differencing (8-bit components only);
+    10-15 = PNG row filters (per PDF 32000 §7.4.4.4 every row carries its
+    own filter byte, so all PNG predictors share one decoder — the same
+    scanline unfilter the raster module uses for real PNGs).
+    """
+    pm = _PRED_RE.search(head)
+    if pm is None:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    cm = _COLUMNS_RE.search(head)
+    columns = int(cm.group(1)) if cm else 1
+    om = _COLORS_RE.search(head)
+    colors = int(om.group(1)) if om else 1
+    bm = _BPC_RE.search(head)
+    bpc = int(bm.group(1)) if bm else 8
+    bpp = max((colors * bpc + 7) // 8, 1)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:
+        if bpc != 8 or rowlen <= 0 or len(data) % rowlen:
+            return None
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for x in range(bpp, rowlen):
+                out[r + x] = (out[r + x] + out[r + x - bpp]) % 256
+        return bytes(out)
+    if 10 <= pred <= 15:
+        from deepseek_ocr_api_rs_spark.extraction.raster import unfilter_scanlines
+
+        return unfilter_scanlines(data, rowlen, bpp)
+    return None
 
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
     if _FLATE_RE.search(head):
         try:
-            return zlib.decompress(stream)
+            data = zlib.decompress(stream)
         except zlib.error:
             return None
+        return _apply_predictor(head, data)
     return stream
+
+
+# ---------------------------------------------------------------------------
+# cross-reference resolution (classic tables + /Type /XRef streams)
+
+
+_XREF_SEC_RE = re.compile(rb"[ \t\r\n]*(\d+)\s+(\d+)[ \t]*\r?\n")
+_XREF_ENT_RE = re.compile(rb"[ \t\r\n]*(\d{10})\s+(\d{5})\s+([nf])")
+
+
+def _parse_xref_table(
+    data: bytes, pos: int
+) -> tuple[dict[int, int], int | None]:
+    """Classic ``xref`` table at ``pos`` → ({obj: offset}, /Prev offset)."""
+    pos += 4  # past "xref"
+    offsets: dict[int, int] = {}
+    while True:
+        sm = _XREF_SEC_RE.match(data, pos)
+        if sm is None:
+            break
+        start, count = int(sm.group(1)), int(sm.group(2))
+        pos = sm.end()
+        ok = True
+        for i in range(count):
+            em = _XREF_ENT_RE.match(data, pos)
+            if em is None:
+                ok = False
+                break
+            if em.group(3) == b"n" and start + i > 0:
+                offsets[start + i] = int(em.group(1))
+            pos = em.end()
+        if not ok:
+            break
+    prev = None
+    tpos = data.find(b"trailer", pos)
+    if 0 <= tpos < pos + 64:
+        pm = _PREV_RE.search(data, tpos, tpos + 2048)
+        if pm is not None:
+            prev = int(pm.group(1))
+    return offsets, prev
+
+
+def _parse_xref_stream(
+    data: bytes, pos: int, int_objs: dict[int, int] | None
+) -> tuple[dict[int, int], dict[int, tuple[int, int]], int | None]:
+    """/Type /XRef stream at ``pos`` → ({obj: offset} for type-1 entries,
+    {obj: (objstm, idx)} for type-2 entries, /Prev offset). PDF 32000
+    §7.5.8: binary rows of /W-sized big-endian fields, usually Flate +
+    PNG-predictor encoded."""
+    parsed = _parse_object_at(data, pos, int_objs)
+    if parsed is None:
+        return {}, {}, None
+    _num, head, stream, _end = parsed
+    if stream is None or not _XREF_TYPE_RE.search(head):
+        return {}, {}, None
+    content = _decode_stream(head, stream)
+    if content is None:
+        return {}, {}, None
+    wm = _W_RE.search(head)
+    if wm is None:
+        return {}, {}, None
+    try:
+        w = [int(x) for x in wm.group(1).split()]
+    except ValueError:
+        return {}, {}, None
+    if len(w) < 3 or any(x < 0 for x in w[:3]):
+        return {}, {}, None
+    w0, w1, w2 = w[:3]
+    rowlen = w0 + w1 + w2
+    if rowlen == 0:
+        return {}, {}, None
+    pairs: list[tuple[int, int]] = []
+    im = _INDEX_RE.search(head)
+    if im is not None:
+        try:
+            ints = [int(x) for x in im.group(1).split()]
+            pairs = list(zip(ints[0::2], ints[1::2]))
+        except ValueError:
+            pairs = []
+    if not pairs:
+        sm = _SIZE_RE.search(head)
+        if sm is None:
+            return {}, {}, None
+        pairs = [(0, int(sm.group(1)))]
+    offsets: dict[int, int] = {}
+    in_stream: dict[int, tuple[int, int]] = {}
+    p = 0
+    for start, count in pairs:
+        for i in range(count):
+            row = content[p : p + rowlen]
+            p += rowlen
+            if len(row) < rowlen:
+                break
+            ftype = int.from_bytes(row[:w0], "big") if w0 else 1
+            f1 = int.from_bytes(row[w0 : w0 + w1], "big")
+            f2 = int.from_bytes(row[w0 + w1 :], "big")
+            if ftype == 1:
+                offsets[start + i] = f1
+            elif ftype == 2:
+                in_stream[start + i] = (f1, f2)
+    pm = _PREV_RE.search(head)
+    return offsets, in_stream, (int(pm.group(1)) if pm else None)
+
+
+def _xref_objects(
+    data: bytes, int_objs: dict[int, int] | None
+) -> tuple[dict[int, tuple[bytes, bytes | None]], set[int]]:
+    """Objects resolved via the startxref chain. Returns (objects,
+    objstm_members): ``objects`` are top-level (type-1) objects parsed at
+    their recorded offsets; ``objstm_members`` are object numbers the xref
+    declares as living INSIDE an object stream (type-2) — those override
+    any same-numbered top-level scan hit when the ObjStms are expanded.
+
+    The newest section (the one startxref points to) wins; /Prev sections
+    only contribute entries not already seen — the incremental-update rule.
+    """
+    last = None
+    for last in _STARTXREF_RE.finditer(data):
+        pass
+    if last is None:
+        return {}, set()
+    offsets: dict[int, int] = {}
+    members: set[int] = set()
+    off = int(last.group(1))
+    seen: set[int] = set()
+    for _ in range(64):  # chain guard against /Prev cycles
+        if off in seen or not (0 <= off < len(data)):
+            break
+        seen.add(off)
+        ws = off
+        while ws < len(data) and data[ws : ws + 1] in _WHITESPACE:
+            ws += 1
+        if data[ws : ws + 4] == b"xref":
+            sec, prev = _parse_xref_table(data, ws)
+            instream: dict[int, tuple[int, int]] = {}
+        else:
+            sec, instream, prev = _parse_xref_stream(data, ws, int_objs)
+        for n, o in sec.items():
+            offsets.setdefault(n, o)
+        for n in instream:
+            if n not in offsets:
+                members.add(n)
+        if prev is None:
+            break
+        off = prev
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, o in offsets.items():
+        parsed = _parse_object_at(data, o, int_objs)
+        if parsed is not None and parsed[0] == num:
+            objs[num] = (parsed[1], parsed[2])
+    return objs, members
 
 
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
@@ -97,13 +348,18 @@ _INT_RE = re.compile(rb"\d+")
 
 def _expand_object_streams(
     objs: dict[int, tuple[bytes, bytes | None]],
+    authoritative: set[int] | None = None,
 ) -> None:
     """Inline objects stored inside /Type /ObjStm compressed object streams
     (PDF 1.5+ — modern writers put page/catalog DICTS there, so a parser
     without this sees no page tree at all). Layout per PDF 32000 §7.5.7:
     /N pairs of (objnum, offset) ints, then the objects back to back
     starting at /First. Contained objects are dict-only (no streams).
-    Existing top-level objects win on number collision."""
+    Existing top-level objects win on number collision UNLESS the xref
+    chain declared the number as objstm-resident (``authoritative``) —
+    then the stream copy is the real one and any same-numbered top-level
+    scan hit (stale or decoy) is overridden."""
+    force = authoritative or set()
     for num in list(objs):
         head, stream = objs[num]
         if stream is None or not _OBJSTM_RE.search(head):
@@ -121,8 +377,12 @@ def _expand_object_streams(
         for i, (objnum, off) in enumerate(pairs):
             end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
             body = data[first + off : first + end]
-            if objnum not in objs:
+            if objnum not in objs or objnum in force:
                 objs[objnum] = (body, None)
+
+
+# ---------------------------------------------------------------------------
+# content-stream tokenizer + text decoding
 
 
 def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
@@ -230,16 +490,151 @@ def _tokenize(content: bytes):
             i = j
 
 
-def _decode_text(raw: bytes) -> str:
-    return raw.decode("latin-1")
+# ---------------------------------------------------------------------------
+# /ToUnicode CMaps (PDF 32000 §9.10.3)
 
 
-def _page_spans(content: bytes, page: int, page_height: float) -> list[dict]:
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+_BF_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BF_RANGE_ARR_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]"
+)
+_BF_RANGE_SCALAR_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+)
+_HEX_ITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16_char(dst_hex: bytes, k: int = 0) -> str:
+    """UTF-16BE target hex → str, with the bfrange increment applied to the
+    LAST code unit (the spec's 'last byte incremented' rule lifted to the
+    16-bit unit, the convention real writers follow)."""
+    b = bytes.fromhex(dst_hex.decode("ascii"))
+    if len(b) % 2:
+        b = b"\x00" + b
+    if k and len(b) >= 2:
+        last = (int.from_bytes(b[-2:], "big") + k) & 0xFFFF
+        b = b[:-2] + last.to_bytes(2, "big")
+    return b.decode("utf-16-be", "replace")
+
+
+class _CMap:
+    """code → str mapping with lazily-evaluated bfranges (an identity
+    bfrange <0000><FFFF><0000> must NOT materialize 65536 dict entries per
+    document)."""
+
+    __slots__ = ("code_len", "chars", "ranges")
+
+    def __init__(self, code_len: int, chars: dict[int, str],
+                 ranges: list[tuple[int, int, bytes]]):
+        self.code_len = code_len
+        self.chars = chars
+        self.ranges = ranges
+
+    def lookup(self, code: int) -> str:
+        ch = self.chars.get(code)
+        if ch is not None:
+            return ch
+        for lo, hi, dst_hex in self.ranges:
+            if lo <= code <= hi:
+                return _utf16_char(dst_hex, code - lo)
+        # identity fallback — Identity-H et al. without explicit mapping
+        return chr(code) if code < 0x110000 else "�"
+
+
+def _parse_cmap(cm: bytes) -> _CMap | None:
+    csm = _CODESPACE_RE.search(cm)
+    code_len = len(csm.group(1)) // 2 if csm else 2
+    if code_len < 1 or code_len > 2:
+        return None  # wider codespaces out of scope (documented)
+    chars: dict[int, str] = {}
+    ranges: list[tuple[int, int, bytes]] = []
+    for body in _BFCHAR_RE.findall(cm):
+        for src, dst in _BF_PAIR_RE.findall(body):
+            chars[int(src, 16)] = _utf16_char(dst)
+    for body in _BFRANGE_RE.findall(cm):
+        consumed: list[tuple[int, int]] = []
+        for m in _BF_RANGE_ARR_RE.finditer(body):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            for k, dst in enumerate(_HEX_ITEM_RE.findall(m.group(3))):
+                if lo + k <= hi:
+                    chars[lo + k] = _utf16_char(dst)
+            consumed.append((m.start(), m.end()))
+        for m in _BF_RANGE_SCALAR_RE.finditer(body):
+            # skip scalar matches that fall inside an array entry
+            if any(s <= m.start() < e for s, e in consumed):
+                continue
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if hi >= lo:
+                ranges.append((lo, hi, m.group(3)))
+    return _CMap(code_len, chars, ranges)
+
+
+def _page_fonts(
+    objs: dict[int, tuple[bytes, bytes | None]], page_head: bytes
+) -> dict[str, _CMap]:
+    """Resolve the page's /Resources /Font dict (direct or indirect) →
+    {resource name: CMap} for fonts carrying a /ToUnicode stream. Fonts
+    without one decode as latin-1 (the classic-writer path)."""
+    res = page_head
+    rm = _RESOURCES_REF_RE.search(page_head)
+    if rm is not None:
+        ref = objs.get(int(rm.group(1)))
+        if ref is not None:
+            res = ref[0]
+    fm = _FONT_DICT_RE.search(res)
+    if fm is None:
+        return {}
+    fonts: dict[str, _CMap] = {}
+    for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
+        fobj = objs.get(int(ref))
+        if fobj is None:
+            continue
+        tm = _TOUNICODE_RE.search(fobj[0])
+        if tm is None:
+            continue
+        cmobj = objs.get(int(tm.group(1)))
+        if cmobj is None or cmobj[1] is None:
+            continue
+        cm_data = _decode_stream(cmobj[0], cmobj[1])
+        if cm_data is None:
+            continue
+        cmap = _parse_cmap(cm_data)
+        if cmap is not None:
+            fonts[name.decode("latin-1")] = cmap
+    return fonts
+
+
+def _decode_text(raw: bytes, cmap: _CMap | None = None) -> str:
+    if cmap is None:
+        return raw.decode("latin-1")
+    step = cmap.code_len
+    n = len(raw)
+    out: list[str] = []
+    i = 0
+    while i + step <= n:
+        out.append(cmap.lookup(int.from_bytes(raw[i : i + step], "big")))
+        i += step
+    if i < n:  # trailing partial code: latin-1 salvage
+        out.append(raw[i:].decode("latin-1"))
+    return "".join(out)
+
+
+def _page_spans(
+    content: bytes,
+    page: int,
+    page_height: float,
+    fonts: dict[str, _CMap] | None = None,
+) -> list[dict]:
     """Interpret one page's content stream(s) → positioned span dicts.
 
     Text state machine per PDF 32000 §9.4: line matrix updated by Td/TD/Tm/T*,
     glyph cursor advanced after each show operator so consecutive Tj on one
-    line land on the same quantized visual line with increasing x.
+    line land on the same quantized visual line with increasing x. Shown
+    strings are decoded through the current font's ToUnicode CMap when one
+    exists, latin-1 otherwise.
     """
     spans: list[dict] = []
     stack: list[tuple] = []
@@ -248,6 +643,7 @@ def _page_spans(content: bytes, page: int, page_height: float) -> list[dict]:
     leading = 0.0
     line_x = line_y = 0.0  # line matrix origin
     cur_x = cur_y = 0.0  # glyph cursor
+    cur_cmap: _CMap | None = None
 
     def nums(k: int) -> list[float]:
         vals = [v for t, v in stack if t == "num"]
@@ -294,6 +690,10 @@ def _page_spans(content: bytes, page: int, page_height: float) -> list[dict]:
             v = nums(1)
             if v:
                 font_size = v[0]
+            if fonts:
+                names = [v2 for t2, v2 in stack if t2 == "name"]
+                if names:
+                    cur_cmap = fonts.get(names[-1])
         elif op == "TL":
             v = nums(1)
             if v:
@@ -318,12 +718,12 @@ def _page_spans(content: bytes, page: int, page_height: float) -> list[dict]:
                 newline()
             raws = [v for t, v in stack if t == "str"]
             if raws:
-                emit(_decode_text(raws[-1]))
+                emit(_decode_text(raws[-1], cur_cmap))
         elif op == "TJ":
             arrs = [v for t, v in stack if t == "arr"]
             if arrs:
                 text = "".join(
-                    _decode_text(v) for t, v in arrs[-1] if t == "str"
+                    _decode_text(v, cur_cmap) for t, v in arrs[-1] if t == "str"
                 )
                 kern = sum(
                     -v / 1000.0 * font_size for t, v in arrs[-1] if t == "num"
@@ -346,11 +746,19 @@ def _mediabox(head: bytes, fallback: tuple[float, float]) -> tuple[float, float]
 
 def parse_real_pdf(data: bytes) -> tuple[float, list[dict]] | None:
     """Real PDF bytes → (page_width, spans) in ``pdf_spans`` layout format,
-    or None if no page structure / text is recoverable (→ error branch)."""
-    objs = _extract_objects(data)
+    or None if no page structure / text is recoverable (→ error branch).
+
+    Object resolution order: linear regex scan as the robust base, then the
+    startxref chain (classic tables + xref streams) OVERLAYS it — xref-
+    recorded offsets are authoritative, so stale same-numbered copies or
+    decoy bytes elsewhere in the file cannot shadow the live object."""
+    int_objs = _scan_int_objects(data)
+    objs = _extract_objects(data, int_objs)
+    xobjs, objstm_members = _xref_objects(data, int_objs)
+    objs.update(xobjs)
     if not objs:
         return None
-    _expand_object_streams(objs)
+    _expand_object_streams(objs, authoritative=objstm_members)
     pages_nodes = sorted(
         n for n, (h, _) in objs.items() if _PAGES_TYPE_RE.search(h)
     )
@@ -378,6 +786,7 @@ def parse_real_pdf(data: bytes) -> tuple[float, list[dict]] | None:
         cm = _CONTENTS_RE.search(head)
         if cm is None:
             continue
+        fonts = _page_fonts(objs, head)
         content = b""
         for ref in (int(x) for x in _REF_RE.findall(cm.group(1))):
             if ref not in objs:
@@ -388,18 +797,43 @@ def parse_real_pdf(data: bytes) -> tuple[float, list[dict]] | None:
             decoded = _decode_stream(chead, cstream)
             if decoded is not None:
                 content += decoded + b"\n"
-        spans.extend(_page_spans(content, page_idx, h))
+        spans.extend(_page_spans(content, page_idx, h, fonts))
     if not spans:
         return None
     return (page_width or DEFAULT_PAGE_WIDTH, spans)
 
 
 # ---------------------------------------------------------------------------
-# writer — fixtures/tests assemble real PDFs from the same span dicts
+# writers — fixtures/tests assemble real PDFs from the same span dicts
 
 
 def _escape_literal(text: str) -> str:
     return text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def _span_ops(s: dict, height: float, utf16: bool = False) -> list[str]:
+    """Content-stream operator lines for one span (shared by both writers).
+
+    Per-span font size is derived from the span's own bbox width so the
+    parser's 0.5-em width estimate reproduces (x0, x1) — geometry
+    round-trips and column detection sees the same centers."""
+    text = str(s["text"])
+    if not text:
+        return []
+    x0, y0 = float(s["x0"]), float(s["y0"])
+    x1 = float(s.get("x1", x0 + CHAR_WIDTH_EM * 11.0 * len(text)))
+    size = (x1 - x0) / (CHAR_WIDTH_EM * len(text))
+    size = min(max(size, 1.0), 100.0)
+    y_pdf = height - y0 - size  # parser emits y0 = H - cur_y - size
+    lines = [f"/F1 {size:.4f} Tf", f"1 0 0 1 {x0:.2f} {y_pdf:.4f} Tm"]
+    if utf16:
+        hexes = "".join(
+            f"{min(ord(c), 0xFFFF):04X}" for c in text
+        )
+        lines.append(f"<{hexes}> Tj")
+    else:
+        lines.append(f"({_escape_literal(text)}) Tj")
+    return lines
 
 
 def make_pdf_bytes(
@@ -409,12 +843,10 @@ def make_pdf_bytes(
     compress: bool = False,
     use_tj_every: int = 0,
 ) -> bytes:
-    """Assemble a real single/multi-page PDF from top-down span dicts.
-
-    Per-span font size is derived from the span's own bbox width so the
-    parser's 0.5-em width estimate reproduces (x0, x1) — geometry round-trips
-    and column detection sees the same centers. ``use_tj_every=k`` writes
-    every k-th span as a split TJ array (kerning-path coverage).
+    """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
+    span dicts: uncompressed dicts, classic xref table, literal strings.
+    ``use_tj_every=k`` writes every k-th span as a split TJ array
+    (kerning-path coverage).
     """
     by_page: dict[int, list[dict]] = {}
     for s in spans:
@@ -427,19 +859,12 @@ def make_pdf_bytes(
             text = str(s["text"])
             if not text:
                 continue
-            x0, y0 = float(s["x0"]), float(s["y0"])
-            x1 = float(s.get("x1", x0 + CHAR_WIDTH_EM * 11.0 * len(text)))
-            size = (x1 - x0) / (CHAR_WIDTH_EM * len(text))
-            size = min(max(size, 1.0), 100.0)
-            y_pdf = height - y0 - size  # parser emits y0 = H - cur_y - size
-            lines.append(f"/F1 {size:.4f} Tf")
-            lines.append(f"1 0 0 1 {x0:.2f} {y_pdf:.4f} Tm")
+            ops = _span_ops(s, height)
             if use_tj_every and i % use_tj_every == 0 and len(text) > 2:
                 cut = len(text) // 2
                 a, b = _escape_literal(text[:cut]), _escape_literal(text[cut:])
-                lines.append(f"[({a}) 0 ({b})] TJ")
-            else:
-                lines.append(f"({_escape_literal(text)}) Tj")
+                ops[-1] = f"[({a}) 0 ({b})] TJ"
+            lines.extend(ops)
         lines.append("ET")
         return "\n".join(lines).encode("latin-1")
 
@@ -491,4 +916,201 @@ def make_pdf_bytes(
         f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _png_up_encode(raw: bytes, columns: int) -> bytes:
+    """Forward PNG Up filter over rows of ``columns`` bytes (pad the last
+    row with spaces) — the predictor-12 encoding third-party writers apply
+    to xref streams and occasionally to content streams."""
+    if len(raw) % columns:
+        raw = raw + b" " * (columns - len(raw) % columns)
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(raw), columns):
+        row = raw[r : r + columns]
+        out.append(2)  # Up
+        out += bytes((row[i] - prev[i]) % 256 for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0041> <0041>
+<20AC> <20AC>
+endbfchar
+1 beginbfrange
+<0000> <FFFF> <0000>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def make_pdf_bytes_modern(
+    spans: list[dict],
+    width: float = DEFAULT_PAGE_WIDTH,
+    height: float = DEFAULT_PAGE_HEIGHT,
+    predictor_columns: int = 24,
+    decoy: bool = True,
+) -> bytes:
+    """Assemble the PDF 1.5+ dialect a modern third-party writer emits —
+    every feature the classic writer does NOT use:
+
+    - catalog / pages / font / page dicts live inside a Flate-compressed
+      /Type /ObjStm object stream (no top-level dict objects at all);
+    - content streams are FlateDecode + /DecodeParms /Predictor 12 (PNG Up
+      row filter) with INDIRECT /Length (a separate bare-int object);
+    - text is shown as hex UTF-16BE strings through an /Identity-H font
+      with a /ToUnicode CMap (bfchar + identity bfrange);
+    - the cross-reference is a /Type /XRef STREAM (W [1 4 2], predictor 12)
+      with type-2 entries for the ObjStm members — there is no classic
+      xref table and no ``trailer`` keyword;
+    - ``decoy=True`` plants a stale same-numbered page object AFTER the
+      real ObjStm: a parser that only regex-scans picks the decoy (broken
+      /Contents ref) — only xref-driven resolution extracts the text.
+    """
+    by_page: dict[int, list[dict]] = {}
+    for s in spans:
+        by_page.setdefault(int(s["page"]), []).append(s)
+    n_pages = (max(by_page) + 1) if by_page else 1
+
+    # numbering: 1 catalog, 2 pages, 3 font, 4..3+n page dicts (all in the
+    # ObjStm), U ToUnicode, then per page (content, length-int) pairs,
+    # S objstm, X xref stream
+    first_page = 4
+    obj_u = first_page + n_pages
+    first_content = obj_u + 1
+    obj_s = first_content + 2 * n_pages
+    obj_x = obj_s + 1
+    size = obj_x + 1
+
+    kids = " ".join(f"{first_page + p} 0 R" for p in range(n_pages))
+    in_objstm: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            (
+                f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+                f"/MediaBox [0 0 {width:g} {height:g}] >>"
+            ).encode("latin-1"),
+        ),
+        (
+            3,
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
+                f"/Encoding /Identity-H /ToUnicode {obj_u} 0 R >>"
+            ).encode("latin-1"),
+        ),
+    ]
+    for p in range(n_pages):
+        in_objstm.append(
+            (
+                first_page + p,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /Contents "
+                    f"{first_content + 2 * p} 0 R "
+                    f"/Resources << /Font << /F1 3 0 R >> >> >>"
+                ).encode("latin-1"),
+            )
+        )
+
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    # ToUnicode CMap stream (plain Flate, direct length)
+    cmap_z = zlib.compress(_TOUNICODE_CMAP, 9)
+    offsets[obj_u] = len(out)
+    out += (
+        f"{obj_u} 0 obj\n<< /Length {len(cmap_z)} /Filter /FlateDecode >>"
+        f"\nstream\n".encode()
+        + cmap_z
+        + b"\nendstream\nendobj\n"
+    )
+
+    # content streams: predictor-12 Flate, indirect /Length
+    for p in range(n_pages):
+        lines = ["BT"]
+        for s in by_page.get(p, []):
+            lines.extend(_span_ops(s, height, utf16=True))
+        lines.append("ET")
+        raw = "\n".join(lines).encode("latin-1")
+        filtered = _png_up_encode(raw, predictor_columns)
+        payload = zlib.compress(filtered, 9)
+        cnum = first_content + 2 * p
+        lnum = cnum + 1
+        offsets[cnum] = len(out)
+        out += (
+            f"{cnum} 0 obj\n<< /Length {lnum} 0 R /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns {predictor_columns} >> >>"
+            f"\nstream\n".encode()
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+        offsets[lnum] = len(out)
+        out += f"{lnum} 0 obj\n{len(payload)}\nendobj\n".encode()
+
+    # the ObjStm holding every dict object
+    parts: list[bytes] = []
+    pairs: list[str] = []
+    off = 0
+    for num, body in in_objstm:
+        pairs.append(f"{num} {off}")
+        parts.append(body + b"\n")
+        off += len(body) + 1
+    objstm_payload = (" ".join(pairs) + "\n").encode("latin-1") + b"".join(parts)
+    first = len((" ".join(pairs) + "\n").encode("latin-1"))
+    objstm_z = zlib.compress(objstm_payload, 9)
+    offsets[obj_s] = len(out)
+    out += (
+        f"{obj_s} 0 obj\n<< /Type /ObjStm /N {len(in_objstm)} /First {first} "
+        f"/Length {len(objstm_z)} /Filter /FlateDecode >>\nstream\n".encode()
+        + objstm_z
+        + b"\nendstream\nendobj\n"
+    )
+
+    if decoy:
+        # stale copy of page-dict object 4 pointing at a missing content
+        # ref: a regex-only scanner takes it (later occurrence wins) and
+        # loses the page; the xref type-2 entry restores the real one
+        out += (
+            b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 999 0 R >>\n"
+            b"endobj\n"
+        )
+
+    # xref STREAM: W [1 4 2], predictor 12, type-2 entries for objstm members
+    xref_pos = len(out)
+    member_index = {num: i for i, (num, _) in enumerate(in_objstm)}
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in member_index:
+            rows += (
+                b"\x02" + obj_s.to_bytes(4, "big")
+                + member_index[num].to_bytes(2, "big")
+            )
+        elif num == obj_x:
+            rows += b"\x01" + xref_pos.to_bytes(4, "big") + b"\x00\x00"
+        else:
+            rows += b"\x01" + offsets[num].to_bytes(4, "big") + b"\x00\x00"
+    xref_z = zlib.compress(_png_up_encode(bytes(rows), 7), 9)
+    out += (
+        f"{obj_x} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Index [0 {size}] /Root 1 0 R /Length {len(xref_z)} "
+        f"/Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> >>\nstream\n".encode()
+        + xref_z
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)

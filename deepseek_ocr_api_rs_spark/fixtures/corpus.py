@@ -24,7 +24,7 @@ import pandas as pd
 
 SEED = 42
 # bump when the generator grammar changes — invalidates bench corpus caches
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 HOT_HOSTS = ["bigportal.example.com", "megablog.example.net"]
 COLD_HOST_COUNT = 200
@@ -165,7 +165,7 @@ def _pdf_doc(rng: random.Random) -> bytes:
                 y += rng.choice([14.0, 14.0, 28.0])
     rng.shuffle(spans)
     roll = rng.random()
-    if roll < 0.5:
+    if roll < 0.375:
         from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
 
         return make_pdf_bytes(
@@ -174,6 +174,16 @@ def _pdf_doc(rng: random.Random) -> bytes:
             compress=roll < 0.25,
             use_tj_every=3 if roll < 0.125 else 0,
         )
+    if roll < 0.5:
+        # modern third-party dialect: xref stream + predictor, ObjStm page
+        # tree, indirect /Length, UTF-16BE/ToUnicode text, decoy object —
+        # same spans, so the extracted-text goldens are unchanged by
+        # construction (the container dialect must not leak into output)
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+            make_pdf_bytes_modern,
+        )
+
+        return make_pdf_bytes_modern(spans, width=width)
     payload = {"width": width, "spans": spans}
     return b"%PDF-1.7\n" + json.dumps(payload, sort_keys=True).encode("utf-8")
 
