@@ -1587,7 +1587,12 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-parquet-file input → spread the synth+decode+resize pipeline
+    # (embarrassingly parallel) instead of running it in ONE task
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
     out = resize_png_payloads(synthesize_gradient_pngs(docs), max_side=32)
     return out.select(
         "doc_id",
@@ -1612,7 +1617,10 @@ def q_grounding_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
     md = F.concat(
         F.lit("<|ref|>title<|/ref|><|det|>[[0, 0, 999, 99]]<|/det|> doc "),
         F.col("doc_id").cast("string"),
@@ -1649,7 +1657,10 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
     return (
         audio_spectral_features(synthesize_wav_payloads(docs))
         .select("doc_id", "sample_rate", "n_samples", "dominant_hz")

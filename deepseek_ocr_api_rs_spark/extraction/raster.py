@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -71,6 +72,8 @@ def unfilter_scanlines(data: bytes, rowlen: int, bpp: int) -> bytes | None:
         return None
     n_rows = len(data) // stride
     arr = np.frombuffer(data, dtype=np.uint8).reshape(n_rows, stride)
+    if not arr[:, 0].any():  # every row filter 0 — one vectorized copy
+        return arr[:, 1:].tobytes()
     out = np.zeros((n_rows, rowlen), dtype=np.uint8)
     for y in range(n_rows):
         ftype = int(arr[y, 0])
@@ -187,10 +190,12 @@ def encode_png_rgb(img: np.ndarray) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    # level 6: deterministic like any fixed level, ~2× faster than 9 on the
+    # photographic-ish rasters this path carries
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
 
@@ -217,13 +222,16 @@ def _bicubic_kernel(value: float) -> float:
     return 0.0
 
 
+@_lru_cache(maxsize=4096)
 def compute_resample_coeffs(
     input_size: int, output_size: int
 ) -> list[tuple[int, np.ndarray]]:
     """Per-output-index (xmin, int32 coefficient row) — resample.rs
     compute_resample_coeffs with identical float64 math, normalization and
     int32 quantization (truncate-toward-zero after ±0.5 bias, as Rust's
-    ``as i32`` does)."""
+    ``as i32`` does). Cached: coefficient tables depend only on the
+    (input, output) size pair, and a corpus reuses few distinct pairs —
+    recomputing them per image dominated the resize stage."""
     scale = input_size / output_size
     filterscale = max(scale, 1.0)
     support = 2.0 * filterscale
