@@ -32,6 +32,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--snapshot-table",
+        default=None,
+        help="also commit the run's output as an atomic snapshot of this "
+        "versioned table (sources.snapshots: snapshot-isolated readers, "
+        "time travel, per-run metrics lineage)",
+    )
     return p.parse_args(argv)
 
 
@@ -78,6 +85,21 @@ def main(argv: list[str] | None = None) -> int:
         metrics.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
             args.metrics_path
         )
+    if args.snapshot_table:
+        from deepseek_ocr_api_rs_spark.sources.snapshots import write_snapshot
+
+        version = write_snapshot(
+            out,
+            args.snapshot_table,
+            mode="append",
+            metrics={
+                "run_id": run_id,
+                "n_docs": n,
+                "buckets_this_run": n_buckets_done,
+                "wall_seconds": round(dt, 3),
+            },
+        )
+        print(f"snapshot committed: {args.snapshot_table} v{version}")
     metrics.show(truncate=False)
     spark.stop()
     return 0

@@ -1,0 +1,181 @@
+"""Iceberg-style snapshot log on plain parquet: atomic commits, snapshot-
+isolated reads, time travel, rollback, lineage.
+
+The north rule wants per-partition checkpoint manifests "written to Iceberg
+so a killed run resumes from the last committed partition with lineage and
+extraction-metrics preserved". No Iceberg runtime exists in this container,
+so this module supplies the part of the table format the pipeline actually
+depends on, with the same commit protocol Iceberg uses:
+
+- a table is a directory with ``data/`` files and a ``_snapshots/`` log of
+  JSON manifests ``v{N}.json``, each listing the EXACT data files that make
+  up that version (plus parent version, row count, and caller metrics);
+- a commit writes data files FIRST, then publishes the manifest via
+  ``os.link(tmp, v{N}.json)`` — an atomic create-if-absent, so two racing
+  writers cannot both claim version N: the loser retries at N+1 against the
+  refreshed parent (Iceberg's optimistic-concurrency loop);
+- readers resolve a version (latest by default) and read ONLY the files its
+  manifest lists — a killed run's orphan data files are invisible, which is
+  what makes the checkpoint/resume story safe for concurrent readers;
+- rollback is a NEW snapshot that points at an old version's file list
+  (copy-on-write — history is never mutated), and ``history()`` walks the
+  parent chain (lineage).
+
+Scale notes: the manifest holds file PATHS, not data — a 100 TB table is a
+few-MB JSON. Readers hit the driver-side JSON once and then do a normal
+distributed parquet scan of the listed files; no directory listing of
+``data/`` ever happens on the read path (the analogue of Iceberg avoiding
+O(files) object-store LIST calls).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (after max retries)."""
+
+
+def _snap_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_snapshots")
+
+
+def _manifest_file(table_dir: str, version: int) -> str:
+    return os.path.join(_snap_dir(table_dir), f"v{version}.json")
+
+
+def current_version(table_dir: str) -> int | None:
+    """Highest committed version, or None for an empty table. O(versions)
+    directory scan of the tiny ``_snapshots`` dir only."""
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(name[1:-5])
+        for name in os.listdir(d)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    with open(_manifest_file(table_dir, v)) as f:
+        return json.load(f)
+
+
+def _publish(table_dir: str, manifest: dict, max_retries: int = 32) -> int:
+    """Atomic optimistic commit: claim the next version number with a hard
+    link (create-if-absent); on collision refresh the parent and retry."""
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    for _ in range(max_retries):
+        cur = current_version(table_dir)
+        version = (cur or 0) + 1
+        manifest = dict(manifest, version=version, parent=cur)
+        tmp = os.path.join(
+            _snap_dir(table_dir), f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, _manifest_file(table_dir, version))
+            return version
+        except FileExistsError:
+            continue  # lost the race — recompute parent, try next version
+        finally:
+            os.unlink(tmp)
+    raise CommitConflict(f"could not commit to {table_dir} after {max_retries} tries")
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    metrics: dict | None = None,
+) -> int:
+    """Write ``df`` as new parquet files under ``data/`` and commit a
+    snapshot. ``mode='append'`` adds to the parent's file list,
+    ``'overwrite'`` replaces it. Data lands BEFORE the manifest publishes —
+    a crash in between leaves only invisible orphans. Returns the version."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(mode)
+    stamp = uuid.uuid4().hex
+    rel_dir = os.path.join("data", stamp)
+    out = os.path.join(table_dir, rel_dir)
+    df.write.mode("error").parquet(out)
+    files = sorted(
+        os.path.join(rel_dir, name)
+        for name in os.listdir(out)
+        if name.endswith(".parquet")
+    )
+    spark = df.sparkSession
+    n_rows = spark.read.parquet(out).count()
+    prev_files: list[str] = []
+    prev_rows = 0
+    if mode == "append" and current_version(table_dir) is not None:
+        prev = read_manifest(table_dir)
+        prev_files = prev["files"]
+        prev_rows = prev["n_rows"]
+    manifest = {
+        "files": prev_files + files,
+        "n_rows": prev_rows + n_rows,
+        "committed_ts": time.time(),
+        "operation": mode,
+        "metrics": metrics or {},
+    }
+    return _publish(table_dir, manifest)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read: exactly the files the (given or latest)
+    manifest lists — orphans from uncommitted writers are invisible."""
+    m = read_manifest(table_dir, version)
+    if not m["files"]:
+        raise FileNotFoundError(f"snapshot v{m['version']} is empty")
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def rollback(table_dir: str, to_version: int) -> int:
+    """Publish a NEW snapshot whose file list equals ``to_version``'s —
+    history stays intact (copy-on-write), readers of old versions are
+    unaffected. Returns the new version number."""
+    old = read_manifest(table_dir, to_version)
+    manifest = {
+        "files": old["files"],
+        "n_rows": old["n_rows"],
+        "committed_ts": time.time(),
+        "operation": f"rollback(v{to_version})",
+        "metrics": old.get("metrics", {}),
+    }
+    return _publish(table_dir, manifest)
+
+
+def history(table_dir: str) -> list[dict]:
+    """Lineage: the parent chain from the current version down to v1, each
+    entry carrying (version, parent, operation, n_rows, metrics)."""
+    out: list[dict] = []
+    v = current_version(table_dir)
+    while v is not None:
+        m = read_manifest(table_dir, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "n_rows": m["n_rows"],
+                "metrics": m.get("metrics", {}),
+            }
+        )
+        v = m["parent"]
+    return out

@@ -39,3 +39,33 @@ def test_job_end_to_end_and_resume(tmp_path, corpus_path):
 
     m = duckdb.sql(f"select count(*) n from '{metrics}/*.parquet'").df()
     assert int(m.n[0]) >= 3  # html/pdf/error rollup rows per run
+
+
+def test_job_snapshot_table_commit(tmp_path, corpus_path, spark):
+    """--snapshot-table commits the run output as an atomic versioned
+    snapshot with run metrics in the manifest lineage."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "snaptbl")
+    cmd = [
+        sys.executable, "-m", "deepseek_ocr_api_rs_spark.job",
+        "--input", corpus_path,
+        "--output", out,
+        "--checkpoint-dir", ckpt,
+        "--n-buckets", "2",
+        "--master", "local[4]",
+        "--shuffle-partitions", "4",
+        "--run-id", "snap1",
+        "--snapshot-table", table,
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"snapshot committed: {table} v1" in r.stdout, r.stdout
+
+    from deepseek_ocr_api_rs_spark.sources.snapshots import history, read_snapshot
+
+    assert read_snapshot(spark, table).count() == 300
+    h = history(table)
+    assert h[0]["metrics"]["run_id"] == "snap1"
+    assert h[0]["metrics"]["n_docs"] == 300

@@ -1,0 +1,98 @@
+"""Iceberg-style snapshot log (sources/snapshots.py): atomic optimistic
+commits, snapshot-isolated reads, time travel, rollback, lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from deepseek_ocr_api_rs_spark.sources.snapshots import (
+    _manifest_file,
+    _publish,
+    current_version,
+    history,
+    read_manifest,
+    read_snapshot,
+    rollback,
+    write_snapshot,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 as v")
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = write_snapshot(_df(spark, 0, 10), t, metrics={"stage": "initial"})
+    v2 = write_snapshot(_df(spark, 10, 15), t, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert read_snapshot(spark, t).count() == 15  # latest
+    assert read_snapshot(spark, t, version=1).count() == 10  # time travel
+    v3 = write_snapshot(_df(spark, 100, 103), t, mode="overwrite")
+    assert read_snapshot(spark, t).count() == 3
+    assert read_snapshot(spark, t, version=2).count() == 15  # history intact
+    assert current_version(t) == v3 == 3
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    """A writer that dies after writing data but before publishing the
+    manifest leaves orphans readers never see — the property that makes
+    resume safe under concurrent reads."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t)
+    # simulate a killed writer: data lands, no manifest
+    _df(spark, 0, 999).write.parquet(os.path.join(t, "data", "orphan"))
+    assert read_snapshot(spark, t).count() == 10
+    assert read_manifest(t)["n_rows"] == 10
+
+
+def test_commit_conflict_retries_to_next_version(tmp_path):
+    """Two racing writers cannot both claim a version: the loser's publish
+    lands at the next number with the refreshed parent."""
+    t = str(tmp_path / "tbl")
+    m = {"files": [], "n_rows": 0, "committed_ts": 0.0, "operation": "a", "metrics": {}}
+    v1 = _publish(t, dict(m))
+    # simulate the race: v2 already exists when the second writer publishes
+    os.link(_manifest_file(t, v1), _manifest_file(t, 2))
+    v_next = _publish(t, dict(m, operation="b"))
+    assert v_next == 3
+    assert read_manifest(t, 3)["parent"] == 2
+
+
+def test_rollback_is_copy_on_write(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t)
+    write_snapshot(_df(spark, 0, 5), t, mode="overwrite")
+    v3 = rollback(t, to_version=1)
+    assert v3 == 3
+    assert read_snapshot(spark, t).count() == 10  # back to v1 contents
+    assert read_snapshot(spark, t, version=2).count() == 5  # v2 still readable
+    ops = [h["operation"] for h in history(t)]
+    assert ops == ["rollback(v1)", "overwrite", "append"]
+
+
+def test_history_carries_metrics_lineage(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t, metrics={"n_chars": 123})
+    write_snapshot(_df(spark, 10, 12), t, metrics={"n_chars": 45})
+    h = history(t)
+    assert [x["version"] for x in h] == [2, 1]
+    assert h[0]["metrics"] == {"n_chars": 45} and h[1]["metrics"] == {"n_chars": 123}
+    assert h[0]["parent"] == 1 and h[1]["parent"] is None
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "missing"))
+
+
+def test_manifest_is_valid_json_with_relative_paths(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 3), t)
+    with open(_manifest_file(t, 1)) as f:
+        m = json.load(f)
+    assert all(p.startswith("data/") for p in m["files"])
+    assert m["version"] == 1 and m["parent"] is None
