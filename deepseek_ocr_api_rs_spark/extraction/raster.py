@@ -328,3 +328,251 @@ def resize_bicubic_scalar(img: np.ndarray, width: int, height: int) -> np.ndarra
                     acc += int(horizontal[start + i, dst_x, c]) * int(wgt)
                 output[dst_y, dst_x, c] = clip8(acc)
     return output
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode (LZW) + encoder — GIF89a spec (public, CompuServe 1990)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes | None:
+    """GIF-flavor LZW: variable code width (min+1 → 12 bits, LSB-first bit
+    packing), CLEAR resets the dictionary, EOI terminates. Returns the
+    decoded index stream or None on malformed input."""
+    if not (2 <= min_code <= 11):
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table) and code != clear and code != eoi:
+                entry = table[code]
+                if not entry and code >= clear:
+                    return None
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)  # tolerant: missing EOI (some writers omit it)
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Real dictionary-building GIF LZW encoder (greedy longest match) —
+    exercises the decoder's code-width growth, not just literals."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    codes: list[int] = [clear]
+    widths: list[int] = []
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    widths.append(width)
+
+    def emit(code: int) -> None:
+        codes.append(code)
+        widths.append(width)
+
+    w = b""
+    for b in bytes(indices):
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            # the ENCODER grows its width when next_code exceeds the
+            # current width's range — mirrored by the decoder
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    # pack LSB-first with per-code widths (width at emission time)
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    widths = widths[: len(codes)]
+    for code, cw in zip(codes, widths):
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
+    """Full GIF pixel decode → (h, w, 3) uint8 RGB for the FIRST image
+    block (global or local palette, non-interlaced and interlaced), or
+    None when unsupported/malformed. stdlib-only; never raises."""
+    try:
+        b = bytes(payload or b"")
+        if len(b) < 13 or b[:3] != b"GIF" or b[3:6] not in (b"87a", b"89a"):
+            return None
+        sw = int.from_bytes(b[6:8], "little")
+        sh = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            if gct.shape[0] < n:
+                return None
+            pos += 3 * n
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x3B:  # trailer
+                return None
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                return None
+            # image descriptor
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or w <= 0 or h <= 0 or w > sw * 4 or h > sh * 4:
+                return None
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx_stream = _lzw_decode(bytes(lzw), min_code)
+            if idx_stream is None or len(idx_stream) < w * h:
+                return None
+            idx = np.frombuffer(idx_stream[: w * h], dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: de-interlace the row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None
+            return pal[idx]
+        return None
+    except Exception:
+        return None
+
+
+def encode_gif_rgb_indexed(
+    idx: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(h, w) uint8 index raster + (n, 3) palette → real GIF89a bytes with
+    a genuine dictionary-building LZW stream (test/fixture inverse of
+    decode_gif_pixels)."""
+    h, w = idx.shape
+    n = palette.shape[0]
+    size_bits = max((n - 1).bit_length(), 1)
+    n_slots = 1 << size_bits
+    pal = np.zeros((n_slots, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HH", w, h)
+    out.append(0x80 | (size_bits - 1))  # GCT present
+    out += b"\x00\x00" + pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    min_code = max(size_bits, 2)
+    out.append(min_code)
+    lzw = _lzw_encode(rows.tobytes(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+GIF_PALETTE = np.stack(
+    [
+        np.arange(256, dtype=np.uint8),
+        (255 - np.arange(256)).astype(np.uint8),
+        ((np.arange(256) * 7) % 256).astype(np.uint8),
+    ],
+    axis=1,
+)
+
+
+def decode_image_pixels(payload: bytes) -> np.ndarray | None:
+    """Format-dispatched full pixel decode → (h, w, 3) uint8 RGB. All three
+    formats are REAL, stdlib + numpy: PNG (zlib inflate + scanline
+    unfilter), GIF (LZW), and baseline JPEG (Huffman + dequant + IDCT,
+    extraction/jpeg.py). Unrecognized or out-of-scope payloads → None."""
+    b = bytes(payload or b"")
+    if b.startswith(PNG_MAGIC):
+        return decode_png_pixels(b)
+    if b[:3] == b"GIF":
+        return decode_gif_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        from deepseek_ocr_api_rs_spark.extraction.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(b)
+    return None

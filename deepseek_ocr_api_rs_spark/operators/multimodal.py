@@ -6,14 +6,16 @@ over ``mapInPandas``.
 
 The image HEADER decode is REAL (stdlib struct/zlib — PNG IHDR, JPEG SOF
 marker scan, GIF logical screen descriptor), mirroring the reference's real
-image loads (crates/server/src/generation.rs:276-305). PNG payloads also
-get a REAL PIXEL path: full raster decode (extraction.raster — zlib inflate
-+ scanline unfilter) and the reference's 22-bit fixed-point bicubic resize
-(crates/infer-deepseek/src/vision/resample.rs) in ``resize_png_payloads``.
-JPEG/GIF pixel decode and audio FFT still require libraries absent from
-this container and stay stubbed behind ``real_decode_stub`` — the
-Spark-side plumbing (schema, batching, partitioning, UDF signature) is real
-and tested either way, which is the part that has to hold at 100 TB.
+image loads (crates/server/src/generation.rs:276-305). Every format also
+gets a REAL PIXEL path (extraction.raster.decode_image_pixels): PNG — zlib
+inflate + scanline unfilter; GIF — a genuine LZW decoder; JPEG — a full
+baseline codec (Huffman + dequant + IDCT + 4:2:0 upsampling,
+extraction/jpeg.py). ``resize_png_payloads`` runs the reference's 22-bit
+fixed-point bicubic resize (crates/infer-deepseek/src/vision/resample.rs)
+on the decoded rasters; real audio (RIFF/WAVE + numpy FFT) lives in
+operators/audio.py. Nothing in the image path is stubbed anymore — the
+Spark-side plumbing (schema, batching, partitioning, UDF signature) and
+the decoding are both real, which is what has to hold at 100 TB.
 """
 
 from __future__ import annotations
@@ -134,16 +136,15 @@ def _decode_dims_batch(
 
 
 def real_decode_stub(payload: bytes) -> tuple[int, int, str]:
-    """Placeholder for a real PIXEL decode of JPEG/GIF payloads (entropy
-    decoding needs an image library this container lacks). PNG pixel decode
-    is NO LONGER stubbed — extraction.raster.decode_png_pixels does the full
-    inflate+unfilter raster, and resize_png_payloads below runs the
-    reference's fixed-point bicubic on it. Kept separate so the pipeline
-    shape doesn't change when a JPEG/GIF decoder lands."""
+    """HISTORICAL seam, no longer a stub: every supported image format now
+    has a REAL pixel decode (extraction.raster.decode_image_pixels — PNG
+    inflate+unfilter, GIF LZW, baseline JPEG Huffman+IDCT in
+    extraction/jpeg.py). Kept only so older callers get a pointer instead
+    of an ImportError; new code should call decode_image_pixels."""
     raise NotImplementedError(
-        "JPEG/GIF pixel decoding requires an image library not present in "
-        "this container; production deployments plug a decoder in here "
-        "(PNG payloads take the real path in resize_png_payloads)"
+        "real_decode_stub is retired: use "
+        "deepseek_ocr_api_rs_spark.extraction.raster.decode_image_pixels — "
+        "PNG, GIF and baseline JPEG all decode for real now"
     )
 
 
@@ -174,21 +175,36 @@ def make_png_bytes(width: int, height: int) -> bytes:
 
 
 def make_jpeg_bytes(width: int, height: int) -> bytes:
-    """Structurally real JPEG header: SOI, APP0/JFIF, SOF0 with dims, EOI.
-    (No entropy-coded data — header-decode fixtures only.)"""
-    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
-    components = b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-    sof0 = (
-        b"\xff\xc0"
-        + struct.pack(">HBHHB", 8 + len(components), 8, height, width, 3)
-        + components
-    )
-    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    """REAL baseline JPEG (extraction/jpeg.py encoder): deterministic
+    gradient content, 4:2:0 chroma subsampling, Annex K tables — fully
+    entropy-decodable, not just header-parseable."""
+    from deepseek_ocr_api_rs_spark.extraction.jpeg import encode_jpeg_rgb
+
+    y, x = np.mgrid[0:height, 0:width]
+    img = np.stack(
+        [
+            np.clip(40 + x * 2 + y, 0, 255),
+            np.clip(30 + x + y * 3, 0, 255),
+            np.clip(80 + x + y, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_jpeg_rgb(img, quality=85, subsampling="420")
 
 
 def make_gif_bytes(width: int, height: int) -> bytes:
-    """GIF89a logical screen descriptor + trailer."""
-    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+    """GIF89a with REAL pixel content: a deterministic index gradient
+    through the fixed 256-color palette, compressed with a genuine
+    dictionary-building LZW stream (extraction/raster.py) — fully
+    decodable by decode_gif_pixels, not just header-parseable."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        GIF_PALETTE,
+        encode_gif_rgb_indexed,
+    )
+
+    y, x = np.mgrid[0:height, 0:width]
+    idx = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    return encode_gif_rgb_indexed(idx, GIF_PALETTE)
 
 
 def synthesize_image_payloads(
@@ -312,18 +328,20 @@ def resize_png_payloads(
     id_col: str = "doc_id",
     binary_col: str = "payload",
 ) -> DataFrame:
-    """The REAL pixel path (P1/P2, resample.rs): full PNG raster decode
-    (stdlib zlib + scanline unfilter), target dims by the min-side-ratio
-    rule with banker's rounding, the reference's 22-bit fixed-point bicubic
-    resample, PNG re-encode. Arrow-batched mapInPandas — a map-only stage,
-    no shuffle; the per-image work is integer numpy. Non-PNG payloads (or
-    unsupported PNG variants) pass through with resized = null and out dims
-    from the header/fallback rule — never raises (extraction error-branch
-    discipline)."""
+    """The REAL pixel path (P1/P2, resample.rs): full raster decode for
+    ALL formats — PNG (stdlib zlib + scanline unfilter), GIF (LZW),
+    baseline JPEG (Huffman + IDCT) — target dims by the min-side-ratio
+    rule with banker's rounding, the reference's 22-bit fixed-point
+    bicubic resample, PNG re-encode (everything normalizes to RGB8, like
+    the reference's RgbImage pipeline). Arrow-batched mapInPandas — a
+    map-only stage, no shuffle; the per-image work is integer numpy.
+    Malformed or out-of-scope payloads pass through with resized = null
+    and out dims from the header/fallback rule — never raises (extraction
+    error-branch discipline)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deepseek_ocr_api_rs_spark.extraction.raster import (
-            decode_png_pixels,
+            decode_image_pixels,
             encode_png_rgb,
             resize_bicubic,
         )
@@ -339,7 +357,7 @@ def resize_png_payloads(
             oh_arr = np.maximum(np.rint(h_arr * scale), 1).astype(np.int32)
             resized = []
             for payload, ow, oh in zip(pdf[binary_col], ow_arr, oh_arr):
-                img = decode_png_pixels(bytes(payload) if payload is not None else b"")
+                img = decode_image_pixels(bytes(payload) if payload is not None else b"")
                 if img is None:
                     resized.append(None)
                 else:

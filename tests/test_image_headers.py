@@ -146,16 +146,50 @@ def test_resize_png_payloads_real_pixels_via_spark(spark):
         assert back is not None and back.shape == (r.out_height, r.out_width, 3)
 
 
-def test_resize_png_payloads_non_png_passthrough(spark):
+def test_resize_png_payloads_non_image_passthrough(spark):
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        decode_image_pixels,
+        encode_png_rgb,
+        resize_bicubic,
+    )
     from deepseek_ocr_api_rs_spark.operators.multimodal import (
         make_jpeg_bytes,
         resize_png_payloads,
     )
 
+    jpeg = make_jpeg_bytes(40, 20)
     df = spark.createDataFrame(
-        [(1, make_jpeg_bytes(40, 20)), (2, b"not an image"), (3, None)],
+        [(1, jpeg), (2, b"not an image"), (3, None)],
         "doc_id long, payload binary",
     )
     rows = {r.doc_id: r for r in resize_png_payloads(df, max_side=16).collect()}
-    assert rows[1].resized is None and rows[1].width == 40  # header decoded
+    # JPEG now takes the REAL path: full entropy decode → bicubic → PNG
+    assert rows[1].width == 40 and rows[1].out_width == 16
+    expected = encode_png_rgb(resize_bicubic(decode_image_pixels(jpeg), 16, 8))
+    assert bytes(rows[1].resized) == expected
     assert rows[2].resized is None and rows[3].resized is None
+
+
+def test_resize_handles_gif_payloads(spark):
+    """GIF payloads take the REAL pixel path now: LZW decode → bicubic →
+    PNG re-encode, byte-equal to the scalar chain."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        decode_image_pixels,
+        decode_png_pixels,
+        encode_png_rgb,
+        resize_bicubic,
+    )
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        make_gif_bytes,
+        resize_png_payloads,
+    )
+
+    payload = make_gif_bytes(40, 24)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    r = resize_png_payloads(df, max_side=16).collect()[0]
+    assert r.width == 40 and r.height == 24
+    assert r.out_width == 16 and r.out_height == 10
+    img = decode_image_pixels(payload)
+    expected = encode_png_rgb(resize_bicubic(img, 16, 10))
+    assert bytes(r.resized) == expected
+    assert decode_png_pixels(bytes(r.resized)).shape == (10, 16, 3)

@@ -197,3 +197,63 @@ def test_resize_deterministic_across_runs():
     a = resize_bicubic(img, 5, 7)
     b = resize_bicubic(img.copy(), 5, 7)
     assert (a == b).all()
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode (LZW)
+
+
+def test_gif_lzw_roundtrip_with_width_growth():
+    from deepseek_ocr_api_rs_spark.extraction.raster import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(7)
+    for min_code in (2, 4, 8):
+        data = rng.randint(0, 1 << min_code, size=20000).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data, min_code), min_code) == data, min_code
+
+
+def test_gif_pixel_roundtrip_plain_and_interlaced():
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        GIF_PALETTE,
+        decode_gif_pixels,
+        encode_gif_rgb_indexed,
+    )
+
+    h, w = 37, 53
+    y, x = np.mgrid[0:h, 0:w]
+    idx = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    for interlace in (False, True):
+        out = decode_gif_pixels(encode_gif_rgb_indexed(idx, GIF_PALETTE, interlace))
+        assert out is not None and (out == GIF_PALETTE[idx]).all(), interlace
+
+
+def test_gif_small_palette_and_garbage():
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        decode_gif_pixels,
+        encode_gif_rgb_indexed,
+    )
+
+    idx = (np.mgrid[0:9, 0:11][0] % 3).astype(np.uint8)
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250]], np.uint8)
+    assert (decode_gif_pixels(encode_gif_rgb_indexed(idx, pal)) == pal[idx]).all()
+    for junk in (b"", b"GIF89a\x01", b"GIF89a" + b"\xff" * 40, None):
+        assert decode_gif_pixels(junk) is None
+
+
+def test_decode_image_pixels_dispatch():
+    from deepseek_ocr_api_rs_spark.extraction.raster import decode_image_pixels
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        make_gif_bytes,
+        make_jpeg_bytes,
+        make_png_bytes,
+    )
+
+    png = decode_image_pixels(make_png_bytes(8, 6))
+    assert png is not None and png.shape == (6, 8, 3)
+    gif = decode_image_pixels(make_gif_bytes(8, 6))
+    assert gif is not None and gif.shape == (6, 8, 3)
+    assert gif.any(), "make_gif_bytes must carry real (non-black) pixels"
+    jpg = decode_image_pixels(make_jpeg_bytes(8, 6))
+    assert jpg is not None and jpg.shape == (6, 8, 3)
+    assert jpg.any(), "make_jpeg_bytes must carry real (non-black) pixels"
+    assert decode_image_pixels(b"who knows") is None
