@@ -1547,15 +1547,18 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL-header-decode them back (stdlib struct: PNG IHDR, JPEG SOF scan, GIF
     screen descriptor — crates/server/src/generation.rs:276-305's real-image
     contract) in a second. The oracle reproduces the dims arithmetic; the
-    bytes in between are genuine image files, so a decode bug breaks the
-    hash."""
+    bytes in between are genuine image files (the JPEGs carry real entropy
+    data now), so a decode bug breaks the hash."""
     from deepseek_ocr_api_rs_spark.operators.multimodal import (
         image_metadata,
         synthesize_image_payloads,
     )
 
     _ensure_shipped(spark)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
     payloads = synthesize_image_payloads(docs)
     return (
         image_metadata(payloads)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import struct
 import zlib
 from collections.abc import Iterator
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pandas as pd
@@ -174,10 +175,13 @@ def make_png_bytes(width: int, height: int) -> bytes:
     )
 
 
+@_lru_cache(maxsize=65536)
 def make_jpeg_bytes(width: int, height: int) -> bytes:
     """REAL baseline JPEG (extraction/jpeg.py encoder): deterministic
     gradient content, 4:2:0 chroma subsampling, Annex K tables — fully
-    entropy-decodable, not just header-parseable."""
+    entropy-decodable, not just header-parseable. Pure function of dims →
+    memoized (a 60k-doc synth pass reuses ~3k distinct dim pairs; the
+    entropy encode is the expensive part)."""
     from deepseek_ocr_api_rs_spark.extraction.jpeg import encode_jpeg_rgb
 
     y, x = np.mgrid[0:height, 0:width]
@@ -192,6 +196,7 @@ def make_jpeg_bytes(width: int, height: int) -> bytes:
     return encode_jpeg_rgb(img, quality=85, subsampling="420")
 
 
+@_lru_cache(maxsize=65536)
 def make_gif_bytes(width: int, height: int) -> bytes:
     """GIF89a with REAL pixel content: a deterministic index gradient
     through the fixed 256-color palette, compressed with a genuine
