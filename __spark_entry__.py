@@ -1113,20 +1113,25 @@ def q_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path (probe nearest inverted lists; rows-only —
-    approximate by design, recall measured in tests vs the exact baseline)."""
+    """IVF ANN scale path with TRAINED centroids (deterministic spherical
+    k-means over a pinned TakeOrdered sample — no RNG, rerun-stable); probe
+    the nearest inverted lists. Rows-only — approximate by design, recall
+    measured in tests vs the exact baseline (trained ≥ fixed asserted)."""
     _ensure_shipped(spark)
     vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return S.ivf_topk(vecs, _query_vec(spark, sf_dir), k=10, nprobe=6)
+    C = S.train_ivf_centroids(vecs)
+    return S.ivf_topk(vecs, _query_vec(spark, sf_dir), k=10, nprobe=6, centroids=C)
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN scale path (16-byte codes + ADC table scan + exact rerank;
-    rows-only — approximate by design, recall pinned in tests vs the exact
-    baseline)."""
+    """PQ ANN scale path with TRAINED per-subspace codebooks (deterministic
+    k-means, pinned sample): 16-byte codes + ADC table scan + exact rerank.
+    Rows-only — approximate by design, recall pinned in tests vs the exact
+    baseline (trained hits 1.0 at both test scales)."""
     _ensure_shipped(spark)
     vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    return S.pq_topk(vecs, _query_vec(spark, sf_dir), k=10, rerank=100)
+    B = S.train_pq_codebooks(vecs)
+    return S.pq_topk(vecs, _query_vec(spark, sf_dir), k=10, rerank=100, codebooks=B)
 
 
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:

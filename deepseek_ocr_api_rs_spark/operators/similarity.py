@@ -242,12 +242,14 @@ def fixed_centroids(dim: int, n_centroids: int = 16) -> np.ndarray:
 
 
 def ivf_assign(vecs: DataFrame, dim: int = 64, n_centroids: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: "np.ndarray | None" = None) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid — the IVF
-    coarse quantizer, one Arrow-batched matmul."""
+    coarse quantizer, one Arrow-batched matmul. ``centroids`` overrides the
+    pinned table (pass train_ivf_centroids(...) for the trained path)."""
     from pyspark.sql.functions import pandas_udf
 
-    C = fixed_centroids(dim, n_centroids)
+    C = fixed_centroids(dim, n_centroids) if centroids is None else centroids
 
     @pandas_udf("int")
     def assign(col: pd.Series) -> pd.Series:
@@ -268,18 +270,20 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` centroids nearest the query, brute-
     force only their inverted lists. At 10^12 scale the assignment column
     is precomputed and the table partitioned by it → a probe reads nprobe/
     n_centroids of the data (partition pruning does the skipping). Recall
-    vs the exact baseline is measured in tests."""
+    vs the exact baseline is measured in tests. Pass
+    ``centroids=train_ivf_centroids(...)`` for the trained quantizer."""
     dim = len(query_vec)
-    C = fixed_centroids(dim, n_centroids)
+    C = fixed_centroids(dim, n_centroids) if centroids is None else centroids
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
     probes = np.argsort(-(C @ qn), kind="stable")[:nprobe].tolist()
-    assigned = ivf_assign(vecs, dim, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(vecs, dim, n_centroids, id_col, vec_col, centroids)
     candidates = assigned.filter(F.col("centroid").isin([int(p) for p in probes]))
     return topk_cosine(candidates, query_vec, k, id_col, vec_col)
 
@@ -347,14 +351,16 @@ def pq_encode(
     n_codes: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Encode each (unit-normalized) vector into ``n_sub`` one-byte codes —
     a 64-dim float32 embedding (256 B) compresses to 16 B, the trick that
     lets 10^12 vectors' index fit a cluster's RAM. One Arrow-batched pass:
-    per subspace, argmin L2 distance to the codebook."""
+    per subspace, argmin L2 distance to the codebook. ``codebooks``
+    overrides the pinned tables (train_pq_codebooks for the trained path)."""
     from pyspark.sql.functions import pandas_udf
 
-    C = fixed_pq_codebooks(dim, n_sub, n_codes)  # (m, 256, sub)
+    C = fixed_pq_codebooks(dim, n_sub, n_codes) if codebooks is None else codebooks
 
     @pandas_udf("array<int>")
     def encode(col: pd.Series) -> pd.Series:
@@ -387,6 +393,7 @@ def pq_topk(
     n_codes: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: "np.ndarray | None" = None,
 ) -> DataFrame:
     """PQ ANN: asymmetric-distance (ADC) scan over the one-byte codes —
     per-subspace query→codebook inner-product TABLES (m × 256 floats,
@@ -396,7 +403,7 @@ def pq_topk(
     recall is measured in tests against the brute-force baseline."""
     from pyspark.sql.functions import pandas_udf
 
-    C = fixed_pq_codebooks(dim, n_sub, n_codes)
+    C = fixed_pq_codebooks(dim, n_sub, n_codes) if codebooks is None else codebooks
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
     qparts = qn.reshape(n_sub, dim // n_sub)
@@ -411,7 +418,7 @@ def pq_topk(
             score += tables[m][K[:, m]]
         return pd.Series(score)
 
-    encoded = pq_encode(vecs, dim, n_sub, n_codes, id_col, vec_col)
+    encoded = pq_encode(vecs, dim, n_sub, n_codes, id_col, vec_col, codebooks)
     candidates = (
         encoded.withColumn("adc_score", adc(F.col("pq_code")))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
@@ -419,3 +426,87 @@ def pq_topk(
         .select(id_col, vec_col)
     )
     return topk_cosine(candidates, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# trained quantizers — deterministic Lloyd k-means on a pinned sample
+
+
+_SAMPLE_MULT = 1103515245
+_SAMPLE_ADD = 12345
+
+
+def _pinned_sample(
+    vecs: DataFrame, sample_n: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic unit-normalized sample: the ``sample_n`` rows with the
+    smallest pinned-hash ids (TakeOrdered — no full sort, no RNG), stacked
+    driver-side. Bounded: sample_n × dim floats regardless of table size."""
+    from deepseek_ocr_api_rs_spark.functions import hashing as H
+
+    rows = (
+        vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", (F.col("_id") * _SAMPLE_MULT + _SAMPLE_ADD) % H.P)
+        .orderBy("_h", "_id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def train_ivf_centroids(
+    vecs: DataFrame,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_iter: int = 8,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) from the pinned fixed_centroids init over
+    the pinned sample — fully deterministic (no RNG, fixed numpy reduction
+    order), so trained queries stay rerun-stable. Empty clusters keep their
+    previous centroid. Returns (n_centroids, dim) unit rows."""
+    Xn = _pinned_sample(vecs, sample_n, id_col, vec_col)
+    C = fixed_centroids(dim, n_centroids).copy()
+    for _ in range(n_iter):
+        a = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = Xn[a == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = float(np.linalg.norm(v))
+                if nv > 1e-12:
+                    C[c] = v / nv
+    return C
+
+
+def train_pq_codebooks(
+    vecs: DataFrame,
+    dim: int = 64,
+    n_sub: int = 16,
+    n_codes: int = 256,
+    n_iter: int = 6,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace L2 k-means from the pinned fixed_pq_codebooks init over
+    the pinned sample (the production way to build PQ codebooks; same
+    determinism guarantees as train_ivf_centroids). Returns
+    (n_sub, n_codes, dim // n_sub)."""
+    Xn = _pinned_sample(vecs, sample_n, id_col, vec_col)
+    parts = Xn.reshape(len(Xn), n_sub, dim // n_sub)
+    C = fixed_pq_codebooks(dim, n_sub, n_codes).copy()
+    for m in range(n_sub):
+        P = parts[:, m]
+        pn = np.einsum("ij,ij->i", P, P)
+        for _ in range(n_iter):
+            d2 = pn[:, None] - 2.0 * (P @ C[m].T) + np.einsum(
+                "ij,ij->i", C[m], C[m]
+            )[None, :]
+            a = np.argmin(d2, axis=1)
+            for c in np.unique(a):
+                C[m][c] = P[a == c].mean(axis=0)
+    return C

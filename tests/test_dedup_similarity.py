@@ -386,3 +386,36 @@ def test_pq_encode_shape_and_determinism(spark, vecs):
         assert len(r.pq_code) == 16
         assert all(0 <= c < 256 for c in r.pq_code)
         assert again[r.vec_id] == r.pq_code
+
+
+def test_trained_quantizers_beat_or_tie_fixed(spark):
+    """Deterministic k-means training (pinned sample, pinned init) must not
+    hurt recall vs the untrained pinned tables — and PQ must reach 1.0 on
+    the test corpus. Also pins rerun-determinism of the trained tables."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    import deepseek_ocr_api_rs_spark.operators.similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    vecs = emb.filter(F.col("vec_id") != 0)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = {r.vec_id for r in S.topk_cosine(vecs, qv, k=10).collect()}
+
+    Ct = S.train_ivf_centroids(vecs)
+    Ct2 = S.train_ivf_centroids(vecs)
+    assert (Ct == Ct2).all(), "training must be deterministic"
+    Bt = S.train_pq_codebooks(vecs)
+
+    def recall(df):
+        return len({r.vec_id for r in df.collect()} & exact) / 10
+
+    ivf_fixed = recall(S.ivf_topk(vecs, qv, k=10, nprobe=6))
+    ivf_trained = recall(S.ivf_topk(vecs, qv, k=10, nprobe=6, centroids=Ct))
+    assert ivf_trained >= ivf_fixed, (ivf_trained, ivf_fixed)
+
+    pq_fixed = recall(S.pq_topk(vecs, qv, k=10, rerank=100))
+    pq_trained = recall(S.pq_topk(vecs, qv, k=10, rerank=100, codebooks=Bt))
+    assert pq_trained >= pq_fixed, (pq_trained, pq_fixed)
+    assert pq_trained == 1.0, pq_trained

@@ -223,3 +223,49 @@ def test_extraction_operator_handles_modern_pdfs(spark):
         assert got.branch == "pdf" == ref.branch
         assert got.extracted_text == ref.extracted_text
         assert f"doc{d} line0 Ünï ✓" in got.extracted_text
+
+
+def test_handbuilt_foreign_dialect_quirks():
+    """A PDF assembled byte-by-byte with quirks NEITHER of our writers
+    emits: comments between objects, non-zero generation numbers, CR-only
+    EOLs inside the content stream, hex strings with embedded whitespace,
+    a multi-subsection xref table with a free entry, and object order that
+    puts the catalog LAST. Text must still come out."""
+    content = (
+        b"BT\r/F1 12 Tf\r"
+        b"1 0 0 1 50 700 Tm\r"
+        b"(paren \\(escaped\\) text) Tj\r"
+        b"1 0 0 1 50 680 Tm\r"
+        b"<68 65 6C6C 6F20 68 65 78> Tj\r"  # "hello hex" w/ inner whitespace
+        b"ET\r"
+    )
+    objs: list[bytes] = []
+    out = bytearray(b"%PDF-1.4\n% foreign dialect fixture\n")
+    offs = {}
+
+    def add(num: int, gen: int, body: bytes) -> None:
+        offs[num] = len(out)
+        out.extend(b"%% comment before object\n")
+        offs[num] = len(out)
+        out.extend(f"{num} {gen} obj\n".encode() + body + b"\nendobj\n")
+
+    # content first, catalog last; generation numbers 3 and 1 in headers
+    add(5, 3, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
+    add(4, 1, b"<< /Type /Page /Parent 2 0 R /Contents 5 3 R >>")
+    add(2, 0, b"<< /Type /Pages /Kids [4 1 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    add(1, 0, b"<< /Type /Catalog /Pages 2 0 R >>")
+    xref = len(out)
+    # two subsections: 0-2 (with the free head) and 4-5
+    out.extend(b"xref\n0 3\n")
+    out.extend(b"0000000000 65535 f \n")
+    out.extend(b"%010d 00000 n \n" % offs[1])
+    out.extend(b"%010d 00000 n \n" % offs[2])
+    out.extend(b"4 2\n")
+    out.extend(b"%010d 00001 n \n" % offs[4])
+    out.extend(b"%010d 00003 n \n" % offs[5])
+    out.extend(b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref)
+
+    parsed = parse_real_pdf(bytes(out))
+    assert parsed is not None
+    texts = [s["text"] for s in parsed[1]]
+    assert texts == ["paren (escaped) text", "hello hex"]
