@@ -1652,6 +1652,120 @@ def q_grounding_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the zeroth operator of a Common-Crawl
+    pipeline): messy synthesized URLs — mixed-case scheme/host, default
+    ports, utm_* tracking params, fragments — through the fixed regex
+    chain (functions/web.py, identical patterns both engines) plus host
+    extraction and a per-host rollup of canonical-distinct pages. Pure
+    built-ins; one small agg."""
+    from deepseek_ocr_api_rs_spark.functions import web as W
+
+    docs = _t(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 2 == 0, "HTTPS").otherwise("Http")
+    port = F.when(F.col("doc_id") % 2 == 0, ":443").otherwise(":80")
+    url = F.concat(
+        scheme,
+        F.lit("://WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=c"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    canon = W.canonicalize_url(url)
+    return docs.select(
+        "doc_id",
+        canon.alias("canonical_url"),
+        W.url_host(canon).alias("host"),
+    ).orderBy("doc_id")
+
+
+def _url_canonical_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions import web as W
+
+    url = (
+        "(case when doc_id % 2 = 0 then 'HTTPS' else 'Http' end"
+        " || '://WWW.Site' || cast(doc_id % 7 as varchar) || '.Example.COM'"
+        " || (case when doc_id % 2 = 0 then ':443' else ':80' end)"
+        " || '/Path/' || cast(doc_id as varchar)"
+        " || '/?utm_source=feed&id=' || cast(doc_id as varchar)"
+        " || '&utm_campaign=c' || cast(doc_id % 5 as varchar)"
+        " || '#sec' || cast(doc_id % 3 as varchar))"
+    )
+    canon = W.canonicalize_url_duckdb(url)
+    return f"""
+with c as (select doc_id, {canon} as canonical_url from documents)
+select doc_id, canonical_url, {W.url_host_duckdb('canonical_url')} as host
+from c order by doc_id
+"""
+
+
+_PACK_CAP = 512  # tokens per training sequence
+_PACK_SHARDS = 64
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence PACKING (the GPT-style pretraining data op): docs
+    are concatenated in deterministic order and cut into fixed-capacity
+    token sequences; each doc reports which sequences it lands in. Packing
+    is per-SHARD (doc_id mod 64) so the cumulative-sum window never needs
+    a global single-reducer sort — at 10^12 docs each shard packs
+    independently, which is exactly how distributed pretraining shards its
+    corpus. ONE window (shuffle on shard), all built-ins, oracle-exact."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = (F.col("doc_id") % _PACK_SHARDS).cast("int")
+    toks = T.token_count("text")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        "doc_id", shard.alias("shard"), toks.alias("n_tokens")
+    ).withColumn("cum_after", F.sum("n_tokens").over(w))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("cum_after") - F.col("n_tokens")).alias("cum_before"),
+        F.floor((F.col("cum_after") - F.col("n_tokens")) / _PACK_CAP)
+        .cast("long")
+        .alias("start_seq"),
+        F.floor(
+            (F.col("cum_after") - F.lit(1)) / _PACK_CAP
+        ).cast("long").alias("end_seq"),
+    ).orderBy("doc_id")
+
+
+_Q_PACKING_SQL = f"""
+with base as (
+  select doc_id,
+    cast(doc_id % {_PACK_SHARDS} as int) as shard,
+    {T.token_count_duckdb('text')} as n_tokens
+  from documents
+), c as (
+  select doc_id, shard, n_tokens,
+    sum(n_tokens) over (partition by shard order by doc_id
+                        rows unbounded preceding) as cum_after
+  from base
+)
+select doc_id, shard, n_tokens,
+  cast(cum_after - n_tokens as bigint) as cum_before,
+  cast(floor((cum_after - n_tokens) / {_PACK_CAP}.0) as bigint) as start_seq,
+  cast(floor((cum_after - 1) / {_PACK_CAP}.0) as bigint) as end_seq
+from c order by doc_id
+"""
+
+
 def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio path: doc_id-seeded genuine RIFF/WAVE PCM synthesis →
     stdlib chunk-walk parse → numpy rfft → dominant-bin frequency. The
@@ -1941,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_resize": q_png_resize,
         "q_grounding_boxes": q_grounding_boxes,
         "q_audio_spectrum": q_audio_spectrum,
+        "q_sequence_packing": q_sequence_packing,
+        "q_url_canonical": q_url_canonical,
         "q_extract_html_pipeline": q_extract_html_pipeline,
         "q_unbase64_roundtrip": q_unbase64_roundtrip,
         "q_markdown_polish": q_markdown_polish,
@@ -2002,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _stratified_oracle_sql(),
         "q_image_meta": _Q_IMAGE_SQL,
         "q_audio_spectrum": _Q_AUDIO_SQL,
+        "q_sequence_packing": _Q_PACKING_SQL,
+        "q_url_canonical": _url_canonical_sql(),
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

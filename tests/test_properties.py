@@ -215,3 +215,32 @@ def test_pdf_parser_never_raises_on_garbage(blob):
 def test_extract_document_never_raises(blob):
     res = extract_document(blob)
     assert res.branch in ("html", "pdf", "error")
+
+
+def test_url_canonicalize_edge_cases(spark):
+    """Regex-chain canonicalizer: scheme/host lowercased (path untouched),
+    default ports stripped (non-default kept), utm params removed wherever
+    they sit, emptied query dropped, fragment dropped, non-URLs pass
+    through un-mangled."""
+    from deepseek_ocr_api_rs_spark.functions.web import canonicalize_url, url_host
+
+    cases = [
+        ("HTTP://Ex.COM:80/A/B?x=1#f", "http://ex.com/A/B?x=1"),
+        ("https://Ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),  # non-default kept
+        ("http://ex.com/?utm_a=1", "http://ex.com/"),
+        ("http://ex.com/?utm_a=1&utm_b=2", "http://ex.com/"),
+        ("http://ex.com/?utm_a=1&id=2&utm_b=3", "http://ex.com/?id=2"),
+        ("http://ex.com/?id=2&utm_b=3", "http://ex.com/?id=2"),
+        ("http://ex.com/p#only-fragment", "http://ex.com/p"),
+        ("not a url at all", "not a url at all"),
+        ("ftp://Files.Ex.COM/X", "ftp://files.ex.com/X"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    got = {r.i: (r.c, r.h) for r in df.select(
+        "i", canonicalize_url("u").alias("c"),
+        url_host(canonicalize_url("u")).alias("h"),
+    ).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i][0] == want, (u, got[i][0], want)
+    assert got[0][1] == "ex.com" and got[8][1] == ""  # host of non-URL = ''
