@@ -107,6 +107,9 @@ _HEADLINE_QUERIES = [
     "q_dup_passages",
     "q_kmv_distinct_users",
     "q_png_resize",
+    "q_audio_spectrum",
+    "q_sequence_packing",
+    "q_url_canonical",
 ]
 
 
