@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pandas as pd
@@ -30,6 +31,7 @@ DEFAULT_RATE = 8000
 DEFAULT_N = 2048  # power of two: bin width = rate/n = 3.90625 Hz exactly
 
 
+@_lru_cache(maxsize=4096)
 def make_wav_bytes(
     bin_k: int,
     amp: float = 0.6,
@@ -38,7 +40,9 @@ def make_wav_bytes(
     rate: int = DEFAULT_RATE,
 ) -> bytes:
     """Genuine RIFF/WAVE PCM file: mono 16-bit, one sine placed exactly on
-    FFT bin ``bin_k`` (+ an optional weaker harmonic on another bin)."""
+    FFT bin ``bin_k`` (+ an optional weaker harmonic on another bin).
+    Memoized — a pure function of its args, and corpora reuse few distinct
+    (bin, harmonic) pairs (the sine synthesis dominates otherwise)."""
     t = np.arange(n_samples, dtype=np.float64)
     x = amp * np.sin(2.0 * np.pi * bin_k * t / n_samples)
     if harmonic_k is not None:
@@ -115,25 +119,41 @@ def audio_spectral_features(
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            rates, ns, doms = [], [], []
-            for payload in pdf[binary_col]:
+            n = len(ids)
+            rates = np.full(n, 0, dtype=np.int64)
+            ns = np.full(n, 0, dtype=np.int64)
+            doms = np.full(n, np.nan, dtype=np.float64)
+            # batch the FFTs: group equal-length clips into ONE rfft call
+            # (the whole batch in practice — one synth pipeline, one length)
+            groups: dict[int, list[tuple[int, int, np.ndarray]]] = {}
+            for i, payload in enumerate(pdf[binary_col]):
                 parsed = parse_wav(bytes(payload) if payload is not None else b"")
                 if parsed is None:
-                    rates.append(None)
-                    ns.append(None)
-                    doms.append(None)
                     continue
                 rate, samples = parsed
-                feats = spectral_features(rate, samples)
-                rates.append(rate)
-                ns.append(feats["n_samples"])
-                doms.append(feats["dominant_hz"])
+                groups.setdefault(len(samples), []).append((i, rate, samples))
+            for length, items in groups.items():
+                X = np.stack([s for _, _, s in items]).astype(np.float64)
+                mag = np.abs(np.fft.rfft(X, axis=1))
+                mag[:, 0] = 0.0  # DC out of the argmax
+                ks = np.argmax(mag, axis=1)
+                for (i, rate, _), k in zip(items, ks):
+                    rates[i] = rate
+                    ns[i] = length
+                    doms[i] = int(k) * rate / length
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "sample_rate": pd.array(rates, dtype="Int32"),
-                    "n_samples": pd.array(ns, dtype="Int64"),
-                    "dominant_hz": pd.array(doms, dtype="float64"),
+                    "sample_rate": pd.array(
+                        [int(r) if r else None for r in rates], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [int(x) if x else None for x in ns], dtype="Int64"
+                    ),
+                    "dominant_hz": pd.array(
+                        [None if np.isnan(d) else float(d) for d in doms],
+                        dtype="float64",
+                    ),
                 }
             )
 
