@@ -517,7 +517,11 @@ def _utf16_char(dst_hex: bytes, k: int = 0) -> str:
     if k and len(b) >= 2:
         last = (int.from_bytes(b[-2:], "big") + k) & 0xFFFF
         b = b[:-2] + last.to_bytes(2, "big")
-    return b.decode("utf-16-be", "replace")
+    # surrogatepass, not replace: a lone surrogate UNIT here may be half of
+    # a pair split across two codes — _decode_text re-combines pairs after
+    # assembly (the only invalid UTF-16BE sequences are surrogate-related,
+    # so this never raises; odd length was padded above)
+    return b.decode("utf-16-be", "surrogatepass")
 
 
 class _CMap:
@@ -619,7 +623,15 @@ def _decode_text(raw: bytes, cmap: _CMap | None = None) -> str:
         i += step
     if i < n:  # trailing partial code: latin-1 salvage
         out.append(raw[i:].decode("latin-1"))
-    return "".join(out)
+    s = "".join(out)
+    if step == 2:
+        # 2-byte codes are UTF-16BE units: a high+low surrogate pair decoded
+        # unit-by-unit must re-combine into the astral character (lone
+        # surrogates from malformed input survive via surrogatepass)
+        s = s.encode("utf-16-be", "surrogatepass").decode(
+            "utf-16-be", "surrogatepass"
+        )
+    return s
 
 
 def _page_spans(
@@ -827,9 +839,11 @@ def _span_ops(s: dict, height: float, utf16: bool = False) -> list[str]:
     y_pdf = height - y0 - size  # parser emits y0 = H - cur_y - size
     lines = [f"/F1 {size:.4f} Tf", f"1 0 0 1 {x0:.2f} {y_pdf:.4f} Tm"]
     if utf16:
-        hexes = "".join(
-            f"{min(ord(c), 0xFFFF):04X}" for c in text
-        )
+        # real UTF-16BE: non-BMP chars become surrogate PAIRS (two 2-byte
+        # codes the CMap identity path decodes and _decode_text re-combines)
+        # — never clamped (ADVICE r3: min(ord, 0xFFFF) silently mangled
+        # astral text and broke the extracted-text round-trip)
+        hexes = text.encode("utf-16-be", "surrogatepass").hex().upper()
         lines.append(f"<{hexes}> Tj")
     else:
         lines.append(f"({_escape_literal(text)}) Tj")

