@@ -61,6 +61,50 @@ def _bench_corpus(spark, n_docs: int, cache_dir: str = "/tmp/spark_graft_bench")
     return path
 
 
+def _cum_task_seconds(spark) -> tuple[float, float]:
+    """Cumulative executor task (cpu_sec, run_sec) summed over every stage
+    the app status store retains (spark.ui.retainedStages, default 1000 —
+    far above one bench run's stage count).
+
+    Reads AppStatusStore directly (populated by AppStatusListener whether
+    or not the web UI is enabled), via the full 5-arg stageList signature —
+    py4j has no Scala default-arg support. Task-CPU is the falsifiable
+    bench metric on a shared box: external tenant load inflates wall-clock
+    up to 2× but barely moves on-CPU time (VERDICT r3: same-code wall
+    spread exceeded the round-over-round delta under test)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    lst = store.stageList(
+        gw.jvm.java.util.ArrayList(),  # statuses: empty = all
+        False,  # details
+        False,  # withSummaries
+        gw.new_array(gw.jvm.double, 0),  # unsortedQuantiles
+        gw.jvm.java.util.ArrayList(),  # taskStatus
+    )
+    cpu_ns = 0
+    run_ms = 0
+    for i in range(lst.size()):
+        s = lst.apply(i)
+        cpu_ns += s.executorCpuTime()
+        run_ms += s.executorRunTime()
+    return cpu_ns / 1e9, run_ms / 1e3
+
+
+def _settled_cum_task_seconds(spark) -> tuple[float, float]:
+    """Stage-completion events land on an async listener queue; poll until
+    the cumulative counters stop moving (≤0.5 s) so a query's tail stages
+    aren't attributed to the next query."""
+    prev = _cum_task_seconds(spark)
+    for _ in range(10):
+        time.sleep(0.05)
+        cur = _cum_task_seconds(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def run_extraction_bench(spark, n_docs: int) -> tuple[float, int]:
     """Returns (seconds, docs) for the full extraction job: read parquet →
     salted url-hash repartition → mapInPandas extraction → write parquet."""
@@ -151,13 +195,23 @@ def main() -> None:
 
     # best-of-2: the sandbox shares cores with other tenants; max throughput
     # is the least-noisy estimator of machine capability (same policy as
-    # scripts/scaling_bench.py)
+    # scripts/scaling_bench.py). cpu_sec comes from the SAME (best) run:
+    # task-CPU is the falsifiable round-over-round metric — wall-clock on
+    # this box can't resolve <2× changes (VERDICT r3).
+    _bench_corpus(spark, n_docs)  # generate OUTSIDE the cpu_sec window
+    cum0 = _settled_cum_task_seconds(spark)
     ext_sec, n = run_extraction_bench(spark, n_docs)
+    cum1 = _settled_cum_task_seconds(spark)
     ext_sec2, _ = run_extraction_bench(spark, n_docs)
+    cum2 = _settled_cum_task_seconds(spark)
+    ext_cpu = (
+        cum1[0] - cum0[0] if ext_sec <= ext_sec2 else cum2[0] - cum1[0]
+    )
     ext_sec = min(ext_sec, ext_sec2)
     docs_per_sec = n / ext_sec
 
     queries: dict[str, float] = {"extraction_job": round(ext_sec, 3)}
+    queries_cpu: dict[str, float] = {"extraction_job": round(ext_cpu, 3)}
     if not extraction_only:
         import __spark_entry__ as entrymod
 
@@ -165,9 +219,13 @@ def main() -> None:
 
         qmap = entrymod.queries()
         for name in _HEADLINE_QUERIES:
+            cpu_before = _settled_cum_task_seconds(spark)[0]
             t0 = time.time()
             qmap[name](spark, sf_dir).collect()
             queries[name] = round(time.time() - t0, 3)
+            queries_cpu[name] = round(
+                max(0.0, _settled_cum_task_seconds(spark)[0] - cpu_before), 3
+            )
             release_persisted()  # free operator-persisted intermediates
 
     total_sec = round(sum(queries.values()), 3)
@@ -176,12 +234,17 @@ def main() -> None:
         "value": total_sec,
         "unit": "sec",
         "queries": queries,
+        # executor task-CPU seconds per query (same best run) — the
+        # load-noise-immune metric for round-over-round comparison
+        "queries_cpu_sec": queries_cpu,
+        "cpu_sec_total": round(sum(queries_cpu.values()), 3),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         # headline throughput metric per BASELINE.json:
         "extraction_docs_per_sec": round(docs_per_sec, 1),
         "n_docs": n,
         "cpus": int(cpus),
         "extraction_sec": round(ext_sec, 3),
+        "extraction_cpu_sec": round(ext_cpu, 3),
     }
     print(json.dumps(result))
     spark.stop()
