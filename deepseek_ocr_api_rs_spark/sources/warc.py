@@ -15,6 +15,19 @@ so file-per-task parallelism is the natural unit; the segment files ARE the
 partitions. A writer (``make_warc_gz``) assembles spec-conformant fixtures
 so the parser is tested against real container bytes, and the parsed rows
 feed ``operators.extract.extract_documents`` directly (end-to-end test).
+
+HTTP-envelope realism (all routine in real Common Crawl segments):
+- ``Transfer-Encoding: chunked`` bodies are de-chunked (RFC 9112 §7.1);
+- Content-Type is parsed (mime + charset); ``read_warc_documents`` keeps
+  only mimes the extractor handles (html/xhtml/pdf + absent) and decodes
+  the declared charset into the ``text`` column, re-encoding non-UTF-8
+  HTML payloads to UTF-8 bytes in ``html`` so the downstream extraction
+  branch (which assumes UTF-8) is correct for latin-1/KOI8/etc. pages;
+- ``WARC-Truncated`` records are tolerated: parsed normally, payload
+  as-stored, the flag surfaced per record;
+- WARC 1.1 fractional-second dates are normalized and timestamp parsing
+  uses ``try_to_timestamp`` — a malformed date yields NULL, never an
+  ANSI-mode DateTimeException aborting the whole ingestion job.
 """
 
 from __future__ import annotations
@@ -40,12 +53,27 @@ INPUT_HINT_SCHEMA = (
 )
 
 
+def _chunk_encode(payload: bytes, chunk_size: int = 97) -> bytes:
+    """RFC 9112 §7.1 chunked transfer coding (fixture writer side)."""
+    out = bytearray()
+    for i in range(0, len(payload), chunk_size):
+        piece = payload[i : i + chunk_size]
+        out += f"{len(piece):x}".encode("ascii") + _CRLF + piece + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
 def make_warc_gz(records: list[dict]) -> bytes:
     """Assemble a real ``.warc.gz``: one gzip MEMBER per record (the
     Common-Crawl layout — a reader can seek to a record offset and inflate
     just that member). Record dicts: {"type": "response"|"request"|
     "metadata", "url": str, "date": datetime, "payload": bytes,
-    "status": int (response only)}."""
+    "status": int, "content_type": str (HTTP Content-Type header value),
+    "chunked": bool (emit Transfer-Encoding: chunked), "truncated": str
+    (emit WARC-Truncated with this reason, e.g. "length")} — the last
+    three, plus a ``date`` with microseconds (emitted as a WARC 1.1
+    fractional-second timestamp), cover the envelope variants real
+    Common Crawl segments contain."""
     out = bytearray()
     for rec in records:
         rtype = rec.get("type", "response")
@@ -54,19 +82,35 @@ def make_warc_gz(records: list[dict]) -> bytes:
         payload = bytes(rec.get("payload", b""))
         if rtype == "response":
             status = int(rec.get("status", 200))
+            ctype = rec.get("content_type", "text/html; charset=utf-8")
+            if rec.get("chunked"):
+                body = _chunk_encode(payload)
+                framing = "Transfer-Encoding: chunked\r\n"
+            else:
+                body = payload
+                framing = f"Content-Length: {len(payload)}\r\n"
             http = (
                 f"HTTP/1.1 {status} OK\r\n"
-                f"Content-Type: text/html; charset=utf-8\r\n"
-                f"Content-Length: {len(payload)}\r\n\r\n"
-            ).encode("latin-1") + payload
+                f"Content-Type: {ctype}\r\n" + framing + "\r\n"
+            ).encode("latin-1") + body
         else:
             http = payload
+        if date.microsecond:  # WARC 1.1 fractional seconds
+            date_s = date.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        else:
+            date_s = date.strftime("%Y-%m-%dT%H:%M:%SZ")
+        trunc = (
+            f"WARC-Truncated: {rec['truncated']}\r\n"
+            if rec.get("truncated")
+            else ""
+        )
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {rtype}\r\n"
             f"WARC-Target-URI: {url}\r\n"
-            f"WARC-Date: {date.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"WARC-Date: {date_s}\r\n"
             "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+            + trunc
             + (
                 'Content-Type: application/http; msgtype=response\r\n'
                 if rtype == "response"
@@ -90,10 +134,48 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode RFC 9112 §7.1 chunked transfer coding. Tolerant: on any
+    framing error the bytes decoded so far are returned (a truncated
+    capture mid-chunk is routine in crawl data)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_token = body[pos:eol].split(b";", 1)[0].strip()  # ignore ext
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break  # terminal chunk (trailers ignored)
+        out += body[eol + 2 : eol + 2 + size]
+        pos = eol + 2 + size + 2  # chunk data + its trailing CRLF
+    return bytes(out)
+
+
+def _parse_content_type(value: str) -> tuple[str, str | None]:
+    """'text/html; charset=ISO-8859-1' → ('text/html', 'iso-8859-1')."""
+    parts = value.split(";")
+    mime = parts[0].strip().lower()
+    charset = None
+    for p in parts[1:]:
+        p = p.strip()
+        if p.lower().startswith("charset="):
+            charset = p[8:].strip().strip('"').strip("'").lower() or None
+    return mime, charset
+
+
 def iter_warc_records(data: bytes) -> Iterator[dict]:
-    """Yield {"type", "url", "date", "payload"} per record. Accepts gzipped
-    (single- or multi-member) and plain WARC bytes; response records get
-    the HTTP envelope stripped (payload = body only). Tolerant: malformed
+    """Yield {"type", "url", "date", "payload", "mime", "charset",
+    "truncated"} per record. Accepts gzipped (single- or multi-member) and
+    plain WARC bytes; response records get the HTTP envelope stripped
+    (payload = body only), chunked transfer coding de-chunked, and the
+    Content-Type header parsed into (mime, charset). ``WARC-Truncated``
+    records parse normally with the flag surfaced. Tolerant: malformed
     records are skipped, never raised on."""
     try:
         if data[:2] == b"\x1f\x8b":
@@ -126,50 +208,110 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             pos += 2
         rtype = headers.get("warc-type", "")
         payload = body
+        mime: str = ""
+        charset: str | None = None
         if rtype == "response" and _HTTP_STATUS_RE.match(body):
             http_end = body.find(b"\r\n\r\n")
             if http_end >= 0:
+                http_headers = _parse_headers(body[:http_end])
                 payload = body[http_end + 4 :]
+                if "chunked" in http_headers.get("transfer-encoding", "").lower():
+                    payload = _dechunk(payload)
+                ct = http_headers.get("content-type", "")
+                if ct:
+                    mime, charset = _parse_content_type(ct)
         yield {
             "type": rtype,
             "url": headers.get("warc-target-uri", ""),
             "date": headers.get("warc-date", ""),
             "payload": payload,
+            "mime": mime,
+            "charset": charset,
+            "truncated": headers.get("warc-truncated", "") or None,
         }
 
 
-def read_warc_documents(spark: SparkSession, path: str) -> DataFrame:
+# mimes the downstream extractor has a branch for; "" = no Content-Type
+# header at all (tolerated — old servers), everything else (images, css,
+# js, fonts, json APIs...) is dropped at ingestion
+DEFAULT_KEEP_MIMES = frozenset(
+    {"", "text/html", "application/xhtml+xml", "application/pdf"}
+)
+
+_WARC_DATE_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.\d{1,9})?Z$"
+)
+
+_TEXT_MIMES = frozenset({"", "text/html", "application/xhtml+xml"})
+
+
+def read_warc_documents(
+    spark: SparkSession,
+    path: str,
+    keep_mimes: frozenset[str] | set[str] = DEFAULT_KEEP_MIMES,
+) -> DataFrame:
     """``.warc(.gz)`` files → input_hint-schema DataFrame of the response
     records. binaryFile scan (one row per WARC file) → Arrow fan-out into
     records; map-only, file-per-task parallelism (Common Crawl's ~1 GB
-    segment files are the natural partition unit)."""
+    segment files are the natural partition unit).
+
+    Envelope handling: only ``keep_mimes`` responses are emitted; chunked
+    bodies are de-chunked in the fan-out; for text mimes the declared
+    charset is decoded into the ``text`` column (source text — downstream
+    extraction replaces it) and a non-UTF-8 payload is re-encoded to UTF-8
+    in ``html`` so the extraction branch's UTF-8 assumption holds;
+    truncated records are kept as stored. WARC 1.1 fractional-second dates
+    are normalized in the fan-out, and parsing uses ``try_to_timestamp``:
+    a malformed/missing date becomes a NULL ``warc_ts`` instead of an
+    ANSI-mode DateTimeException aborting the job (ADVICE r3)."""
     import pandas as pd
 
+    keep = frozenset(keep_mimes)
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def fan_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, tss, payloads = [], [], []
+            urls, tss, payloads, texts = [], [], [], []
             for blob in pdf["content"]:
                 for rec in iter_warc_records(bytes(blob)):
                     if rec["type"] != "response" or not rec["url"]:
                         continue
+                    if rec["mime"] not in keep:
+                        continue
+                    payload = rec["payload"]
+                    text = ""
+                    if rec["mime"] in _TEXT_MIMES:
+                        charset = rec["charset"] or "utf-8"
+                        try:
+                            text = payload.decode(charset, "replace")
+                        except LookupError:  # unknown charset label
+                            text = payload.decode("utf-8", "replace")
+                        if charset not in ("utf-8", "utf8", "ascii", "us-ascii"):
+                            payload = text.encode("utf-8")
+                    dm = _WARC_DATE_RE.match(rec["date"])
+                    tss.append(dm.group(1) + "Z" if dm else None)
                     urls.append(rec["url"])
-                    tss.append(rec["date"])
-                    payloads.append(rec["payload"])
+                    payloads.append(payload)
+                    texts.append(text)
             yield pd.DataFrame(
                 {
                     "url": urls,
                     "warc_ts_raw": tss,
                     "html": payloads,
+                    "text": texts,
                 }
             )
 
-    raw = files.mapInPandas(fan_out, schema="url string, warc_ts_raw string, html binary")
+    raw = files.mapInPandas(
+        fan_out,
+        schema="url string, warc_ts_raw string, html binary, text string",
+    )
     return raw.select(
         "url",
-        F.to_timestamp("warc_ts_raw", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.try_to_timestamp(
+            "warc_ts_raw", F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        ).alias("warc_ts"),
         "html",
-        F.lit("").alias("text"),
+        "text",
         F.lit("unknown").alias("lang"),
     )

@@ -73,6 +73,83 @@ def test_warc_plain_and_malformed():
     assert len(list(iter_warc_records(cut))) >= 2
 
 
+def test_warc_chunked_body_is_dechunked():
+    """Transfer-Encoding: chunked responses (routine in crawls) must yield
+    the DECODED body, not the chunk-framed bytes."""
+    html = b"<html><body><p>" + b"chunked content words " * 20 + b"</p></body></html>"
+    blob = make_warc_gz(
+        [{"type": "response", "url": "https://ex.org/ch", "date": DATE,
+          "payload": html, "chunked": True}]
+    )
+    got = [r for r in iter_warc_records(blob) if r["type"] == "response"]
+    assert got[0]["payload"] == html
+    # dechunk tolerance: a capture cut mid-chunk returns the decoded prefix
+    from deepseek_ocr_api_rs_spark.sources.warc import _chunk_encode, _dechunk
+
+    full = _chunk_encode(html, chunk_size=50)
+    cut = full[: len(full) // 2]
+    prefix = _dechunk(cut)
+    assert html.startswith(prefix) and len(prefix) > 0
+    assert _dechunk(b"not hex\r\nstuff") == b""
+
+
+def test_warc_content_type_and_charset(spark, tmp_path):
+    """Non-HTML mimes are dropped at ingestion; a declared non-UTF-8
+    charset is decoded into `text` and the html payload re-encoded to
+    UTF-8 so the extractor's UTF-8 assumption holds."""
+    latin = "<html><body><p>café naïve résumé content words here</p></body></html>"
+    records = [
+        {"type": "response", "url": "https://ex.org/latin", "date": DATE,
+         "payload": latin.encode("iso-8859-1"),
+         "content_type": "text/html; charset=ISO-8859-1"},
+        {"type": "response", "url": "https://ex.org/img", "date": DATE,
+         "payload": b"\x89PNG fake image bytes",
+         "content_type": "image/png"},
+        {"type": "response", "url": "https://ex.org/badcs", "date": DATE,
+         "payload": b"<html><body><p>unknown charset label page</p></body></html>",
+         "content_type": "text/html; charset=no-such-charset"},
+    ]
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    (warc_dir / "seg.warc.gz").write_bytes(make_warc_gz(records))
+    rows = {r.url: r for r in read_warc_documents(spark, str(warc_dir)).collect()}
+    assert set(rows) == {"https://ex.org/latin", "https://ex.org/badcs"}  # image dropped
+    assert rows["https://ex.org/latin"].text == latin  # charset-decoded source
+    assert bytes(rows["https://ex.org/latin"].html) == latin.encode("utf-8")
+    assert "unknown charset label" in rows["https://ex.org/badcs"].text  # utf-8 fallback
+
+
+def test_warc_truncated_and_fractional_dates(spark, tmp_path):
+    """WARC-Truncated records are tolerated (parsed, flag surfaced); WARC
+    1.1 fractional-second dates parse to the floor second; a garbage date
+    yields a NULL warc_ts instead of an ANSI DateTimeException (ADVICE)."""
+    frac_date = dt.datetime(2024, 3, 5, 12, 0, 1, 123000, tzinfo=dt.timezone.utc)
+    records = [
+        {"type": "response", "url": "https://ex.org/t", "date": DATE,
+         "payload": b"<html><body><p>cut off mid cont",
+         "truncated": "length"},
+        {"type": "response", "url": "https://ex.org/frac", "date": frac_date,
+         "payload": b"<html><body><p>warc 1.1 fractional date page</p></body></html>"},
+    ]
+    got = list(iter_warc_records(make_warc_gz(records)))
+    assert got[0]["truncated"] == "length" and got[1]["truncated"] is None
+    assert got[1]["date"] == "2024-03-05T12:00:01.123Z"
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    (warc_dir / "seg.warc.gz").write_bytes(make_warc_gz(records))
+    # splice a garbage WARC-Date in to prove the NULL-not-abort contract
+    plain = gzip.decompress(make_warc_gz(
+        [{"type": "response", "url": "https://ex.org/baddate", "date": DATE,
+          "payload": b"<html><body><p>bad date page body</p></body></html>"}]
+    )).replace(b"WARC-Date: 2024-03-05T12:00:00Z", b"WARC-Date: not-a-date-at-all")
+    (warc_dir / "seg2.warc.gz").write_bytes(gzip.compress(plain))
+    rows = {r.url: r for r in read_warc_documents(spark, str(warc_dir)).collect()}
+    assert rows["https://ex.org/t"].text.startswith("<html><body><p>cut off")
+    assert rows["https://ex.org/frac"].warc_ts == dt.datetime(2024, 3, 5, 12, 0, 1)
+    assert rows["https://ex.org/baddate"].warc_ts is None  # NULL, job alive
+
+
 def test_read_warc_documents_and_extract(spark, tmp_path):
     """End-to-end: .warc.gz on disk → binaryFile scan → record fan-out →
     input_hint rows → extract_documents main-content extraction."""
