@@ -1,21 +1,33 @@
-"""Baseline JPEG codec, stdlib + numpy only — closes the last pixel-decode
-stub.
+"""Baseline + progressive JPEG codec, stdlib + numpy only — closes the
+last pixel-decode stub.
 
-Decoder (``decode_jpeg_pixels``): marker parse (DQT/DHT/SOF0/SOS/DRI),
+Decoder (``decode_jpeg_pixels``): marker parse (DQT/DHT/SOF0/SOF2/SOS/DRI),
 canonical Huffman table build, entropy decode with 0xFF00 unstuffing and
 RSTn restart handling, DPCM DC + run/size AC, dezigzag, dequantize, float64
 matrix IDCT, chroma upsampling for sampling factors h,v ∈ {1,2} (4:4:4,
-4:2:2, 4:2:0), JFIF YCbCr→RGB. Progressive (SOF2), arithmetic coding,
-12-bit precision and >2 sampling factors return None (documented scope).
+4:2:2, 4:2:0), JFIF YCbCr→RGB. PROGRESSIVE (SOF2) decodes fully: spectral
+selection + successive approximation over a per-component coefficient
+store — DC-first / DC-refine / AC-first / AC-refine scan types per T.81
+G.2, with EOB-run aggregation, buffered correction bits, ZRL-in-refinement
+and RSTn resets. Arithmetic coding, hierarchical, 12-bit precision and
+>2 sampling factors return None (documented scope).
 
-Encoder (``encode_jpeg_rgb``): the test/fixture inverse — 4:4:4 baseline
-with the ITU-T T.81 Annex K example quantization + Huffman tables, quality
-scaling per the public IJG rule. JPEG is lossy: roundtrips assert bounded
-error + bit determinism, not byte equality (unlike the PNG/GIF paths).
+Encoders: ``encode_jpeg_rgb`` — 4:4:4/4:2:0 baseline with the ITU-T T.81
+Annex K example quantization + Huffman tables, quality scaling per the
+public IJG rule; ``encode_jpeg_progressive`` — the same quantized
+coefficients emitted through the libjpeg default 10-scan progressive
+script (DC Al=1 → banded AC-first scans → AC/DC refinements), so a
+progressive round-trip must reproduce the baseline decode EXACTLY
+(coefficient-lossless — the cross-check that keeps the two scan pipelines
+honest against each other). JPEG is lossy vs the source: roundtrips
+assert bounded error + bit determinism, not byte equality.
 
-All per the public ITU-T T.81 (1992) spec + JFIF 1.02. Mirrors the
+All per the public ITU-T T.81 (1992) spec + JFIF 1.02 (progressive scan
+semantics: T.81 Annex G; the encoder-side EOB-run/correction-bit
+bookkeeping follows the public libjpeg jcphuff.c algorithm). Mirrors the
 reference accepting real JPEG inputs (crates/server/src/generation.rs:
-276-305 decodes fetched image payloads via the image crate).
+276-305 decodes fetched image payloads via the image crate — progressive
+is the dominant web encoding, so a crawl pipeline cannot skip it).
 """
 
 from __future__ import annotations
@@ -426,9 +438,9 @@ def encode_jpeg_rgb(
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
-    """Baseline JPEG → (h, w, 3) uint8 RGB (grayscale broadcast), or None
-    outside scope (progressive, arithmetic, 12-bit, sampling > 2). Never
-    raises."""
+    """Baseline or progressive JPEG → (h, w, 3) uint8 RGB (grayscale
+    broadcast), or None outside scope (arithmetic, hierarchical, 12-bit,
+    sampling > 2). Never raises."""
     try:
         b = bytes(payload or b"")
         if b[:2] != b"\xff\xd8":
@@ -436,10 +448,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None
+        progressive = False
+        store: list[np.ndarray] | None = None
         restart_interval = 0
         i = 2
         n = len(b)
-        while i + 4 <= n:
+        while i + 2 <= n:
             if b[i] != 0xFF:
                 i += 1
                 continue
@@ -448,7 +462,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 i += 2
                 continue
             if marker == 0xD9:
-                return None  # EOI before SOS
+                # EOI: progressive renders accumulated coefficients here
+                if progressive and store is not None:
+                    return _render_coef_store(frame, store, qt)
+                return None  # baseline: EOI before SOS
+            if i + 4 > n:
+                return None
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
             seg = b[i + 4 : i + 2 + seg_len]
             if marker == 0xDB:  # DQT
@@ -473,7 +492,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                     p += 17 + cnt
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[:2], "big")
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
                 prec = seg[0]
                 if prec != 8:
                     return None
@@ -485,21 +504,48 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                     cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                     comps.append((cid, samp >> 4, samp & 0x0F, tq))
                 frame = (fh, fw, comps)
-            elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                return None  # progressive / arithmetic / lossless
+                progressive = marker == 0xC2
+            elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # arithmetic / lossless / hierarchical
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     return None
                 ns = seg[0]
-                sel = {}
+                data_start = i + 2 + seg_len
+                if not progressive:
+                    sel = {}
+                    for c in range(ns):
+                        cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                        sel[cid] = (tabs >> 4, tabs & 0x0F)
+                    return _decode_scan(
+                        b[data_start:], frame, qt, huff, sel, restart_interval
+                    )
+                # progressive: one of many scans — decode into the store,
+                # then continue the marker walk after the entropy bytes
+                scan_comps = []
                 for c in range(ns):
                     cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                    sel[cid] = (tabs >> 4, tabs & 0x0F)
-                data_start = i + 2 + seg_len
-                return _decode_scan(
-                    b[data_start:], frame, qt, huff, sel, restart_interval
+                    scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if store is None:
+                    store = _init_coef_store(frame)
+                    if store is None:
+                        return None
+                end = _scan_end(b, data_start)
+                ok = _decode_progressive_scan(
+                    b[data_start:end], frame, store, huff, scan_comps,
+                    ss, se, ah, al, restart_interval,
                 )
+                if not ok:
+                    return None
+                i = end
+                continue
             i += 2 + seg_len
+        # truncated stream: render what the progressive store holds
+        if progressive and store is not None:
+            return _render_coef_store(frame, store, qt)
         return None
     except Exception:
         return None
@@ -598,3 +644,626 @@ def _decode_scan(
         return np.repeat(y[:, :, None], 3, axis=2)
     ycc = np.stack(full, axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) machinery — T.81 Annex G spectral selection +
+# successive approximation. Coefficients accumulate across scans in a
+# per-component store (blocks_y, blocks_x, 64) in ZIGZAG index order;
+# rendering happens once, at EOI.
+
+
+def _scan_end(b: bytes, start: int) -> int:
+    """Index of the first marker (0xFF + non-stuffing, non-RST byte) after
+    ``start`` — the end of one scan's entropy-coded bytes."""
+    i = start
+    n = len(b)
+    while i + 1 < n:
+        if b[i] == 0xFF and b[i + 1] != 0x00 and not (0xD0 <= b[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
+def _init_coef_store(frame: tuple) -> list[np.ndarray] | None:
+    fh, fw, comps = frame
+    if fh <= 0 or fw <= 0 or len(comps) not in (1, 3):
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
+        return None
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        for _, ch, cv, _ in comps
+    ]
+
+
+def _comp_block_dims(frame: tuple, ci: int) -> tuple[int, int]:
+    """ACTUAL (non-MCU-padded) block grid of one component — the iteration
+    space of a non-interleaved scan (T.81 A.2.2)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, ch, cv, _ = comps[ci]
+    cw = (fw * ch + hmax - 1) // hmax
+    chh = (fh * cv + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    frame: tuple,
+    store: list[np.ndarray],
+    huff: dict[tuple[int, int], dict],
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> bool:
+    fh, fw, comps = frame
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    try:
+        members = [(cid_to_ci[cid], dc_t, ac_t) for cid, dc_t, ac_t in scan_comps]
+    except KeyError:
+        return False
+    reader = _BitReader(data)
+    if ss == 0:
+        if se != 0:
+            return False  # DC scan must be DC-only in progressive
+        if ah == 0:
+            return _dc_first_scan(reader, frame, store, huff, members, al,
+                                  restart_interval)
+        return _dc_refine_scan(reader, frame, store, members, al,
+                               restart_interval)
+    if len(members) != 1:
+        return False  # AC scans are single-component (T.81 G.1.1.1.1)
+    ci, _, ac_t = members[0]
+    act = huff.get((1, ac_t))
+    if act is None:
+        return False
+    if ah == 0:
+        return _ac_first_scan(reader, frame, store, act, ci, ss, se, al,
+                              restart_interval)
+    return _ac_refine_scan(reader, frame, store, act, ci, ss, se, al,
+                           restart_interval)
+
+
+def _restart(reader: _BitReader) -> bool:
+    m = reader.align_to_marker()
+    return m is not None and 0xD0 <= m <= 0xD7
+
+
+def _scan_block_iter(frame: tuple, members: list, interleaved: bool):
+    """Yield lists of (member_index, by, bx) — one list per restart unit
+    (MCU when interleaved, single block otherwise)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if interleaved:
+        mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for mi, (ci, _, _) in enumerate(members):
+                    _, ch, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            unit.append((mi, my * cv + by, mx * ch + bx))
+                yield unit
+    else:
+        ci = members[0][0]
+        bh, bw = _comp_block_dims(frame, ci)
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(0, by, bx)]
+
+
+def _dc_first_scan(reader, frame, store, huff, members, al, ri) -> bool:
+    tables = []
+    for _, dc_t, _ in members:
+        t = huff.get((0, dc_t))
+        if t is None:
+            return False
+        tables.append(t)
+    pred = [0] * len(members)
+    count = 0
+    for unit in _scan_block_iter(frame, members, len(members) > 1):
+        if ri and count and count % ri == 0:
+            if not _restart(reader):
+                return False
+            pred = [0] * len(members)
+        for mi, by, bx in unit:
+            t = _read_huff(reader, tables[mi])
+            if t is None:
+                return False
+            bits = reader.read_bits(t) if t else 0
+            if bits is None:
+                return False
+            pred[mi] += _extend(bits, t)
+            store[members[mi][0]][by, bx, 0] = pred[mi] << al
+        count += 1
+    return True
+
+
+def _dc_refine_scan(reader, frame, store, members, al, ri) -> bool:
+    p1 = 1 << al
+    count = 0
+    for unit in _scan_block_iter(frame, members, len(members) > 1):
+        if ri and count and count % ri == 0:
+            if not _restart(reader):
+                return False
+        for mi, by, bx in unit:
+            b = reader.read_bit()
+            if b is None:
+                return False
+            if b:
+                store[members[mi][0]][by, bx, 0] |= p1
+        count += 1
+    return True
+
+
+def _ac_first_scan(reader, frame, store, act, ci, ss, se, al, ri) -> bool:
+    blocks = store[ci]
+    eobrun = 0
+    count = 0
+    for unit in _scan_block_iter(frame, [(ci, 0, 0)], False):
+        if ri and count and count % ri == 0:
+            if not _restart(reader):
+                return False
+            eobrun = 0
+        count += 1
+        _, by, bx = unit[0]
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = _read_huff(reader, act)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                k += r
+                if k > se:
+                    return False
+                bits = reader.read_bits(s)
+                if bits is None:
+                    return False
+                blocks[by, bx, k] = _extend(bits, s) << al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        ext = reader.read_bits(r)
+                        if ext is None:
+                            return False
+                        eobrun += ext
+                    eobrun -= 1  # this block ends the symbol loop itself
+                    break
+                k += 16  # ZRL
+    return True
+
+
+def _ac_refine_scan(reader, frame, store, act, ci, ss, se, al, ri) -> bool:
+    """T.81 G.2 successive-approximation AC refinement (the public libjpeg
+    jdphuff.c control flow): new coefficients arrive as ±1<<Al, previously
+    nonzero coefficients absorb one correction bit each — including inside
+    EOB-run blocks."""
+    blocks = store[ci]
+    p1 = 1 << al
+    m1 = -(1 << al)
+    eobrun = 0
+    count = 0
+    for unit in _scan_block_iter(frame, [(ci, 0, 0)], False):
+        if ri and count and count % ri == 0:
+            if not _restart(reader):
+                return False
+            eobrun = 0
+        count += 1
+        _, by, bx = unit[0]
+        blk = blocks[by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_huff(reader, act)
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 0x0F
+                if s:
+                    if s != 1:
+                        return False  # refinement codes only ±1
+                    b = reader.read_bit()
+                    if b is None:
+                        return False
+                    s = p1 if b else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            ext = reader.read_bits(r)
+                            if ext is None:
+                                return False
+                            eobrun += ext
+                        break
+                    # r == 15 (ZRL): s stays 0, skip 16 zero positions below
+                # advance r zero positions, refining nonzeros on the way
+                while k <= se:
+                    coef = int(blk[k])
+                    if coef != 0:
+                        b = reader.read_bit()
+                        if b is None:
+                            return False
+                        if b and (coef & p1) == 0:
+                            blk[k] = coef + (p1 if coef >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = s
+                k += 1
+        if eobrun > 0:
+            # EOB-run block: remaining nonzeros still absorb corrections
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0:
+                    b = reader.read_bit()
+                    if b is None:
+                        return False
+                    if b and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                k += 1
+            eobrun -= 1
+    return True
+
+
+def _render_coef_store(
+    frame: tuple, store: list[np.ndarray], qt: dict[int, np.ndarray]
+) -> np.ndarray | None:
+    """Dezigzag + dequantize + vectorized IDCT + upsample + color convert —
+    the single rendering pass at EOI."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        q = qt.get(tq)
+        if q is None:
+            return None
+        zz = store[ci]
+        bh, bw = zz.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = zz
+        coef = nat.reshape(bh, bw, 8, 8) * q
+        # IDCT over every block at once: M.T @ C @ M
+        blocks = np.einsum("ij,xyjk,kl->xyil", _DCT_M.T, coef, _DCT_M) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if ch < hmax:
+            plane = np.repeat(plane, hmax // ch, axis=1)
+        if cv < vmax:
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    ycc = np.stack(full, axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder — fixture/test inverse for the SOF2 decode path.
+# Emits the SAME quantized coefficients as the baseline encoder through the
+# libjpeg default progressive scan script, so progressive-decode must equal
+# baseline-decode bit-for-bit (coefficient-lossless cross-check).
+
+# universal fixed Huffman tables covering every symbol a progressive scan
+# can emit (per-scan optimal tables are a compression nicety, not a
+# conformance requirement): DC size classes 0..11 at 4 bits; AC symbols
+# EOBn (r<<4, r=0..14), ZRL (0xF0) and (r<<4)|s for s=1..14 at 8 bits.
+# Kraft: 12/16 ≤ 1 and 240/256 ≤ 1; the all-ones code stays unassigned.
+_PROG_DC_TABLE = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                  list(range(12)))
+_PROG_AC_VALUES = sorted(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_PROG_AC_TABLE = ([0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+                  _PROG_AC_VALUES)
+
+# libjpeg's default 10-scan script for 3-component YCbCr
+_DEFAULT_SCAN_SCRIPT = [
+    # (component indexes, Ss, Se, Ah, Al)
+    ([0, 1, 2], 0, 0, 0, 1),   # DC first, point transform 1
+    ([0], 1, 5, 0, 2),         # Y low-band AC first
+    ([2], 1, 63, 0, 1),        # Cr AC first
+    ([1], 1, 63, 0, 1),        # Cb AC first
+    ([0], 6, 63, 0, 2),        # Y high-band AC first
+    ([0], 1, 63, 2, 1),        # Y AC refine 2→1
+    ([0, 1, 2], 0, 0, 1, 0),   # DC refine (last bit)
+    ([0], 1, 63, 1, 0),        # Y AC refine 1→0
+    ([2], 1, 63, 1, 0),        # Cr AC refine
+    ([1], 1, 63, 1, 0),        # Cb AC refine
+]
+
+
+def _quantized_comp_blocks(
+    img: np.ndarray, quality: int, subsampling: str
+) -> tuple[list[tuple[int, int, int, int]], list[np.ndarray], list[np.ndarray]]:
+    """RGB image → per-component quantized coefficient blocks in ZIGZAG
+    order, (bh, bw, 64) int32 — identical math to the baseline encoder
+    (same color transform, padding, decimation, DCT, quant tables)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(subsampling)
+    h, w, _ = img.shape
+    sub = 2 if subsampling == "420" else 1
+    qy = _quality_scale(STD_LUMA_Q, quality)
+    qc = _quality_scale(STD_CHROMA_Q, quality)
+    ycc = _rgb_to_ycbcr(img)
+    mcu = 8 * sub
+    ph = (h + mcu - 1) // mcu * mcu
+    pw = (w + mcu - 1) // mcu * mcu
+    yp = _pad_edge(ycc[..., 0], ph, pw)
+    cbp = _pad_edge(ycc[..., 1], ph, pw)
+    crp = _pad_edge(ycc[..., 2], ph, pw)
+    if sub == 2:
+        cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    planes = [(yp, qy), (cbp, qc), (crp, qc)]
+    out: list[np.ndarray] = []
+    for plane, q in planes:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M.T)
+        qz = np.rint(coef / q.reshape(8, 8)).astype(np.int32)
+        out.append(qz.reshape(bh, bw, 64)[:, :, ZIGZAG])
+    comps = [(1, sub, sub, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    return comps, out, [qy, qc]
+
+
+class _ProgWriter:
+    """_BitWriter plus the progressive EOB-run / buffered-correction-bit
+    bookkeeping (public libjpeg jcphuff.c emit_eobrun/emit_buffered_bits)."""
+
+    def __init__(self, enc_ac: dict) -> None:
+        self.w = _BitWriter()
+        self.enc_ac = enc_ac
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits owed to pending EOB run
+
+    def symbol(self, s: int) -> None:
+        code, ln = self.enc_ac[s]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.symbol(n << 4)
+            if n:
+                self.w.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.be:
+            self.w.write(b, 1)
+        self.be = []
+
+    def count_eob(self, br: list[int]) -> None:
+        self.eobrun += 1
+        self.be.extend(br)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        return self.w.flush()
+
+
+def _encode_dc_scan(
+    comps, blocks, members, al, ah, restart_interval
+) -> bytes:
+    enc_dc = _canonical_codes(*_PROG_DC_TABLE)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    bh0, bw0 = blocks[0].shape[:2]
+    mcus_y = bh0 // comps[0][2]
+    mcus_x = bw0 // comps[0][1]
+    out = bytearray()
+    writer = _BitWriter()
+    pred = [0] * len(members)
+    count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and count and count % restart_interval == 0:
+                out += writer.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _BitWriter()
+                pred = [0] * len(members)
+            for mi, ci in enumerate(members):
+                _, ch, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(blocks[ci][my * cv + by, mx * ch + bx, 0])
+                        if ah == 0:
+                            scaled = dc >> al
+                            diff = scaled - pred[mi]
+                            pred[mi] = scaled
+                            t, mag = _category(diff)
+                            code, ln = enc_dc[t]
+                            writer.write(code, ln)
+                            if t:
+                                writer.write(mag, t)
+                        else:
+                            writer.write((dc >> al) & 1, 1)
+            count += 1
+    out += writer.flush()
+    return bytes(out)
+
+
+def _comp_actual_blocks(comps, blocks, ci, fh, fw) -> tuple[int, int]:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, ch, cv, _ = comps[ci]
+    cw = (fw * ch + hmax - 1) // hmax
+    chh = (fh * cv + vmax - 1) // vmax
+    return (chh + 7) // 8, (cw + 7) // 8
+
+
+def _encode_ac_first_scan(
+    comps, blocks, ci, ss, se, al, restart_interval, fh, fw
+) -> bytes:
+    enc_ac = _canonical_codes(*_PROG_AC_TABLE)
+    bh, bw = _comp_actual_blocks(comps, blocks, ci, fh, fw)
+    out = bytearray()
+    pw = _ProgWriter(enc_ac)
+    count = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count and count % restart_interval == 0:
+                out += pw.finish()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pw = _ProgWriter(enc_ac)
+            count += 1
+            band = blocks[ci][by, bx]
+            r = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                v = int(band[k])
+                scaled = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if scaled == 0:
+                    r += 1
+                    continue
+                pw.flush_eobrun()
+                while r > 15:
+                    pw.symbol(0xF0)  # ZRL
+                    r -= 16
+                t, mag = _category(scaled)
+                pw.symbol((r << 4) | t)
+                pw.w.write(mag, t)
+                r = 0
+                emitted = True
+            if r > 0 or not emitted:
+                pw.count_eob([])
+    out += pw.finish()
+    return bytes(out)
+
+
+def _encode_ac_refine_scan(
+    comps, blocks, ci, ss, se, al, restart_interval, fh, fw
+) -> bytes:
+    enc_ac = _canonical_codes(*_PROG_AC_TABLE)
+    bh, bw = _comp_actual_blocks(comps, blocks, ci, fh, fw)
+    out = bytearray()
+    pw = _ProgWriter(enc_ac)
+    count = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and count and count % restart_interval == 0:
+                out += pw.finish()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pw = _ProgWriter(enc_ac)
+            count += 1
+            band = blocks[ci][by, bx]
+            absv = [abs(int(band[k])) >> al for k in range(ss, se + 1)]
+            eob_pos = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob_pos = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                temp = absv[k - ss]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_pos:
+                    pw.flush_eobrun()
+                    pw.symbol(0xF0)
+                    r -= 16
+                    for b in br:
+                        pw.w.write(b, 1)
+                    br = []
+                if temp > 1:
+                    # previously-nonzero coefficient: one correction bit,
+                    # deferred until the next emitted symbol
+                    br.append(temp & 1)
+                    continue
+                # newly-nonzero (magnitude exactly 1 at this precision)
+                pw.flush_eobrun()
+                pw.symbol((r << 4) | 1)
+                pw.w.write(1 if int(band[k]) >= 0 else 0, 1)
+                for b in br:
+                    pw.w.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                pw.count_eob(br)
+    out += pw.finish()
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    scan_script: list | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 → progressive (SOF2) JFIF JPEG.
+
+    Same quantized coefficients as ``encode_jpeg_rgb`` at the same quality/
+    subsampling, delivered through ``scan_script`` (default: libjpeg's
+    10-scan YCbCr script) — decoding both encodings must give identical
+    pixels."""
+    h, w, _ = img.shape
+    comps, blocks, (qy, qc) = (
+        lambda t: (t[0], t[1], (t[2][0], t[2][1]))
+    )(_quantized_comp_blocks(img, quality, subsampling))
+    script = scan_script if scan_script is not None else _DEFAULT_SCAN_SCRIPT
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qtab in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(qtab[z]) for z in ZIGZAG)
+    comp_spec = b"".join(
+        struct.pack("BBB", cid, (ch << 4) | cv, tq)
+        for cid, ch, cv, tq in comps
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3) + comp_spec
+    for cls, tid, (bits, values) in (
+        (0, 0, _PROG_DC_TABLE), (1, 0, _PROG_AC_TABLE)
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(values), (cls << 4) | tid)
+        out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for members, ss, se, ah, al in script:
+        scan_hdr = b"".join(
+            struct.pack("BB", comps[ci][0], 0x00) for ci in members
+        )
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(members), len(members))
+        out += scan_hdr + struct.pack("BBB", ss, se, (ah << 4) | al)
+        if ss == 0:
+            out += _encode_dc_scan(comps, blocks, members, al, ah, restart_interval)
+        elif ah == 0:
+            out += _encode_ac_first_scan(
+                comps, blocks, members[0], ss, se, al, restart_interval, h, w
+            )
+        else:
+            out += _encode_ac_refine_scan(
+                comps, blocks, members[0], ss, se, al, restart_interval, h, w
+            )
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -82,7 +82,10 @@ def test_decode_never_raises_on_garbage_and_out_of_scope():
             seeds.append(bytes(mut))
     for payload in seeds:
         decode_jpeg_pixels(payload)  # result may be None/array; must not raise
-    # progressive marker (SOF2) is documented out of scope
+    # SOF2 now decodes (test_jpeg_progressive.py) — but a frame whose
+    # marker is swapped to SOF2 while keeping the BASELINE scan header
+    # (Ss=0, Se=63) is malformed for progressive (a DC scan must be
+    # DC-only, T.81 G.1.1.1.1) and must come back None, not raise
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg_pixels(prog) is None
 
