@@ -1650,6 +1650,39 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_jpeg_progressive_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG pixel path at corpus scale: doc-dim-seeded
+    progressive JPEGs (multi-scan spectral-selection + successive-
+    approximation encode) → full multi-scan Huffman decode → 22-bit
+    fixed-point bicubic resize → PNG artifact, one Arrow map stage.
+    The dominant real-web JPEG layout the reference decodes via the image
+    crate (crates/server/src/generation.rs:276-305) and the pixel path
+    previously skipped. Multi-scan entropy decode is not SQL-expressible →
+    rows-only driver check; exactness is pinned by the progressive-equals-
+    baseline cross-check and byte goldens in tests/test_jpeg_progressive.py
+    (plus the Spark↔scalar parity test). The sha2 column makes any pixel
+    or scan-pipeline change visible."""
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        resize_png_payloads,
+        synthesize_progressive_jpegs,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    out = resize_png_payloads(synthesize_progressive_jpegs(docs), max_side=24)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.sha2("resized", 256).alias("resized_sha"),
+    ).orderBy("doc_id")
+
+
 def q_grounding_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grounding-box artifact sink (the golden capture's result_with_boxes
     rendering, scripts/capture_baseline.py:763-781): doc_id-seeded gradient
@@ -2042,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window and needed manual judge verification).
     return {
         # round 4 (this round's changes first)
+        "q_jpeg_progressive_resize": q_jpeg_progressive_resize,
         "q_kmv_distinct_users": q_kmv_distinct_users,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_url_canonical": q_url_canonical,

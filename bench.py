@@ -34,9 +34,9 @@ def _bench_corpus(spark, n_docs: int, cache_dir: str = "/tmp/spark_graft_bench")
     to serial; cached across bench invocations AND parallelism levels so
     local[8] and local[32] read the exact same bytes.
     """
-    from deepseek_ocr_api_rs_spark.fixtures.corpus import CORPUS_VERSION
+    from deepseek_ocr_api_rs_spark.fixtures.corpus import _compat_version
 
-    path = os.path.join(cache_dir, f"docs_v{CORPUS_VERSION}_{n_docs}.parquet")
+    path = os.path.join(cache_dir, f"docs_v{_compat_version()}_{n_docs}.parquet")
     done_marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(done_marker):
         return path
@@ -151,6 +151,8 @@ _HEADLINE_QUERIES = [
     "q_dup_passages",
     "q_kmv_distinct_users",
     "q_png_resize",
+    # round-4: progressive-JPEG multi-scan decode through the pixel path
+    "q_jpeg_progressive_resize",
     "q_audio_spectrum",
     "q_sequence_packing",
     "q_url_canonical",

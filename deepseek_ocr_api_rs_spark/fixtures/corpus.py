@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 import random
 
 import pandas as pd
@@ -25,6 +26,15 @@ import pandas as pd
 SEED = 42
 # bump when the generator grammar changes — invalidates bench corpus caches
 CORPUS_VERSION = 4
+
+
+def _compat_version() -> int:
+    """Bench-only knob: SPARK_GRAFT_CORPUS_COMPAT=3 regenerates the v3
+    grammar (no modern-PDF slice) so scripts/corpus_cost.py can isolate the
+    cost of a corpus change from code changes (VERDICT r3 #8). Read at
+    call time so executors (which inherit the driver's env in local mode)
+    see the same value; production paths never set it."""
+    return int(os.environ.get("SPARK_GRAFT_CORPUS_COMPAT", CORPUS_VERSION))
 
 HOT_HOSTS = ["bigportal.example.com", "megablog.example.net"]
 COLD_HOST_COUNT = 200
@@ -174,7 +184,7 @@ def _pdf_doc(rng: random.Random) -> bytes:
             compress=roll < 0.25,
             use_tj_every=3 if roll < 0.125 else 0,
         )
-    if roll < 0.5:
+    if roll < 0.5 and _compat_version() >= 4:
         # modern third-party dialect: xref stream + predictor, ObjStm page
         # tree, indirect /Length, UTF-16BE/ToUnicode text, decoy object —
         # same spans, so the extracted-text goldens are unchanged by

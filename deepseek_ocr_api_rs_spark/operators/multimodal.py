@@ -327,6 +327,45 @@ def synthesize_gradient_pngs(
     )
 
 
+@_lru_cache(maxsize=4096)
+def _progressive_jpeg_for_dims(w: int, h: int) -> bytes:
+    """Deterministic textured progressive (SOF2) JPEG for one (w, h) —
+    pixels are a pure function of dims so the synthesis memoizes across a
+    corpus (~3k distinct dim pairs for 60k docs; real multi-scan entropy
+    encode per call would dominate the stage)."""
+    from deepseek_ocr_api_rs_spark.extraction.jpeg import encode_jpeg_progressive
+
+    y, x = np.mgrid[0:h, 0:w]
+    base = 120.0 + 60.0 * np.sin(x / 9.0) + 50.0 * np.cos(y / 7.0)
+    img = np.stack(
+        [base + (x * 7 + y * 3) % 31, base * 0.8 + x % 23, base * 0.6 + y % 29],
+        axis=2,
+    )
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return encode_jpeg_progressive(img, quality=85, subsampling="420")
+
+
+def synthesize_progressive_jpegs(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 64, max_h: int = 48
+) -> DataFrame:
+    """doc_id → real progressive (SOF2) JPEG payload — the dominant web
+    encoding; drives the multi-scan Huffman decode through the Spark pixel
+    path (VERDICT r3: the pixel path used to silently skip these)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = [
+                _progressive_jpeg_for_dims(int(d % max_w + 16), int(d % max_h + 16))
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
+    )
+
+
 def resize_png_payloads(
     docs: DataFrame,
     max_side: int = 32,

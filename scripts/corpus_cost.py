@@ -1,0 +1,77 @@
+"""Quantify the corpus-v4 cost (VERDICT r3 #8): how much extraction
+throughput the v4 grammar change (12.5% modern-PDF slice) costs relative to
+v3, so future round-over-round docs/s deltas can subtract the corpus effect.
+
+Runs bench.py (extraction-only) INTERLEAVED at SPARK_GRAFT_CORPUS_COMPAT=3
+and =4 — same box, alternating, best-of-N per version — and compares on
+extraction_cpu_sec (task-CPU, the load-noise-immune metric) with wall
+docs/s recorded alongside. Writes BENCH/corpus_cost.json, which
+scripts/scaling_bench.py folds into BENCH/BASELINE.md on its next run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(compat: int, n_docs: int, cpus: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "BENCH_EXTRACTION_ONLY": "1",
+            "BENCH_N_DOCS": str(n_docs),
+            "SPARK_GRAFT_CORPUS_COMPAT": str(compat),
+        }
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("BENCH_N_DOCS", "120000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    runs: dict[int, list[dict]] = {3: [], 4: []}
+    for r in range(repeats):
+        for ver in (3, 4):  # interleaved: load noise hits both versions
+            res = run_bench(ver, n_docs, cpus)
+            runs[ver].append(res)
+            print(
+                f"run {r} v{ver}: cpu {res['extraction_cpu_sec']}s, "
+                f"wall {res['extraction_sec']}s, "
+                f"{res['extraction_docs_per_sec']} docs/s",
+                flush=True,
+            )
+    best_cpu = {v: min(x["extraction_cpu_sec"] for x in runs[v]) for v in (3, 4)}
+    best_dps = {v: max(x["extraction_docs_per_sec"] for x in runs[v]) for v in (3, 4)}
+    report = {
+        "generated_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "repeats": repeats,
+        "cpu_sec_v3": best_cpu[3],
+        "cpu_sec_v4": best_cpu[4],
+        "cpu_ratio_v4_over_v3": round(best_cpu[4] / best_cpu[3], 4),
+        "docs_per_sec_v3": best_dps[3],
+        "docs_per_sec_v4": best_dps[4],
+        "wall_ratio_v3_over_v4": round(best_dps[3] / best_dps[4], 4),
+        "all_runs": {str(k): v for k, v in runs.items()},
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "corpus_cost.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "all_runs"}))
+
+
+if __name__ == "__main__":
+    main()

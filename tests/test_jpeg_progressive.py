@@ -193,6 +193,42 @@ def test_resize_pipeline_consumes_progressive_jpeg(spark):
     assert bytes(r.resized) == expected
 
 
+def test_q_jpeg_progressive_resize_matches_scalar(spark):
+    """The registered query's Spark output equals the scalar recompute of
+    the same synth→decode→resize→encode chain, row for row (the rows-only
+    query's exactness anchor)."""
+    import hashlib as _hl
+
+    import __spark_entry__ as entry
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        decode_image_pixels,
+        encode_png_rgb,
+        resize_bicubic,
+    )
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        _progressive_jpeg_for_dims,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in entry.q_jpeg_progressive_resize(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(got) >= 50
+    for doc_id in sorted(got)[:8]:
+        r = got[doc_id]
+        payload = _progressive_jpeg_for_dims(doc_id % 64 + 16, doc_id % 48 + 16)
+        img = decode_image_pixels(payload)
+        assert (r.width, r.height) == (img.shape[1], img.shape[0])
+        scale = min(24 / r.width, 24 / r.height, 1.0)
+        ow = max(int(np.rint(r.width * scale)), 1)
+        oh = max(int(np.rint(r.height * scale)), 1)
+        assert (r.out_width, r.out_height) == (ow, oh)
+        expected = encode_png_rgb(resize_bicubic(img, ow, oh))
+        assert r.resized_sha == _hl.sha256(expected).hexdigest(), doc_id
+
+
 def test_default_script_is_libjpeg_shape():
     """Pin the default scan script's structural properties: starts with a
     DC scan at Al=1, AC scans are single-component, refinements descend

@@ -229,12 +229,30 @@ def test_bm25_plan_no_explode_no_window(spark):
 
 
 def test_kmv_plan_has_no_window_sort(spark):
-    """q_kmv_distinct_users after the round-3 rework: two-phase k-minimum
-    (partial per-partition arrays, merge agg) — no global per-group Window
-    sort in the plan."""
+    """q_kmv_distinct_users: two-phase k-minimum — no global per-group
+    Window sort; since round 4 the partial phase is a BOUNDED Arrow stage
+    (MapInPandas keeping k values per group), not a partition-sized
+    collect_list buffer."""
     df = entrymod.q_kmv_distinct_users(spark, SF)
     plan = physical_plan(df)
     assert "Window" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    # the only collect_list left is the final merge over the k-BOUNDED
+    # per-partition `mins` arrays — never over the raw hash column
+    assert "collect_list(h" not in plan, plan
+
+
+def test_jpeg_progressive_resize_map_only_after_repartition(spark):
+    """q_jpeg_progressive_resize: synth → multi-scan decode → resize is an
+    embarrassingly-parallel Arrow chain — exactly ONE exchange (the
+    explicit doc_id repartition off the single-parquet-file trap) before
+    the final orderBy, and no aggregation anywhere."""
+    df = entrymod.q_jpeg_progressive_resize(spark, SF)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, plan
+    # exchanges: one explicit repartition + the final sort's range exchange
+    assert plan.count("Exchange") <= 2, plan
 
 
 def test_dup_passages_single_shingle_projection(spark):
