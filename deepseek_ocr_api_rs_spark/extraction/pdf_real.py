@@ -14,11 +14,16 @@ dicts the layout operator (``pdf_spans.ordered_spans``) already consumes.
 Page geometry: PDF y grows upward from the bottom-left, so spans are flipped
 to top-down reading coordinates using the page MediaBox.
 
-Remaining scope limits (documented, not silent): FlateDecode is the only
-decompression filter (the one stdlib can do — no LZW/DCT/CCITT), CMap
-codespaces wider than 2 bytes fall back to identity, encrypted PDFs are not
-supported, glyph widths estimated at 0.5 em (column detection needs centers
-+ gaps, not exact metrics). ``make_pdf_bytes`` is the inverse: assembles a
+Stream filters (PDF 32000 §7.4, chains applied in /Filter order):
+FlateDecode (zlib), LZWDecode (variable-width MSB-first LZW with
+/EarlyChange, verified against the spec's published example vector),
+ASCII85Decode (verified against stdlib ``base64.a85decode``),
+ASCIIHexDecode, RunLengthDecode; /Predictor 2/10-15 row unfiltering after
+the decompression stage. Remaining scope limits (documented, not silent):
+no DCT/CCITT/JBIG2/JPX image filters (pixel JPEG decode lives in
+extraction/jpeg.py), CMap codespaces wider than 2 bytes fall back to
+identity, encrypted PDFs are not supported, glyph widths estimated at
+0.5 em (column detection needs centers + gaps, not exact metrics). ``make_pdf_bytes`` is the inverse: assembles a
 real, readable classic-dialect PDF (xref table, literal strings) from span
 dicts; ``make_pdf_bytes_modern`` assembles the PDF 1.5+ dialect third-party
 writers emit (xref STREAM with PNG predictor, ObjStm'd page tree, indirect
@@ -44,7 +49,6 @@ _STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\s*[/>]")
 _LENGTH_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _INT_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj")
-_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[[^\]]*?/FlateDecode\b)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
@@ -181,14 +185,259 @@ def _apply_predictor(head: bytes, data: bytes) -> bytes | None:
     return None
 
 
-def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
-    if _FLATE_RE.search(head):
-        try:
-            data = zlib.decompress(stream)
-        except zlib.error:
+_FILTER_CHAIN_RE = re.compile(rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_EARLY_CHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
+def lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF/TIFF LZWDecode (PDF 32000 §7.4.4): MSB-first variable-width
+    codes starting at 9 bits, 256 = clear table, 257 = EOD, code width
+    grows one code EARLY when /EarlyChange 1 (the default every real
+    writer uses). Verified against the spec's published example vector in
+    tests. Returns None on malformed input."""
+    out = bytearray()
+    table: list[bytes] = []  # entries 258+
+    prev: bytes | None = None
+    width = 9
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == 256:
+                table = []
+                prev = None
+                width = 9
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code - 258 < len(table):
+                entry = table[code - 258]
+            elif prev is not None and code == 258 + len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out += entry
+            # table caps at 4096 codes (12-bit max): writers either emit a
+            # CLEAR (handled above) or stop adding entries — mirror both
+            if prev is not None and 258 + len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            # next-code width: the decoder's table lags the encoder's by
+            # exactly one entry at the same code index (the encoder adds
+            # entry k before emitting code k+1; the decoder adds it after
+            # reading code k+1), hence the +1; EarlyChange shifts the
+            # switch one code earlier still
+            if 258 + len(table) + 1 + early > (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Fixture-side LZWDecode inverse (same width/EarlyChange rules)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {}
+    width = 9
+    emit(256, width)  # leading clear, the convention real writers follow
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table or len(nxt) == 1:
+            cur = nxt
+            continue
+        emit(table[cur] if len(cur) > 1 else cur[0], width)
+        table[nxt] = 258 + len(table)
+        if 258 + len(table) + early > 4096:
+            # table (nearly) full: emit CLEAR and restart — cur is a single
+            # byte here, so no multi-byte prefix depends on the old table
+            emit(256, width)
+            table = {}
+            width = 9
+        elif 258 + len(table) + early > (1 << width):
+            width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur] if len(cur) > 1 else cur[0], width)
+    emit(257, width)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def ascii85_decode(data: bytes) -> bytes | None:
+    """ASCII85Decode (PDF 32000 §7.4.3, Adobe convention): whitespace
+    ignored, 'z' = four zero bytes, '~>' terminates, final partial group
+    of n chars yields n-1 bytes. Tested against stdlib base64.a85decode."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in b" \t\r\n\f\x00":
+            i += 1
+            continue
+        if c == 0x7E:  # '~' → expect '>'
+            break
+        if c == 0x7A:  # 'z'
+            if group:
+                return None  # z inside a group is illegal
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not (0x21 <= c <= 0x75):
             return None
-        return _apply_predictor(head, data)
-    return stream
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                return None
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            return None
+        k = len(group)
+        v = 0
+        for d in group + [84] * (5 - k):  # pad with 'u'
+            v = v * 85 + d
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    """Fixture-side inverse (no 'z' shorthand — decoder handles both)."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        out += bytes(0x21 + d for d in reversed(digits))[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def asciihex_decode(data: bytes) -> bytes | None:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, '>' terminates, odd
+    final digit padded with 0."""
+    end = data.find(b">")
+    body = data[: end if end >= 0 else len(data)]
+    hexstr = b"".join(body.split())
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", hexstr):
+        return None
+    if len(hexstr) % 2:
+        hexstr += b"0"
+    return bytes.fromhex(hexstr.decode("ascii"))
+
+
+def runlength_decode(data: bytes) -> bytes | None:
+    """RunLengthDecode: length byte L — L<128: copy L+1 literals; L>128:
+    repeat next byte 257-L times; L==128: EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            if i + ln + 1 > n:
+                return None
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def runlength_encode(data: bytes) -> bytes:
+    """Fixture-side inverse (naive: literal runs + repeat runs ≥ 3)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out) + b"\x80"
+
+
+def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
+    """Apply the stream's /Filter chain in order (PDF 32000 §7.4.1: the
+    first named filter decodes first), then the /Predictor row unfilter
+    after the decompression stage. Unknown filters (DCT/CCITT/...) →
+    None, the documented out-of-scope signal."""
+    fm = _FILTER_CHAIN_RE.search(head)
+    if fm is None:
+        return stream
+    names = [n.decode("latin-1") for n in _FILTER_NAME_RE.findall(fm.group(1))]
+    data: bytes | None = stream
+    for name in names:
+        if data is None:
+            return None
+        if name in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+            data = _apply_predictor(head, data)
+        elif name in ("LZWDecode", "LZW"):
+            em = _EARLY_CHANGE_RE.search(head)
+            data = lzw_decode(data, int(em.group(1)) if em else 1)
+            if data is not None:
+                data = _apply_predictor(head, data)
+        elif name in ("ASCII85Decode", "A85"):
+            data = ascii85_decode(data)
+        elif name in ("ASCIIHexDecode", "AHx"):
+            data = asciihex_decode(data)
+        elif name in ("RunLengthDecode", "RL"):
+            data = runlength_decode(data)
+        else:
+            return None  # DCT/CCITT/JBIG2/JPX/Crypt: out of scope
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -856,12 +1105,18 @@ def make_pdf_bytes(
     height: float = DEFAULT_PAGE_HEIGHT,
     compress: bool = False,
     use_tj_every: int = 0,
+    stream_filter: str | None = None,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
     ``use_tj_every=k`` writes every k-th span as a split TJ array
-    (kerning-path coverage).
+    (kerning-path coverage). ``stream_filter`` selects the content-stream
+    encoding: None/"flate" (``compress=True`` is the legacy alias),
+    "lzw", "rl", "ahx", "a85+flate" (the chained form old distillers
+    emitted for 7-bit-safe channels).
     """
+    if stream_filter is None and compress:
+        stream_filter = "flate"
     by_page: dict[int, list[dict]] = {}
     for s in spans:
         by_page.setdefault(int(s["page"]), []).append(s)
@@ -908,9 +1163,25 @@ def make_pdf_bytes(
     for p in range(n_pages):
         num = first_content + p
         raw = content_for(p)
-        if compress:
+        if stream_filter == "flate":
             payload = zlib.compress(raw, 9)
             head = f"<< /Length {len(payload)} /Filter /FlateDecode >>"
+        elif stream_filter == "lzw":
+            payload = lzw_encode(raw)
+            head = f"<< /Length {len(payload)} /Filter /LZWDecode >>"
+        elif stream_filter == "rl":
+            payload = runlength_encode(raw)
+            head = f"<< /Length {len(payload)} /Filter /RunLengthDecode >>"
+        elif stream_filter == "ahx":
+            payload = raw.hex().encode("ascii") + b">"
+            head = f"<< /Length {len(payload)} /Filter /ASCIIHexDecode >>"
+        elif stream_filter == "a85+flate":
+            # decode order: ASCII85 first, then Flate (PDF 32000 §7.4.1)
+            payload = ascii85_encode(zlib.compress(raw, 9))
+            head = (
+                f"<< /Length {len(payload)} "
+                f"/Filter [/ASCII85Decode /FlateDecode] >>"
+            )
         else:
             payload = raw
             head = f"<< /Length {len(payload)} >>"

@@ -25,7 +25,10 @@ import pandas as pd
 
 SEED = 42
 # bump when the generator grammar changes — invalidates bench corpus caches
-CORPUS_VERSION = 4
+# v4: +12.5% modern-PDF (xref stream/ObjStm) slice; v5: +6% LZW / ASCII85+
+# Flate filtered classic-PDF slice (extracted-text goldens unchanged by
+# construction in both — the container dialect must not leak into output)
+CORPUS_VERSION = 5
 
 
 def _compat_version() -> int:
@@ -194,6 +197,17 @@ def _pdf_doc(rng: random.Random) -> bytes:
         )
 
         return make_pdf_bytes_modern(spans, width=width)
+    if roll < 0.56 and _compat_version() >= 5:
+        # non-Flate stream filters old distillers emitted: LZWDecode and
+        # the chained ASCII85→Flate 7-bit-safe form — same spans, goldens
+        # unchanged by construction
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
+
+        return make_pdf_bytes(
+            spans,
+            width=width,
+            stream_filter="lzw" if roll < 0.53 else "a85+flate",
+        )
     payload = {"width": width, "spans": spans}
     return b"%PDF-1.7\n" + json.dumps(payload, sort_keys=True).encode("utf-8")
 

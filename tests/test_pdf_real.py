@@ -258,3 +258,69 @@ def test_object_stream_pages():
     width, spans = parsed
     assert width == 612.0
     assert [s["text"] for s in spans] == ["from objstm"]
+
+
+def test_filter_codecs_known_vectors():
+    """Codec-level vectors: the PDF 32000 §7.4.4.2 PUBLISHED LZW example
+    (an independent check — not our own dialect), ASCII85 cross-checked
+    against stdlib base64.a85decode, hex and run-length basics."""
+    import base64
+
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        ascii85_decode,
+        ascii85_encode,
+        asciihex_decode,
+        lzw_decode,
+        lzw_encode,
+        runlength_decode,
+        runlength_encode,
+    )
+
+    # spec example: encoded 80 0B 60 50 22 0C 0C 85 01 ⇔ decimal data
+    # 45 45 45 45 45 65 45 45 45 66
+    enc = bytes.fromhex("800B6050220C0C8501")
+    assert lzw_decode(enc) == bytes([45] * 5 + [65] + [45] * 3 + [66])
+    # roundtrips crossing every width boundary and the 4096-entry clear
+    data = bytes((i * 37 + (i >> 3)) % 251 for i in range(50000))
+    assert lzw_decode(lzw_encode(data)) == data
+    assert lzw_decode(lzw_encode(data[:9000], early=0), early=0) == data[:9000]
+    for payload in (b"", b"M", b"sure.", bytes(range(256)), b"\x00" * 9):
+        assert ascii85_decode(ascii85_encode(payload)) == payload
+        assert base64.a85decode(
+            b"<~" + ascii85_encode(payload), adobe=True
+        ) == payload
+    # stdlib-ENCODED (z shorthand) through our decoder
+    std = base64.a85encode(b"\x00" * 8 + b"hello world", adobe=True)
+    assert ascii85_decode(std[2:]) == b"\x00" * 8 + b"hello world"
+    assert asciihex_decode(b"48 65 6c 6C 6f 2>") == b"Hello "
+    for payload in (b"", b"aaaaabbbccd", bytes(range(200)) * 3, b"x" * 1000):
+        assert runlength_decode(runlength_encode(payload)) == payload
+
+
+@pytest.mark.parametrize("flt", ["lzw", "rl", "ahx", "a85+flate"])
+def test_filtered_streams_identical_to_uncompressed(flt):
+    """Every supported /Filter (incl. the chained ASCII85→Flate form)
+    yields byte-identical extraction to the plain stream."""
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 220.0, "y1": 112.0,
+         "text": "first filtered span here"},
+        {"page": 0, "x0": 40.0, "y0": 130.0, "x1": 180.0, "y1": 142.0,
+         "text": "second line of text"},
+    ]
+    plain = parse_real_pdf(make_pdf_bytes(spans))
+    filt = parse_real_pdf(make_pdf_bytes(spans, stream_filter=flt))
+    assert plain is not None and filt == plain
+
+
+def test_unknown_filter_returns_none_not_garbage():
+    """A DCTDecode (or other out-of-scope) filter must surface as a parse
+    failure, never as mojibake text."""
+    spans = [{"page": 0, "x0": 40.0, "y0": 100.0, "x1": 140.0, "y1": 112.0,
+              "text": "hidden"}]
+    blob = make_pdf_bytes(spans, stream_filter="flate").replace(
+        b"/Filter /FlateDecode", b"/Filter /DCTDecode"
+    )
+    parsed = parse_real_pdf(blob)
+    assert parsed is None or all(
+        "hidden" not in s["text"] for s in parsed[1]
+    )
