@@ -46,7 +46,7 @@ _CRLF = b"\r\n"
 # additionally require pos == 0 (non-MULTILINE), silently failing on every
 # record after the first
 _WARC_VERSION_RE = re.compile(rb"WARC/\d+\.\d+\r?\n")
-_HTTP_STATUS_RE = re.compile(rb"HTTP/\d\.\d \d{3}")
+_HTTP_STATUS_RE = re.compile(rb"HTTP/\d\.\d (\d{3})")
 
 INPUT_HINT_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -210,7 +210,10 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         payload = body
         mime: str = ""
         charset: str | None = None
-        if rtype == "response" and _HTTP_STATUS_RE.match(body):
+        status: int | None = None
+        sm = _HTTP_STATUS_RE.match(body) if rtype == "response" else None
+        if sm is not None:
+            status = int(sm.group(1))
             http_end = body.find(b"\r\n\r\n")
             if http_end >= 0:
                 http_headers = _parse_headers(body[:http_end])
@@ -227,6 +230,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
             "payload": payload,
             "mime": mime,
             "charset": charset,
+            "status": status,
             "truncated": headers.get("warc-truncated", "") or None,
         }
 
@@ -249,6 +253,7 @@ def read_warc_documents(
     spark: SparkSession,
     path: str,
     keep_mimes: frozenset[str] | set[str] = DEFAULT_KEEP_MIMES,
+    keep_statuses: range | set[int] = range(200, 300),
 ) -> DataFrame:
     """``.warc(.gz)`` files → input_hint-schema DataFrame of the response
     records. binaryFile scan (one row per WARC file) → Arrow fan-out into
@@ -277,6 +282,12 @@ def read_warc_documents(
                     if rec["type"] != "response" or not rec["url"]:
                         continue
                     if rec["mime"] not in keep:
+                        continue
+                    # only successful fetches carry page content worth
+                    # extracting (404/5xx bodies are server chrome); a
+                    # record with NO parsed HTTP envelope (bare payload)
+                    # is kept — old-crawl convention
+                    if rec["status"] is not None and rec["status"] not in keep_statuses:
                         continue
                     payload = rec["payload"]
                     text = ""

@@ -150,6 +150,43 @@ def test_warc_truncated_and_fractional_dates(spark, tmp_path):
     assert rows["https://ex.org/baddate"].warc_ts is None  # NULL, job alive
 
 
+def test_warc_status_gating_and_fuzz(spark, tmp_path):
+    """Non-2xx responses (404 chrome, 500 pages, redirects) are dropped at
+    ingestion; records without an HTTP envelope are kept (old-crawl
+    convention). Plus: iter_warc_records never raises on mutated bytes."""
+    ok_body = b"<html><body><p>status two hundred page body</p></body></html>"
+    records = [
+        {"type": "response", "url": "https://ex.org/ok", "date": DATE,
+         "payload": ok_body, "status": 200},
+        {"type": "response", "url": "https://ex.org/gone", "date": DATE,
+         "payload": b"<html><body><p>not found chrome</p></body></html>",
+         "status": 404},
+        {"type": "response", "url": "https://ex.org/moved", "date": DATE,
+         "payload": b"", "status": 301},
+        {"type": "response", "url": "https://ex.org/err", "date": DATE,
+         "payload": b"<html><body><p>oops</p></body></html>", "status": 500},
+    ]
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    blob = make_warc_gz(records)
+    (warc_dir / "seg.warc.gz").write_bytes(blob)
+    rows = {r.url for r in read_warc_documents(spark, str(warc_dir)).collect()}
+    assert rows == {"https://ex.org/ok"}
+    # statuses surfaced per record by the scalar iterator
+    statuses = [r["status"] for r in iter_warc_records(blob)]
+    assert statuses == [200, 404, 301, 500]
+    # deterministic byte-flip fuzz: tolerant parse, never raises
+    plain = gzip.decompress(blob)
+    state = 7
+    mut = bytearray(plain)
+    for _ in range(300):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        mut[state % len(mut)] = (mut[state % len(mut)] + 1 + state % 250) % 256
+        if state % 6 == 0:
+            list(iter_warc_records(bytes(mut)))
+            list(iter_warc_records(gzip.compress(bytes(mut))))
+
+
 def test_read_warc_documents_and_extract(spark, tmp_path):
     """End-to-end: .warc.gz on disk → binaryFile scan → record fan-out →
     input_hint rows → extract_documents main-content extraction."""
