@@ -19,11 +19,16 @@ FlateDecode (zlib), LZWDecode (variable-width MSB-first LZW with
 /EarlyChange, verified against the spec's published example vector),
 ASCII85Decode (verified against stdlib ``base64.a85decode``),
 ASCIIHexDecode, RunLengthDecode; /Predictor 2/10-15 row unfiltering after
-the decompression stage. Remaining scope limits (documented, not silent):
-no DCT/CCITT/JBIG2/JPX image filters (pixel JPEG decode lives in
-extraction/jpeg.py), CMap codespaces wider than 2 bytes fall back to
-identity, encrypted PDFs are not supported, glyph widths estimated at
-0.5 em (column detection needs centers + gaps, not exact metrics). ``make_pdf_bytes`` is the inverse: assembles a
+the decompression stage. Encryption: the standard
+security handler with RC4 (/V 1-2, /R 2-3) and an EMPTY user password is
+decrypted transparently (the "opens without prompting" form crawls
+contain); /U is verified first, so a real-password or AES (/V 4-5)
+document returns None instead of mojibake. Remaining scope limits
+(documented, not silent): no DCT/CCITT/JBIG2/JPX image filters (pixel
+JPEG decode lives in extraction/jpeg.py), no AES encryption or real
+passwords, CMap codespaces wider than 2 bytes fall back to identity,
+glyph widths estimated at 0.5 em (column detection needs centers + gaps,
+not exact metrics). ``make_pdf_bytes`` is the inverse: assembles a
 real, readable classic-dialect PDF (xref table, literal strings) from span
 dicts; ``make_pdf_bytes_modern`` assembles the PDF 1.5+ dialect third-party
 writers emit (xref STREAM with PNG predictor, ObjStm'd page tree, indirect
@@ -403,6 +408,143 @@ def runlength_encode(data: bytes) -> bytes:
         out += bytes([j - i - 1]) + data[i:j]
         i = j
     return bytes(out) + b"\x80"
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (PDF 32000 §7.6.3): RC4 (/V 1-2, /R 2-3) with
+# the EMPTY user password — the "encrypted but opens without prompting"
+# form common in crawl data. AES (/V 4-5) and real passwords → None.
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_V_RE = re.compile(rb"/V\s+(\d+)")
+_R_RE = re.compile(rb"/R\s+(\d+)")
+_P_RE = re.compile(rb"/P\s+(-?\d+)")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+
+# the 32-byte padding string of Algorithm 2 (PDF 32000 Table 21 note)
+_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pdf_string_value(head: bytes, key: bytes) -> bytes | None:
+    """Value of ``/O`` / ``/U`` style string entries: hex or literal."""
+    m = re.search(rb"/" + key + rb"\s*", head)
+    if m is None:
+        return None
+    i = m.end()
+    if i < len(head) and head[i : i + 1] == b"<":
+        end = head.find(b">", i)
+        if end < 0:
+            return None
+        hexstr = b"".join(head[i + 1 : end].split())
+        if len(hexstr) % 2:
+            hexstr += b"0"
+        return bytes.fromhex(hexstr.decode("ascii"))
+    if i < len(head) and head[i : i + 1] == b"(":
+        s, _ = _parse_literal_string(head, i + 1)
+        return s
+    return None
+
+
+def _std_encryption_key(
+    o: bytes, p: int, id0: bytes, r: int, key_bytes: int
+) -> bytes:
+    """Algorithm 2 with the empty user password."""
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.md5(
+        _PAD + o[:32] + _struct.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_bytes]).digest()
+    return h[:key_bytes]
+
+
+def _expected_u(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U value for the empty password."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PAD)
+    h = hashlib.md5(_PAD + id0).digest()
+    u = _rc4(key, h)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1 per-object RC4 key."""
+    import hashlib
+
+    data = (
+        file_key
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+    )
+    return hashlib.md5(data).digest()[: min(len(file_key) + 5, 16)]
+
+
+def _decrypt_objects(
+    data: bytes, objs: dict[int, tuple[bytes, bytes | None]]
+) -> bool:
+    """Detect the /Encrypt dict; with the standard RC4 handler and an
+    empty user password, decrypt every object STREAM in place (xref
+    streams are never encrypted — PDF 32000 §7.5.8.2). Returns False when
+    the document needs a real password or an out-of-scope handler."""
+    em = _ENCRYPT_REF_RE.search(data)
+    if em is None:
+        return True  # not encrypted
+    im = _ID_RE.search(data)
+    enc = objs.get(int(em.group(1)))
+    if enc is None or im is None:
+        return False
+    head = enc[0]
+    if b"/Standard" not in head:
+        return False
+    vm, rm, pm = _V_RE.search(head), _R_RE.search(head), _P_RE.search(head)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        return False  # AES / newer revisions out of scope (documented)
+    km = _KEYLEN_RE.search(head)
+    key_bytes = (int(km.group(1)) // 8) if (km and v == 2) else 5
+    o = _pdf_string_value(head, b"O")
+    u = _pdf_string_value(head, b"U")
+    p = int(pm.group(1)) if pm else -1
+    if o is None or u is None:
+        return False
+    id0 = bytes.fromhex(im.group(1).decode("ascii"))
+    key = _std_encryption_key(o, p, id0, r, key_bytes)
+    want_u = _expected_u(key, id0, r)
+    if (r == 2 and want_u != u[:32]) or (r >= 3 and want_u[:16] != u[:16]):
+        return False  # non-empty user password: cannot decrypt
+    enc_num = int(em.group(1))
+    for num, (h, stream) in list(objs.items()):
+        if stream is None or num == enc_num or _XREF_TYPE_RE.search(h):
+            continue
+        objs[num] = (h, _rc4(_object_key(key, num), stream))
+    return True
 
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
@@ -1019,6 +1161,10 @@ def parse_real_pdf(data: bytes) -> tuple[float, list[dict]] | None:
     objs.update(xobjs)
     if not objs:
         return None
+    # decrypt BEFORE ObjStm expansion: object streams are encrypted as
+    # streams; their member objects inherit that single decryption
+    if not _decrypt_objects(data, objs):
+        return None
     _expand_object_streams(objs, authoritative=objstm_members)
     pages_nodes = sorted(
         n for n, (h, _) in objs.items() if _PAGES_TYPE_RE.search(h)
@@ -1106,6 +1252,7 @@ def make_pdf_bytes(
     compress: bool = False,
     use_tj_every: int = 0,
     stream_filter: str | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
@@ -1113,10 +1260,29 @@ def make_pdf_bytes(
     (kerning-path coverage). ``stream_filter`` selects the content-stream
     encoding: None/"flate" (``compress=True`` is the legacy alias),
     "lzw", "rl", "ahx", "a85+flate" (the chained form old distillers
-    emitted for 7-bit-safe channels).
+    emitted for 7-bit-safe channels). ``encrypt=True`` applies the
+    standard security handler (R3/V2, RC4-128) with EMPTY user and owner
+    passwords — the viewer-opens-silently form; encryption wraps the
+    stream AFTER the filter encoding, per spec.
     """
+    import hashlib
+
     if stream_filter is None and compress:
         stream_filter = "flate"
+    enc_key = None
+    enc_id0 = bytes.fromhex("0123456789abcdeffedcba987654321f")
+    enc_p = -44
+    if encrypt:
+        # Algorithm 3 with empty owner+user passwords (R3, 128-bit)
+        h = hashlib.md5(_PAD).digest()
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+        key_o = h[:16]
+        o_val = _rc4(key_o, _PAD)
+        for i in range(1, 20):
+            o_val = _rc4(bytes(b ^ i for b in key_o), o_val)
+        enc_key = _std_encryption_key(o_val, enc_p, enc_id0, 3, 16)
+        u_val = _expected_u(enc_key, enc_id0, 3) + b"\x00" * 16
     by_page: dict[int, list[dict]] = {}
     for s in spans:
         by_page.setdefault(int(s["page"]), []).append(s)
@@ -1185,20 +1351,38 @@ def make_pdf_bytes(
         else:
             payload = raw
             head = f"<< /Length {len(payload)} >>"
+        if enc_key is not None:
+            payload = _rc4(_object_key(enc_key, num), payload)
+            head = re.sub(
+                rb"/Length \d+", b"/Length %d" % len(payload), head.encode()
+            ).decode()
         offsets[num] = len(out)
         out += (
             f"{num} 0 obj\n{head}\nstream\n".encode()
             + payload
             + b"\nendstream\nendobj\n"
         )
-    xref_pos = len(out)
     n_objs = first_content + n_pages
+    trailer_extra = ""
+    if enc_key is not None:
+        enc_num = n_objs
+        n_objs += 1
+        offsets[enc_num] = len(out)
+        out += (
+            f"{enc_num} 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 "
+            f"/P {enc_p} /O <{o_val.hex()}> /U <{u_val.hex()}> >>\nendobj\n"
+        ).encode()
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R"
+            f" /ID [<{enc_id0.hex()}> <{enc_id0.hex()}>]"
+        )
+    xref_pos = len(out)
     out += f"xref\n0 {n_objs}\n".encode()
     out += b"0000000000 65535 f \n"
     for num in range(1, n_objs):
         out += f"{offsets[num]:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -25,10 +25,11 @@ import pandas as pd
 
 SEED = 42
 # bump when the generator grammar changes — invalidates bench corpus caches
-# v4: +12.5% modern-PDF (xref stream/ObjStm) slice; v5: +6% LZW / ASCII85+
-# Flate filtered classic-PDF slice (extracted-text goldens unchanged by
-# construction in both — the container dialect must not leak into output)
-CORPUS_VERSION = 5
+# v4: +12.5% modern-PDF (xref stream/ObjStm) slice; v6: +6% slice of
+# LZW / ASCII85+Flate filtered and RC4-encrypted classic PDFs
+# (extracted-text goldens unchanged by construction in all — the container
+# dialect must not leak into output)
+CORPUS_VERSION = 6
 
 
 def _compat_version() -> int:
@@ -198,15 +199,18 @@ def _pdf_doc(rng: random.Random) -> bytes:
 
         return make_pdf_bytes_modern(spans, width=width)
     if roll < 0.56 and _compat_version() >= 5:
-        # non-Flate stream filters old distillers emitted: LZWDecode and
-        # the chained ASCII85→Flate 7-bit-safe form — same spans, goldens
-        # unchanged by construction
+        # non-Flate stream filters old distillers emitted (LZWDecode, the
+        # chained ASCII85→Flate 7-bit-safe form) and the empty-password
+        # RC4-encrypted form — same spans, goldens unchanged by
+        # construction
         from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
 
+        if roll < 0.53:
+            return make_pdf_bytes(spans, width=width, stream_filter="lzw")
+        if roll < 0.55 or _compat_version() < 6:
+            return make_pdf_bytes(spans, width=width, stream_filter="a85+flate")
         return make_pdf_bytes(
-            spans,
-            width=width,
-            stream_filter="lzw" if roll < 0.53 else "a85+flate",
+            spans, width=width, stream_filter="flate", encrypt=True
         )
     payload = {"width": width, "spans": spans}
     return b"%PDF-1.7\n" + json.dumps(payload, sort_keys=True).encode("utf-8")

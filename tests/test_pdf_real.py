@@ -324,3 +324,42 @@ def test_unknown_filter_returns_none_not_garbage():
     assert parsed is None or all(
         "hidden" not in s["text"] for s in parsed[1]
     )
+
+
+@pytest.mark.parametrize("flt", [None, "flate", "lzw"])
+def test_encrypted_pdf_empty_password_decrypts(flt):
+    """Standard-security-handler RC4-128 with empty passwords (the
+    'viewer opens silently' form common in crawls): extraction must be
+    byte-identical to the unencrypted file — encryption wraps the stream
+    AFTER filter encoding, so this exercises decrypt→(LZW/Flate)→parse."""
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 230.0, "y1": 112.0,
+         "text": "secret but not really text"},
+        {"page": 1, "x0": 60.0, "y0": 90.0, "x1": 200.0, "y1": 102.0,
+         "text": "second page content line"},
+    ]
+    plain = parse_real_pdf(make_pdf_bytes(spans, stream_filter=flt))
+    blob = make_pdf_bytes(spans, stream_filter=flt, encrypt=True)
+    assert b"/Encrypt" in blob and b"/Standard" in blob
+    # ciphertext must not contain the plaintext operators
+    assert b"secret but not really" not in blob
+    got = parse_real_pdf(blob)
+    assert got == plain and got is not None
+
+
+def test_encrypted_pdf_wrong_password_or_aes_returns_none():
+    """A real (non-empty) user password → /U check fails → None; an AES
+    (/V 4) dict → out-of-scope → None. Never mojibake."""
+    spans = [{"page": 0, "x0": 40.0, "y0": 100.0, "x1": 150.0, "y1": 112.0,
+              "text": "hidden"}]
+    blob = make_pdf_bytes(spans, encrypt=True)
+    # corrupt /U → equivalent to needing a real password
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", blob)
+    bad_u = bytes.fromhex(m.group(1).decode())
+    bad_u = bytes([bad_u[0] ^ 0xFF]) + bad_u[1:]
+    assert parse_real_pdf(
+        blob.replace(m.group(0), b"/U <" + bad_u.hex().encode() + b">")
+    ) is None
+    assert parse_real_pdf(blob.replace(b"/V 2", b"/V 4")) is None
