@@ -13,11 +13,37 @@ lets the driver's DuckDB oracle check a streaming query.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+DEFAULT_STATE_PARTITIONS = 32
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a stream START.
+
+    A stateful streaming operator LOCKS its partition count at first start
+    (it is baked into the checkpoint), and every micro-batch pays a state-
+    store open/commit per partition — so the right number tracks expected
+    STATE volume, not the batch shuffle default (at sf-demo scale, 128
+    batch partitions = 128 near-empty state stores = pure overhead, ~4×
+    the wall time of the actual join). A production clickstream sizes this
+    UP so per-partition state fits executor memory; these demo jobs
+    default to 32. ``n=None`` leaves the session setting untouched."""
+    if n is None:
+        yield
+        return
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def hourly_event_counts_stream(
@@ -25,6 +51,7 @@ def hourly_event_counts_stream(
     events_path: str,
     watermark: str = "1 hour",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> DataFrame:
     """Tumbling 1-hour windowed counts per event_type over a *stream* of
     events, with a watermark for late data; runs to completion with
@@ -72,8 +99,9 @@ def hourly_event_counts_stream(
     )
     if checkpoint_dir:
         query = query.option("checkpointLocation", checkpoint_dir)
-    q = query.start()
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = query.start()
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -105,6 +133,7 @@ def sessionize_stream(
     work_dir: str,
     gap_minutes: int = 30,
     n_slices: int = 3,
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> DataFrame:
     """Streaming gap-sessionization: ``applyInPandasWithState`` with
     EVENT-TIME TIMEOUT. The open session lives in keyed state across
@@ -250,15 +279,16 @@ def sessionize_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -267,6 +297,7 @@ def click_purchase_stream_join(
     events_path: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> DataFrame:
     """Watermarked STREAM-STREAM inner join: each purchase matched to the
     same user's clicks in the preceding ``window``. Both sides carry
@@ -312,14 +343,15 @@ def click_purchase_stream_join(
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_seconds"),
     )
     sink = f"join_result_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -331,6 +363,7 @@ def hourly_event_counts_stream_append(
     events_path: str,
     work_dir: str,
     watermark: str = "1 hour",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> DataFrame:
     """APPEND-mode variant of ``hourly_event_counts_stream``: each window is
     emitted exactly once to a parquet FILE sink when the watermark closes it
@@ -404,15 +437,16 @@ def hourly_event_counts_stream_append(
             "sum_value",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).filter(
         F.col("event_type") != SENTINEL_EVENT_TYPE
     )
@@ -451,6 +485,7 @@ def streaming_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int = 16,
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     cross-micro-batch exact dedup. Only first-seen documents are emitted.
@@ -520,15 +555,16 @@ def streaming_dedup(
         )
     )
     sink = f"dedup_result_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
