@@ -1650,6 +1650,31 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video as a first-class multimodal column, REAL end to end: doc-dim-
+    seeded MJPEG-in-AVI clips (RIFF container + our baseline-JPEG frames)
+    → container chunk walk → frame-BUDGETED decode (every 3rd frame only —
+    unsampled frames are never JPEG-decoded, the 100 TB lever) → one row
+    per sampled frame with dims + pixel sha256. Container parse + JPEG
+    decode are not SQL-expressible → rows-only driver check; exactness is
+    anchored by tests/test_video.py (writer↔parser roundtrip, Spark↔scalar
+    byte parity, fuzz never-raises). Map-only plan after the explicit
+    repartition."""
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        sample_video_frames,
+        synthesize_videos,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    return sample_video_frames(synthesize_videos(docs), every_k=3).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 def q_jpeg_progressive_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progressive (SOF2) JPEG pixel path at corpus scale: doc-dim-seeded
     progressive JPEGs (multi-scan spectral-selection + successive-
@@ -2075,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window and needed manual judge verification).
     return {
         # round 4 (this round's changes first)
+        "q_video_frame_sample": q_video_frame_sample,
         "q_jpeg_progressive_resize": q_jpeg_progressive_resize,
         "q_kmv_distinct_users": q_kmv_distinct_users,
         "q_hypertable_rollup": q_hypertable_rollup,
