@@ -597,3 +597,77 @@ def extraction_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def extraction_stream_to_snapshots(
+    spark: SparkSession,
+    docs_path: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming extraction committing each micro-batch as a SNAPSHOT —
+    the north rule's "checkpoint manifests written to Iceberg" as a live
+    sink: readStream → Arrow extraction → ``foreachBatch`` → one atomic
+    snapshot-log commit per epoch, carrying extraction metrics (docs,
+    chars, accepted blocks) in the manifest for lineage.
+
+    Exactly-once composition: Spark's streaming checkpoint makes epoch
+    REPLAY the only duplicate source (a batch can rerun after a crash
+    between sink write and offset commit), so the sink is made IDEMPOTENT
+    per epoch — if the snapshot history already records this epoch_id, the
+    replayed batch is skipped (the foreachBatch idempotent-sink contract;
+    same role as Iceberg's commit-dedup by checkpoint id). Readers see
+    only committed manifests, never a half-written batch.
+    """
+    from deepseek_ocr_api_rs_spark.operators.extract import (
+        EXTRACT_OUTPUT_SCHEMA,
+        _extract_batches,
+    )
+    from deepseek_ocr_api_rs_spark.sources import snapshots as snap
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    extracted = stream.select("url", "warc_ts", "html", "lang").mapInPandas(
+        _extract_batches, schema=EXTRACT_OUTPUT_SCHEMA
+    )
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            done = {
+                h["metrics"].get("epoch_id")
+                for h in snap.history(table_dir)
+            }
+        except FileNotFoundError:
+            done = set()
+        if epoch_id in done:
+            return  # replayed epoch: already committed, skip (idempotence)
+        batch_df.persist()  # metrics agg + snapshot write: ONE extraction
+        try:
+            agg = batch_df.agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+                F.sum("n_blocks_accepted").alias("acc"),
+            ).first()
+            if (agg.n or 0) == 0:
+                return
+            snap.write_snapshot(
+                batch_df,
+                table_dir,
+                mode="append",
+                metrics={
+                    "epoch_id": epoch_id,
+                    "n_docs": int(agg.n),
+                    "total_chars": int(agg.chars or 0),
+                    "blocks_accepted": int(agg.acc or 0),
+                },
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        extracted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
