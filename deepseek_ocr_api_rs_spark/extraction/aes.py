@@ -1,0 +1,143 @@
+"""AES-128 block cipher + CBC mode, stdlib-only (FIPS-197).
+
+Exists for one consumer: PDF /V 4 /AESV2 stream decryption
+(extraction/pdf_real.py) — modern-era encrypted PDFs use AES-CBC with a
+per-stream IV prefix. Tables are COMPUTED from the spec's definitions
+(GF(2^8) inverse + affine transform) rather than transcribed, and the
+implementation is pinned to the FIPS-197 Appendix C known-answer vector in
+tests — an independent correctness anchor, like the LZW spec vector.
+Performance is irrelevant here (encrypted streams are a rare slice and a
+few KB each); clarity wins.
+"""
+
+from __future__ import annotations
+
+# --- GF(2^8) arithmetic tables (generator 3) -------------------------------
+_EXP = [0] * 510
+_LOG = [0] * 256
+_x = 1
+for _i in range(255):
+    _EXP[_i] = _x
+    _LOG[_x] = _i
+    _x ^= ((_x << 1) ^ (0x1B if _x & 0x80 else 0)) & 0xFF  # x *= 3
+for _i in range(255, 510):
+    _EXP[_i] = _EXP[_i - 255]
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _EXP[_LOG[a] + _LOG[b]]
+
+
+# --- S-box: multiplicative inverse then the affine transform ---------------
+SBOX = bytearray(256)
+for _a in range(256):
+    _b = 0 if _a == 0 else _EXP[255 - _LOG[_a]]
+    _s = _b
+    for _ in range(4):
+        _b = ((_b << 1) | (_b >> 7)) & 0xFF
+        _s ^= _b
+    SBOX[_a] = _s ^ 0x63
+INV_SBOX = bytearray(256)
+for _i, _v in enumerate(SBOX):
+    INV_SBOX[_v] = _i
+
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def expand_key_128(key: bytes) -> list[bytes]:
+    """16-byte key → 11 round keys of 16 bytes each (FIPS-197 §5.2)."""
+    if len(key) != 16:
+        raise ValueError("AES-128 key must be 16 bytes")
+    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = bytearray(words[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]  # RotWord
+            t = bytearray(SBOX[b] for b in t)  # SubWord
+            t[0] ^= _RCON[i // 4 - 1]
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+
+
+def _shift_rows(s: bytearray, inverse: bool) -> bytearray:
+    # state is column-major: s[r + 4c]
+    out = bytearray(16)
+    for r in range(4):
+        for c in range(4):
+            src_c = (c + r) % 4 if not inverse else (c - r) % 4
+            out[r + 4 * c] = s[r + 4 * src_c]
+    return out
+
+
+def _mix_columns(s: bytearray, inverse: bool) -> bytearray:
+    m = (0x0E, 0x0B, 0x0D, 0x09) if inverse else (0x02, 0x03, 0x01, 0x01)
+    out = bytearray(16)
+    for c in range(4):
+        col = s[4 * c : 4 * c + 4]
+        for r in range(4):
+            out[r + 4 * c] = (
+                _gmul(m[(0 - r) % 4], col[0])
+                ^ _gmul(m[(1 - r) % 4], col[1])
+                ^ _gmul(m[(2 - r) % 4], col[2])
+                ^ _gmul(m[(3 - r) % 4], col[3])
+            )
+    return out
+
+
+def encrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
+    s = bytearray(a ^ b for a, b in zip(block, round_keys[0]))
+    for rnd in range(1, 10):
+        s = bytearray(SBOX[b] for b in s)
+        s = _shift_rows(s, inverse=False)
+        s = _mix_columns(s, inverse=False)
+        s = bytearray(a ^ b for a, b in zip(s, round_keys[rnd]))
+    s = bytearray(SBOX[b] for b in s)
+    s = _shift_rows(s, inverse=False)
+    return bytes(a ^ b for a, b in zip(s, round_keys[10]))
+
+
+def decrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
+    s = bytearray(a ^ b for a, b in zip(block, round_keys[10]))
+    s = _shift_rows(s, inverse=True)
+    s = bytearray(INV_SBOX[b] for b in s)
+    for rnd in range(9, 0, -1):
+        s = bytearray(a ^ b for a, b in zip(s, round_keys[rnd]))
+        s = _mix_columns(s, inverse=True)
+        s = _shift_rows(s, inverse=True)
+        s = bytearray(INV_SBOX[b] for b in s)
+    return bytes(a ^ b for a, b in zip(s, round_keys[0]))
+
+
+def cbc_decrypt(key: bytes, iv_and_data: bytes) -> bytes | None:
+    """PDF AESV2 layout: the 16-byte IV prefixes the ciphertext; PKCS#7
+    padding stripped (tolerantly — malformed padding → None)."""
+    if len(iv_and_data) < 32 or len(iv_and_data) % 16:
+        return None
+    rk = expand_key_128(key)
+    iv = iv_and_data[:16]
+    out = bytearray()
+    prev = iv
+    for i in range(16, len(iv_and_data), 16):
+        block = iv_and_data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(decrypt_block(rk, block), prev))
+        prev = block
+    pad = out[-1]
+    if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
+        return None
+    return bytes(out[:-pad])
+
+
+def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Fixture-side inverse: PKCS#7 pad, prefix the IV (PDF layout)."""
+    rk = expand_key_128(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = encrypt_block(rk, block)
+        out += prev
+    return bytes(out)

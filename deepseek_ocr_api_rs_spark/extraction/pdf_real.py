@@ -20,15 +20,17 @@ FlateDecode (zlib), LZWDecode (variable-width MSB-first LZW with
 ASCII85Decode (verified against stdlib ``base64.a85decode``),
 ASCIIHexDecode, RunLengthDecode; /Predictor 2/10-15 row unfiltering after
 the decompression stage. Encryption: the standard
-security handler with RC4 (/V 1-2, /R 2-3) and an EMPTY user password is
-decrypted transparently (the "opens without prompting" form crawls
-contain); /U is verified first, so a real-password or AES (/V 4-5)
-document returns None instead of mojibake. Remaining scope limits
-(documented, not silent): no DCT/CCITT/JBIG2/JPX image filters (pixel
-JPEG decode lives in extraction/jpeg.py), no AES encryption or real
-passwords, CMap codespaces wider than 2 bytes fall back to identity,
-glyph widths estimated at 0.5 em (column detection needs centers + gaps,
-not exact metrics). ``make_pdf_bytes`` is the inverse: assembles a
+security handler with an EMPTY user password is decrypted transparently
+(the "opens without prompting" form crawls contain) — RC4 (/V 1-2,
+/R 2-3) AND the crypt-filter era's AES-128-CBC (/V 4 /R 4 /AESV2, via
+extraction/aes.py, FIPS-197-vector-pinned); /U is verified first, so a
+real-password or /V 5 (AES-256/R6) document returns None instead of
+mojibake. Remaining scope limits (documented, not silent): no
+DCT/CCITT/JBIG2/JPX image filters (pixel JPEG decode lives in
+extraction/jpeg.py), no AES-256 (/V 5) or real passwords, CMap
+codespaces wider than 2 bytes fall back to identity, glyph widths
+estimated at 0.5 em (column detection needs centers + gaps, not exact
+metrics). ``make_pdf_bytes`` is the inverse: assembles a
 real, readable classic-dialect PDF (xref table, literal strings) from span
 dicts; ``make_pdf_bytes_modern`` assembles the PDF 1.5+ dialect third-party
 writers emit (xref STREAM with PNG predictor, ObjStm'd page tree, indirect
@@ -493,14 +495,15 @@ def _expected_u(key: bytes, id0: bytes, r: int) -> bytes:
     return u
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1 per-object RC4 key."""
+def _object_key(file_key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    """Algorithm 1 per-object key (AES appends the 'sAlT' constant)."""
     import hashlib
 
     data = (
         file_key
         + num.to_bytes(3, "little")
         + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     )
     return hashlib.md5(data).digest()[: min(len(file_key) + 5, 16)]
 
@@ -525,10 +528,19 @@ def _decrypt_objects(
     vm, rm, pm = _V_RE.search(head), _R_RE.search(head), _P_RE.search(head)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
-        return False  # AES / newer revisions out of scope (documented)
+    use_aes = False
+    if v == 4 and r == 4:
+        # crypt-filter era (PDF 1.5/1.6): /CF /StdCF with /CFM AESV2
+        # (AES-128-CBC, IV-prefixed streams) or V2 (RC4). Key derivation
+        # (Algorithms 2/3/5) is unchanged from R3.
+        if b"/AESV2" in head:
+            use_aes = True
+        elif b"/CFM" in head and b"/V2" not in head:
+            return False  # AESV3 / None / custom CFM out of scope
+    elif v not in (1, 2) or r not in (2, 3):
+        return False  # /V 5 (AES-256, R6) out of scope (documented)
     km = _KEYLEN_RE.search(head)
-    key_bytes = (int(km.group(1)) // 8) if (km and v == 2) else 5
+    key_bytes = (int(km.group(1)) // 8) if (km and v >= 2) else 5
     o = _pdf_string_value(head, b"O")
     u = _pdf_string_value(head, b"U")
     p = int(pm.group(1)) if pm else -1
@@ -543,7 +555,13 @@ def _decrypt_objects(
     for num, (h, stream) in list(objs.items()):
         if stream is None or num == enc_num or _XREF_TYPE_RE.search(h):
             continue
-        objs[num] = (h, _rc4(_object_key(key, num), stream))
+        if use_aes:
+            from deepseek_ocr_api_rs_spark.extraction.aes import cbc_decrypt
+
+            dec = cbc_decrypt(_object_key(key, num, aes=True), stream)
+            objs[num] = (h, dec if dec is not None else stream)
+        else:
+            objs[num] = (h, _rc4(_object_key(key, num), stream))
     return True
 
 
@@ -1252,7 +1270,7 @@ def make_pdf_bytes(
     compress: bool = False,
     use_tj_every: int = 0,
     stream_filter: str | None = None,
-    encrypt: bool = False,
+    encrypt: bool | str = False,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
@@ -1260,20 +1278,24 @@ def make_pdf_bytes(
     (kerning-path coverage). ``stream_filter`` selects the content-stream
     encoding: None/"flate" (``compress=True`` is the legacy alias),
     "lzw", "rl", "ahx", "a85+flate" (the chained form old distillers
-    emitted for 7-bit-safe channels). ``encrypt=True`` applies the
-    standard security handler (R3/V2, RC4-128) with EMPTY user and owner
-    passwords — the viewer-opens-silently form; encryption wraps the
-    stream AFTER the filter encoding, per spec.
+    emitted for 7-bit-safe channels). ``encrypt=True`` (or ``"rc4"``)
+    applies the standard security handler (R3/V2, RC4-128) with EMPTY user
+    and owner passwords — the viewer-opens-silently form; ``encrypt="aes"``
+    emits the crypt-filter era's R4/V4 /AESV2 form (AES-128-CBC,
+    IV-prefixed streams, deterministic per-object IV for fixture
+    reproducibility). Encryption wraps the stream AFTER the filter
+    encoding, per spec.
     """
     import hashlib
 
     if stream_filter is None and compress:
         stream_filter = "flate"
     enc_key = None
+    enc_aes = encrypt == "aes"
     enc_id0 = bytes.fromhex("0123456789abcdeffedcba987654321f")
     enc_p = -44
     if encrypt:
-        # Algorithm 3 with empty owner+user passwords (R3, 128-bit)
+        # Algorithm 3 with empty owner+user passwords (R3/R4, 128-bit)
         h = hashlib.md5(_PAD).digest()
         for _ in range(50):
             h = hashlib.md5(h).digest()
@@ -1281,8 +1303,9 @@ def make_pdf_bytes(
         o_val = _rc4(key_o, _PAD)
         for i in range(1, 20):
             o_val = _rc4(bytes(b ^ i for b in key_o), o_val)
-        enc_key = _std_encryption_key(o_val, enc_p, enc_id0, 3, 16)
-        u_val = _expected_u(enc_key, enc_id0, 3) + b"\x00" * 16
+        enc_r = 4 if enc_aes else 3
+        enc_key = _std_encryption_key(o_val, enc_p, enc_id0, enc_r, 16)
+        u_val = _expected_u(enc_key, enc_id0, enc_r) + b"\x00" * 16
     by_page: dict[int, list[dict]] = {}
     for s in spans:
         by_page.setdefault(int(s["page"]), []).append(s)
@@ -1352,7 +1375,15 @@ def make_pdf_bytes(
             payload = raw
             head = f"<< /Length {len(payload)} >>"
         if enc_key is not None:
-            payload = _rc4(_object_key(enc_key, num), payload)
+            if enc_aes:
+                from deepseek_ocr_api_rs_spark.extraction.aes import cbc_encrypt
+
+                iv = hashlib.md5(b"iv%d" % num).digest()
+                payload = cbc_encrypt(
+                    _object_key(enc_key, num, aes=True), iv, payload
+                )
+            else:
+                payload = _rc4(_object_key(enc_key, num), payload)
             head = re.sub(
                 rb"/Length \d+", b"/Length %d" % len(payload), head.encode()
             ).decode()
@@ -1368,10 +1399,19 @@ def make_pdf_bytes(
         enc_num = n_objs
         n_objs += 1
         offsets[enc_num] = len(out)
-        out += (
-            f"{enc_num} 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 "
-            f"/P {enc_p} /O <{o_val.hex()}> /U <{u_val.hex()}> >>\nendobj\n"
-        ).encode()
+        if enc_aes:
+            enc_dict = (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/P {enc_p} /O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+            )
+        else:
+            enc_dict = (
+                "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                f"/P {enc_p} /O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+            )
+        out += f"{enc_num} 0 obj\n{enc_dict}\nendobj\n".encode()
         trailer_extra = (
             f" /Encrypt {enc_num} 0 R"
             f" /ID [<{enc_id0.hex()}> <{enc_id0.hex()}>]"

@@ -25,11 +25,11 @@ import pandas as pd
 
 SEED = 42
 # bump when the generator grammar changes — invalidates bench corpus caches
-# v4: +12.5% modern-PDF (xref stream/ObjStm) slice; v6: +6% slice of
-# LZW / ASCII85+Flate filtered and RC4-encrypted classic PDFs
+# v4: +12.5% modern-PDF (xref stream/ObjStm) slice; v7: +6% slice of
+# LZW / ASCII85+Flate filtered and RC4- / AES-encrypted classic PDFs
 # (extracted-text goldens unchanged by construction in all — the container
 # dialect must not leak into output)
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 
 def _compat_version() -> int:
@@ -209,8 +209,12 @@ def _pdf_doc(rng: random.Random) -> bytes:
             return make_pdf_bytes(spans, width=width, stream_filter="lzw")
         if roll < 0.55 or _compat_version() < 6:
             return make_pdf_bytes(spans, width=width, stream_filter="a85+flate")
+        if roll < 0.555 or _compat_version() < 7:
+            return make_pdf_bytes(
+                spans, width=width, stream_filter="flate", encrypt=True
+            )
         return make_pdf_bytes(
-            spans, width=width, stream_filter="flate", encrypt=True
+            spans, width=width, stream_filter="flate", encrypt="aes"
         )
     payload = {"width": width, "spans": spans}
     return b"%PDF-1.7\n" + json.dumps(payload, sort_keys=True).encode("utf-8")

@@ -363,3 +363,47 @@ def test_encrypted_pdf_wrong_password_or_aes_returns_none():
         blob.replace(m.group(0), b"/U <" + bad_u.hex().encode() + b">")
     ) is None
     assert parse_real_pdf(blob.replace(b"/V 2", b"/V 4")) is None
+
+
+def test_aes_block_cipher_fips_vector():
+    """extraction/aes.py pinned to the FIPS-197 Appendix C.1 known-answer
+    vector — an independent anchor (not our own dialect)."""
+    from deepseek_ocr_api_rs_spark.extraction.aes import (
+        cbc_decrypt,
+        cbc_encrypt,
+        decrypt_block,
+        encrypt_block,
+        expand_key_128,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rk = expand_key_128(key)
+    assert encrypt_block(rk, pt) == ct
+    assert decrypt_block(rk, ct) == pt
+    data = b"cbc mode roundtrip payload" * 11 + b"tail"
+    assert cbc_decrypt(key, cbc_encrypt(key, bytes(16), data)) == data
+    assert cbc_decrypt(key, b"\x00" * 48) is None  # bad padding → None
+
+
+@pytest.mark.parametrize("flt", [None, "flate"])
+def test_aes_encrypted_pdf_empty_password_decrypts(flt):
+    """/V 4 /R 4 /AESV2 (the crypt-filter era's AES-128-CBC, IV-prefixed
+    streams): extraction byte-identical to the unencrypted file."""
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 240.0, "y1": 112.0,
+         "text": "aes protected but open text"},
+        {"page": 0, "x0": 40.0, "y0": 130.0, "x1": 200.0, "y1": 142.0,
+         "text": "second aes line here"},
+    ]
+    plain = parse_real_pdf(make_pdf_bytes(spans, stream_filter=flt))
+    blob = make_pdf_bytes(spans, stream_filter=flt, encrypt="aes")
+    assert b"/AESV2" in blob and b"/V 4" in blob
+    assert b"aes protected" not in blob  # ciphertext
+    got = parse_real_pdf(blob)
+    assert got == plain and got is not None
+    # /V 5 (AES-256) stays out of scope → None, not garbage
+    assert parse_real_pdf(
+        blob.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+    ) is None
