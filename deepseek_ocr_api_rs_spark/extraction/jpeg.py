@@ -33,6 +33,7 @@ is the dominant web encoding, so a crawl pipeline cannot skip it).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _jpeg_lru_cache
 
 import numpy as np
 
@@ -164,10 +165,33 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int,
     return out
 
 
-def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → value — simple exact-match decode dict."""
-    enc = _canonical_codes(bits, values)
-    return {(ln, code): v for v, (code, ln) in enc.items()}
+class _HuffTable:
+    """16-bit-peek lookup decode table: for every 16-bit prefix, the code
+    length (0 = invalid prefix) and decoded value. One symbol = one list
+    index instead of up to 16 bit-reads + dict probes."""
+
+    __slots__ = ("lut_len", "lut_val")
+
+    def __init__(self, bits: tuple[int, ...], values: tuple[int, ...]):
+        enc = _canonical_codes(list(bits), list(values))
+        self.lut_len = [0] * 65536
+        self.lut_val = [0] * 65536
+        for v, (code, ln) in enc.items():
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            self.lut_len[lo:hi] = [ln] * (hi - lo)
+            self.lut_val[lo:hi] = [v] * (hi - lo)
+
+
+@_jpeg_lru_cache(maxsize=64)
+def _huff_table_cached(bits: tuple, values: tuple) -> _HuffTable:
+    # the 65536-entry fill costs ~ms — real corpora reuse a handful of
+    # tables (Annex K everywhere), so cache by table CONTENT
+    return _HuffTable(bits, values)
+
+
+def _decode_table(bits: list[int], values: list[int]) -> _HuffTable:
+    return _huff_table_cached(tuple(bits), tuple(values))
 
 
 class _BitWriter:
@@ -225,13 +249,33 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def read_bits(self, k: int) -> int | None:
-        v = 0
-        for _ in range(k):
-            b = self.read_bit()
-            if b is None:
-                return None
-            v = (v << 1) | b
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+            if self.n < k:
+                return None  # stream exhausted / marker hit mid-field
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (zero-padded past stream end)."""
+        if self.n < 16:
+            self._fill()
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        return (self.acc << (16 - self.n)) & 0xFFFF
+
+    def consume(self, k: int) -> bool:
+        if k > self.n:
+            self.n = 0
+            self.acc = 0
+            return False
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return True
 
     def align_to_marker(self) -> int | None:
         """Skip to the next 0xFF marker byte (for RSTn), return marker."""
@@ -246,17 +290,12 @@ class _BitReader:
         return None
 
 
-def _read_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
-    code = 0
-    for length in range(1, 17):
-        b = reader.read_bit()
-        if b is None:
-            return None
-        code = (code << 1) | b
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    return None
+def _read_huff(reader: _BitReader, table: _HuffTable) -> int | None:
+    p = reader.peek16()
+    ln = table.lut_len[p]
+    if ln == 0 or not reader.consume(ln):
+        return None
+    return table.lut_val[p]
 
 
 def _extend(v: int, t: int) -> int:
