@@ -1748,6 +1748,120 @@ def q_grounding_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the C4/Dolma-style redaction stage every released
+    training corpus runs: emails, IPv4s, phone numbers replaced by typed
+    tags through the shared RE2-safe regex chain (functions/text.py,
+    identical patterns both engines), with per-kind audit counts and an
+    md5 fingerprint of the redacted text so any redaction drift breaks
+    the value hash. The PII is synthesized deterministically from doc_id
+    (the corpus text itself is letters-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d,
+        F.lit("@mail-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org or call +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" end"),
+    )
+    base = docs.select("doc_id", pii_text.alias("pii_text"))
+    counts = T.pii_counts("pii_text")
+    redacted = T.redact_pii("pii_text")
+    return base.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(redacted)), r"\s+", " ")
+        ).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+def _pii_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.text import (
+        pii_counts_duckdb,
+        redact_pii_duckdb,
+    )
+
+    pii_text = (
+        "(text || ' contact user' || cast(doc_id as varchar)"
+        " || '@mail-' || cast(doc_id % 7 as varchar)"
+        " || '.example.org or call +1 (555) 010-'"
+        " || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+        " || ' from ip 10.' || cast(doc_id % 256 as varchar)"
+        " || '.0.' || cast(doc_id % 250 as varchar) || ' end')"
+    )
+    counts = pii_counts_duckdb("pii_text")
+    red = redact_pii_duckdb("pii_text")
+    return f"""
+with base as (select doc_id, {pii_text} as pii_text from documents)
+select doc_id,
+  cast({counts['n_emails']} as bigint) as n_emails,
+  cast({counts['n_ips']} as bigint) as n_ips,
+  cast({counts['n_phones']} as bigint) as n_phones,
+  md5(regexp_replace(trim(lower({red})), '\\s+', ' ', 'g')) as redacted_fp
+from base order by doc_id
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening (the train/test-overlap audit
+    every released corpus needs): 5-gram shingle overlap of each document
+    against a probe set (doc_id < 25 stands in for the benchmark suite;
+    4-grams give the synthetic 40-word-vocab corpus a non-trivial overlap
+    distribution — a real pipeline uses 8-13-grams over real text).
+    Scale shape: the probe shingle set is tiny by construction, so the
+    join is a BROADCAST map-side semi-join — the corpus-side shingles
+    never shuffle (an all-pairs or shuffled join here would be the
+    classic contamination-check scale killer at 10^12 docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    probe_sh = (
+        docs.filter(F.col("doc_id") < 25)
+        .select(F.explode(F.expr(H.shingles_spark("text", 4))).alias("s"))
+        .distinct()
+    )
+    sh = docs.filter(F.col("doc_id") >= 25).select(
+        "doc_id", F.explode(F.expr(H.shingles_spark("text", 4))).alias("s")
+    )
+    hits = (
+        sh.join(F.broadcast(probe_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 25)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_CONTAMINATION_SQL = f"""
+with probe as (
+  select distinct unnest({H.shingles_duckdb('text', 4)}) as s
+  from documents where doc_id < 25
+), sh as (
+  select doc_id, unnest({H.shingles_duckdb('text', 4)}) as s
+  from documents where doc_id >= 25
+), hits as (
+  select doc_id, cast(count(*) as bigint) as n_contaminated
+  from sh join probe using (s) group by doc_id
+)
+select d.doc_id, coalesce(hits.n_contaminated, 0) as n_contaminated
+from documents d left join hits on d.doc_id = hits.doc_id
+where d.doc_id >= 25 order by d.doc_id
+"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the zeroth operator of a Common-Crawl
     pipeline): messy synthesized URLs — mixed-case scheme/host, default
@@ -2100,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window and needed manual judge verification).
     return {
         # round 4 (this round's changes first)
+        "q_pii_redact": q_pii_redact,
+        "q_contamination": q_contamination,
         "q_video_frame_sample": q_video_frame_sample,
         "q_jpeg_progressive_resize": q_jpeg_progressive_resize,
         "q_kmv_distinct_users": q_kmv_distinct_users,
@@ -2227,6 +2343,8 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_spectrum": _Q_AUDIO_SQL,
         "q_sequence_packing": _Q_PACKING_SQL,
         "q_url_canonical": _url_canonical_sql(),
+        "q_pii_redact": _pii_sql(),
+        "q_contamination": _Q_CONTAMINATION_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -228,3 +228,65 @@ def bpe_token_count_duckdb(text_col: str) -> str:
         f"cast(len(list_filter(regexp_extract_all({text_col}, '{rx}'), "
         f"m -> trim(m) != '')) as bigint)"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the C4/Dolma-style scrub stage every public training
+# corpus runs before release. Shared RE2-safe patterns (no lookarounds) so
+# Spark (Java regex) and DuckDB (RE2) redact identically; replacement
+# order matters only for determinism (emails first — '@' text can contain
+# digit runs; IPs before phones — dots keep phones from spanning them
+# anyway, but the fixed order makes the chain auditable).
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# loose international-ish phone: leading digit or +, then ≥7 phone chars,
+# ending in a digit (dots excluded so IPs/versions never match)
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+_PII_CHAIN = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _PII_CHAIN:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def redact_pii_duckdb(expr: str) -> str:
+    s = expr
+    for pat, tag in _PII_CHAIN:
+        s = f"regexp_replace({s}, '{pat}', '{tag}', 'g')"
+    return s
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """{kind: count column} of matches (audit metrics). Phones are counted
+    AFTER email/IP redaction — digit runs inside an address never double-
+    count — mirroring the chain order (Column API throughout: SQL-literal
+    backslash escaping never enters the picture)."""
+    c = F.col(col) if isinstance(col, str) else col
+    after = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(after, F.lit(PHONE_RE), F.lit(0))),
+    }
+
+
+def pii_counts_duckdb(expr: str) -> dict[str, str]:
+    return {
+        "n_emails": f"len(regexp_extract_all({expr}, '{EMAIL_RE}'))",
+        "n_ips": f"len(regexp_extract_all({expr}, '{IPV4_RE}'))",
+        "n_phones": (
+            f"len(regexp_extract_all(regexp_replace(regexp_replace({expr}, "
+            f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g'), '{PHONE_RE}'))"
+        ),
+    }

@@ -242,6 +242,18 @@ def test_kmv_plan_has_no_window_sort(spark):
     assert "collect_list(h" not in plan, plan
 
 
+def test_contamination_probe_is_broadcast(spark):
+    """q_contamination: the probe (benchmark) shingle set broadcasts — the
+    corpus-side shingles reach the overlap join map-side, never through a
+    hash exchange keyed on shingles (the scale killer at 10^12 docs)."""
+    df = entrymod.q_contamination(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly ONE shingle-keyed exchange: the tiny probe set's distinct
+    # (feeding the broadcast); the CORPUS-side shingles never shuffle
+    assert plan.count("hashpartitioning(s#") == 1, plan
+
+
 def test_jpeg_progressive_resize_map_only_after_repartition(spark):
     """q_jpeg_progressive_resize: synth → multi-scan decode → resize is an
     embarrassingly-parallel Arrow chain — exactly ONE exchange (the

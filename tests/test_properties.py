@@ -251,3 +251,40 @@ def test_url_canonicalize_edge_cases(spark):
         assert got[i][0] == want, (u, got[i][0], want)
     n_nonurl = next(i for i, (u, _) in enumerate(cases) if u == "not a url at all")
     assert got[0][1] == "ex.com" and got[n_nonurl][1] == ""  # host of non-URL = ''
+
+
+def test_pii_redaction_edge_cases(spark):
+    """Shared-regex PII scrub: emails/IPs/phones redacted, lookalikes
+    (version strings, short digit runs, bare '@' words) untouched; counts
+    match; phone digits inside an already-redacted email never double
+    count (chain order)."""
+    from deepseek_ocr_api_rs_spark.functions.text import pii_counts, redact_pii
+
+    cases = [
+        ("mail me at first.last+tag@sub.example.co.uk today",
+         "mail me at <EMAIL> today", (1, 0, 0)),
+        ("server 10.0.255.7 responded", "server <IP> responded", (0, 1, 0)),
+        ("call +44 (0) 2079-460-000 now", "call <PHONE> now", (0, 0, 1)),
+        ("v1.2.3.4 is a version not an ip", "v1.2.3.4 is a version not an ip",
+         (0, 0, 0)),
+        ("room 12 floor 3 no pii here", "room 12 floor 3 no pii here",
+         (0, 0, 0)),
+        ("email a@b.io and ip 8.8.8.8 and tel 555 010 9999 x",
+         "email <EMAIL> and ip <IP> and tel <PHONE> x", (1, 1, 1)),
+        ("not-an-email @ sign alone", "not-an-email @ sign alone", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(cases)], "i int, t string"
+    )
+    counts = pii_counts("t")
+    got = {
+        r.i: r
+        for r in df.select(
+            "i", redact_pii("t").alias("red"),
+            counts["n_emails"].alias("e"), counts["n_ips"].alias("p"),
+            counts["n_phones"].alias("ph"),
+        ).collect()
+    }
+    for i, (src, want, (ne, ni, nph)) in enumerate(cases):
+        assert got[i].red == want, (src, got[i].red)
+        assert (got[i].e, got[i].p, got[i].ph) == (ne, ni, nph), src
