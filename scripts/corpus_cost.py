@@ -41,9 +41,11 @@ def main() -> None:
     n_docs = int(os.environ.get("BENCH_N_DOCS", "120000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    runs: dict[int, list[dict]] = {3: [], 4: []}
+    ver_a = int(os.environ.get("BENCH_COMPAT_A", "3"))
+    ver_b = int(os.environ.get("BENCH_COMPAT_B", "4"))
+    runs: dict[int, list[dict]] = {ver_a: [], ver_b: []}
     for r in range(repeats):
-        for ver in (3, 4):  # interleaved: load noise hits both versions
+        for ver in (ver_a, ver_b):  # interleaved: load noise hits both versions
             res = run_bench(ver, n_docs, cpus)
             runs[ver].append(res)
             print(
@@ -52,23 +54,28 @@ def main() -> None:
                 f"{res['extraction_docs_per_sec']} docs/s",
                 flush=True,
             )
-    best_cpu = {v: min(x["extraction_cpu_sec"] for x in runs[v]) for v in (3, 4)}
-    best_dps = {v: max(x["extraction_docs_per_sec"] for x in runs[v]) for v in (3, 4)}
+    a, b = ver_a, ver_b
+    best_cpu = {v: min(x["extraction_cpu_sec"] for x in runs[v]) for v in (a, b)}
+    best_dps = {v: max(x["extraction_docs_per_sec"] for x in runs[v]) for v in (a, b)}
     report = {
         "generated_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
         "n_docs": n_docs,
         "cpus": cpus,
         "repeats": repeats,
-        "cpu_sec_v3": best_cpu[3],
-        "cpu_sec_v4": best_cpu[4],
-        "cpu_ratio_v4_over_v3": round(best_cpu[4] / best_cpu[3], 4),
-        "docs_per_sec_v3": best_dps[3],
-        "docs_per_sec_v4": best_dps[4],
-        "wall_ratio_v3_over_v4": round(best_dps[3] / best_dps[4], 4),
+        f"cpu_sec_v{a}": best_cpu[a],
+        f"cpu_sec_v{b}": best_cpu[b],
+        f"cpu_ratio_v{b}_over_v{a}": round(best_cpu[b] / best_cpu[a], 4),
+        f"docs_per_sec_v{a}": best_dps[a],
+        f"docs_per_sec_v{b}": best_dps[b],
+        f"wall_ratio_v{a}_over_v{b}": round(best_dps[a] / best_dps[b], 4),
         "all_runs": {str(k): v for k, v in runs.items()},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "corpus_cost.json"), "w") as f:
+    out_name = (
+        "corpus_cost.json" if (a, b) == (3, 4)
+        else f"corpus_cost_v{a}_v{b}.json"
+    )
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items() if k != "all_runs"}))
 
