@@ -183,12 +183,17 @@ def rollback(table_dir: str, to_version: int) -> int:
 
 
 def history(table_dir: str) -> list[dict]:
-    """Lineage: the parent chain from the current version down to v1, each
-    entry carrying (version, parent, operation, n_rows, metrics)."""
+    """Lineage: the parent chain from the current version down to v1 (or
+    to the ``expire_snapshots`` retention horizon — expired parents end
+    the walk rather than erroring), each entry carrying (version, parent,
+    operation, n_rows, metrics)."""
     out: list[dict] = []
     v = current_version(table_dir)
     while v is not None:
-        m = read_manifest(table_dir, v)
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            break  # parent expired beyond the retention horizon
         out.append(
             {
                 "version": m["version"],
@@ -200,3 +205,81 @@ def history(table_dir: str) -> list[dict]:
         )
         v = m["parent"]
     return out
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    metrics: dict | None = None,
+) -> int:
+    """OPTIMIZE analogue: rewrite the current snapshot's data into
+    ``target_files`` larger files and commit a manifest that lists ONLY
+    the rewritten files. Many-small-appends is the natural failure mode of
+    per-micro-batch commits (the 100 TB small-files problem); compaction
+    restores scan efficiency WITHOUT breaking history — prior manifests
+    still list the old files, which stay on disk until ``expire_snapshots``
+    reclaims them, so time travel across the compaction boundary keeps
+    working. Returns the new version."""
+    cur = read_snapshot(spark, table_dir)
+    n_before = len(read_manifest(table_dir)["files"])
+    stamp = uuid.uuid4().hex
+    rel_dir = os.path.join("data", stamp)
+    out = os.path.join(table_dir, rel_dir)
+    cur.coalesce(target_files).write.mode("error").parquet(out)
+    files = sorted(
+        os.path.join(rel_dir, name)
+        for name in os.listdir(out)
+        if name.endswith(".parquet")
+    )
+    n_rows = spark.read.parquet(out).count()
+    manifest = {
+        "files": files,
+        "n_rows": n_rows,
+        "committed_ts": time.time(),
+        "operation": f"compact({n_before}->{len(files)})",
+        "metrics": dict(metrics or {}, files_before=n_before, files_after=len(files)),
+    }
+    return _publish(table_dir, manifest)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
+    """VACUUM analogue: drop manifests older than the newest ``keep_last``
+    versions and DELETE data files referenced only by expired manifests.
+    Time travel to expired versions stops working (that is the point —
+    bounded storage); everything the retained manifests reference is
+    untouched. Returns {"expired_versions": [...], "deleted_files": n,
+    "kept_files": n} — the accounting IS the log, never silent."""
+    cur = current_version(table_dir)
+    if cur is None:
+        return {"expired_versions": [], "deleted_files": 0, "kept_files": 0}
+    versions = sorted(
+        int(name[1:-5])
+        for name in os.listdir(_snap_dir(table_dir))
+        if name.startswith("v") and name.endswith(".json")
+    )
+    keep = set(versions[-keep_last:])
+    expired = [v for v in versions if v not in keep]
+    live_files: set[str] = set()
+    for v in keep:
+        live_files.update(read_manifest(table_dir, v)["files"])
+    dead_files: set[str] = set()
+    for v in expired:
+        dead_files.update(read_manifest(table_dir, v)["files"])
+    dead_files -= live_files
+    deleted = 0
+    for rel in sorted(dead_files):
+        path = os.path.join(table_dir, rel)
+        if os.path.exists(path):
+            os.unlink(path)
+            deleted += 1
+        parent = os.path.dirname(path)
+        if os.path.isdir(parent) and not os.listdir(parent):
+            os.rmdir(parent)
+    for v in expired:
+        os.unlink(_manifest_file(table_dir, v))
+    return {
+        "expired_versions": expired,
+        "deleted_files": deleted,
+        "kept_files": len(live_files),
+    }

@@ -118,6 +118,64 @@ def test_read_empty_table_raises(spark, tmp_path):
         read_snapshot(spark, str(tmp_path / "missing"))
 
 
+def test_compact_preserves_contents_and_history(spark, tmp_path):
+    """OPTIMIZE analogue: many small appends → one rewritten file; same
+    rows, history intact, PRE-compaction versions still time-travelable
+    (their files stay on disk until expiry)."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import compact
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 50, 10):  # 5 appends → ≥5 data files
+        write_snapshot(_df(spark, lo, lo + 10).repartition(2), t, mode="append")
+    n_files_before = len(read_manifest(t)["files"])
+    assert n_files_before >= 5
+    v = compact(spark, t, target_files=1)
+    m = read_manifest(t, v)
+    assert len(m["files"]) == 1 and m["n_rows"] == 50
+    assert m["operation"].startswith("compact(")
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(50))
+    # time travel across the compaction boundary still works
+    assert read_snapshot(spark, t, version=3).count() == 30
+
+
+def test_expire_snapshots_reclaims_only_dead_files(spark, tmp_path):
+    """VACUUM analogue: expired manifests and the data files ONLY they
+    reference are deleted; retained versions read fine; history stops at
+    the retention horizon instead of erroring."""
+    import os as _os
+
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        compact,
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 30, 10):
+        write_snapshot(_df(spark, lo, lo + 10), t, mode="append")
+    compact(spark, t, target_files=1)  # v4
+    def count_data_files():
+        return sum(
+            1
+            for root, _, fs in _os.walk(_os.path.join(t, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = count_data_files()
+    rep = expire_snapshots(t, keep_last=1)
+    assert rep["expired_versions"] == [1, 2, 3]
+    assert rep["deleted_files"] > 0 and count_data_files() < before
+    # the live snapshot is intact
+    assert read_snapshot(spark, t).count() == 30
+    # expired versions are gone (bounded storage is the point)
+    with pytest.raises(FileNotFoundError):
+        read_manifest(t, 2)
+    # lineage walk ends at the horizon, no error
+    h = history(t)
+    assert [x["version"] for x in h] == [4]
+
+
 def test_manifest_is_valid_json_with_relative_paths(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_snapshot(_df(spark, 0, 3), t)
