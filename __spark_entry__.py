@@ -1650,6 +1650,155 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion under the oracle gate: per-doc response records
+    (some chunked-transfer, some ISO-8859-1, plus request and image/png
+    decoys) are staged into real ``.warc.gz`` segment files by an
+    executor-side Arrow stage, then read back through the production
+    ingestion path (binaryFile scan → record fan-out → envelope/charset/
+    mime/status handling — sources/warc.py). The oracle reproduces url /
+    epoch / decoded-text-length arithmetic, so the hash proves the whole
+    container roundtrip: decoys dropped, chunked bodies de-chunked,
+    latin-1 decoded to the same text as utf-8. NOTE the single driver
+    action before the returned frame is the STAGING barrier (segment
+    files must exist before the binaryFile source can plan) — harness
+    plumbing, not part of the measured read path."""
+    import datetime as _dt
+    import tempfile
+
+    import pandas as pd
+
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        make_warc_gz,
+        read_warc_documents,
+    )
+
+    _ensure_shipped(spark)
+    warc_dir = tempfile.mkdtemp(prefix="warc_ingest_")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    epoch = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def stage(batches):
+        import os as _os
+        import uuid as _uuid
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                body = f"<html><body><p>doc {d} café body</p></body></html>"
+                charset = "iso-8859-1" if d % 5 == 0 else "utf-8"
+                recs.append({
+                    "type": "response",
+                    "url": f"https://warc.example.org/doc/{d}",
+                    "date": epoch + _dt.timedelta(seconds=d),
+                    "payload": body.encode(charset),
+                    "content_type": f"text/html; charset={charset}",
+                    "chunked": d % 3 == 0,
+                })
+                if d % 25 == 0:  # decoy: dropped by the mime gate
+                    recs.append({
+                        "type": "response",
+                        "url": f"https://warc.example.org/img/{d}",
+                        "date": epoch, "payload": b"\x89PNG fake",
+                        "content_type": "image/png",
+                    })
+                recs.append({  # decoy: dropped by the record-type gate
+                    "type": "request",
+                    "url": f"https://warc.example.org/doc/{d}",
+                    "date": epoch, "payload": b"GET / HTTP/1.1\r\n\r\n",
+                })
+            name = _os.path.join(
+                warc_dir, f"seg-{_uuid.uuid4().hex}.warc.gz"
+            )
+            with open(name, "wb") as f:
+                f.write(make_warc_gz(recs))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    docs.mapInPandas(stage, "n long").agg(F.sum("n")).first()  # staging barrier
+    return (
+        read_warc_documents(spark, warc_dir)
+        .select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("ts_epoch"),
+            F.length("text").cast("long").alias("n_text_chars"),
+        )
+        .orderBy("url")
+    )
+
+
+_Q_WARC_INGEST_SQL = """
+select 'https://warc.example.org/doc/' || cast(doc_id as varchar) as url,
+  cast(1704067200 + doc_id as bigint) as ts_epoch,
+  cast(length('<html><body><p>doc ' || cast(doc_id as varchar)
+       || ' café body</p></body></html>') as bigint) as n_text_chars
+from documents order by url
+"""
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video CONTAINER metadata through real bytes: doc-dim-seeded
+    MJPEG-in-AVI clips parsed back (RIFF chunk walk: avih fps, strf dims,
+    movi frame count — operators/video.parse_avi). The oracle reproduces
+    the dims arithmetic, so the hash proves the writer→parser roundtrip
+    over genuine AVI containers (the q_image_meta pattern for the video
+    modality; frame PIXELS are covered by the rows-only
+    q_video_frame_sample + its parity tests)."""
+    import pandas as pd
+
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        parse_avi,
+        synthesize_videos,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+
+    def meta(batches):
+        for pdf in batches:
+            ids, ws, hs, fpss, nfs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_avi(bytes(payload))
+                if parsed is None:
+                    continue
+                w, h, fps, frames = parsed
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                fpss.append(fps)
+                nfs.append(len(frames))
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs,
+                 "fps": fpss, "n_frames": nfs}
+            )
+
+    return (
+        synthesize_videos(docs)
+        .mapInPandas(
+            meta,
+            schema="doc_id long, width int, height int, fps int, n_frames int",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_VIDEO_META_SQL = """
+select doc_id,
+  cast(doc_id % 48 + 16 as int) as width,
+  cast(doc_id % 40 + 16 as int) as height,
+  cast(10 as int) as fps,
+  cast(9 as int) as n_frames
+from documents order by doc_id
+"""
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video as a first-class multimodal column, REAL end to end: doc-dim-
     seeded MJPEG-in-AVI clips (RIFF container + our baseline-JPEG frames)
@@ -2214,6 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window and needed manual judge verification).
     return {
         # round 4 (this round's changes first)
+        "q_warc_ingest": q_warc_ingest,
+        "q_video_meta": q_video_meta,
         "q_pii_redact": q_pii_redact,
         "q_contamination": q_contamination,
         "q_video_frame_sample": q_video_frame_sample,
@@ -2345,6 +2496,8 @@ def oracle_sql() -> dict[str, str]:
         "q_url_canonical": _url_canonical_sql(),
         "q_pii_redact": _pii_sql(),
         "q_contamination": _Q_CONTAMINATION_SQL,
+        "q_warc_ingest": _Q_WARC_INGEST_SQL,
+        "q_video_meta": _Q_VIDEO_META_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -39,6 +39,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "versioned table (sources.snapshots: snapshot-isolated readers, "
         "time travel, per-run metrics lineage)",
     )
+    p.add_argument(
+        "--compact-snapshots",
+        action="store_true",
+        help="after committing, compact the snapshot table's current "
+        "version into fewer larger files (OPTIMIZE — the small-files "
+        "remedy for many incremental commits); requires --snapshot-table",
+    )
+    p.add_argument(
+        "--expire-snapshots",
+        type=int,
+        default=None,
+        metavar="KEEP_LAST",
+        help="after committing (and compacting), expire all but the "
+        "newest KEEP_LAST snapshot versions and reclaim data files only "
+        "they referenced (VACUUM); requires --snapshot-table",
+    )
     return p.parse_args(argv)
 
 
@@ -100,6 +116,23 @@ def main(argv: list[str] | None = None) -> int:
             },
         )
         print(f"snapshot committed: {args.snapshot_table} v{version}")
+        if args.compact_snapshots:
+            from deepseek_ocr_api_rs_spark.sources.snapshots import compact
+
+            cv = compact(spark, args.snapshot_table, metrics={"run_id": run_id})
+            print(f"snapshots compacted: v{cv}")
+        if args.expire_snapshots is not None:
+            from deepseek_ocr_api_rs_spark.sources.snapshots import (
+                expire_snapshots,
+            )
+
+            rep = expire_snapshots(
+                args.snapshot_table, keep_last=args.expire_snapshots
+            )
+            print(
+                f"snapshots expired: {len(rep['expired_versions'])} versions, "
+                f"{rep['deleted_files']} data files reclaimed"
+            )
     metrics.show(truncate=False)
     spark.stop()
     return 0

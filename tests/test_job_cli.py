@@ -69,3 +69,41 @@ def test_job_snapshot_table_commit(tmp_path, corpus_path, spark):
     h = history(table)
     assert h[0]["metrics"]["run_id"] == "snap1"
     assert h[0]["metrics"]["n_docs"] == 300
+
+
+def test_job_snapshot_maintenance_flags(tmp_path, corpus_path, spark):
+    """--compact-snapshots + --expire-snapshots run the table-lifecycle
+    maintenance after the commit: the surviving version is one compacted
+    file set, expired manifests are reclaimed, contents intact."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "snaptbl")
+    cmd = [
+        sys.executable, "-m", "deepseek_ocr_api_rs_spark.job",
+        "--input", corpus_path,
+        "--output", out,
+        "--checkpoint-dir", ckpt,
+        "--n-buckets", "4",
+        "--master", "local[4]",
+        "--shuffle-partitions", "4",
+        "--run-id", "maint1",
+        "--snapshot-table", table,
+        "--compact-snapshots",
+        "--expire-snapshots", "1",
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "snapshots compacted: v2" in r.stdout, r.stdout
+    assert "snapshots expired: 1 versions" in r.stdout, r.stdout
+
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        current_version,
+        read_manifest,
+        read_snapshot,
+    )
+
+    assert current_version(table) == 2
+    m = read_manifest(table)
+    assert m["operation"].startswith("compact(")
+    assert read_snapshot(spark, table).count() == 300
