@@ -1712,11 +1712,19 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "url": f"https://warc.example.org/doc/{d}",
                     "date": epoch, "payload": b"GET / HTTP/1.1\r\n\r\n",
                 })
+            # deterministic name per (disjoint) doc_id batch + atomic
+            # replace: a retried or speculative task attempt rewrites the
+            # SAME file instead of adding a duplicate segment
             name = _os.path.join(
-                warc_dir, f"seg-{_uuid.uuid4().hex}.warc.gz"
+                warc_dir,
+                f"seg-{min(int(x) for x in pdf['doc_id']):010d}.warc.gz",
             )
-            with open(name, "wb") as f:
+            # tmp name deliberately contains no ".warc" so the reader's
+            # pathGlobFilter can never pick up a half-written file
+            tmp = _os.path.join(warc_dir, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "wb") as f:
                 f.write(make_warc_gz(recs))
+            _os.replace(tmp, name)
             yield pd.DataFrame({"n": [len(recs)]})
 
     docs.mapInPandas(stage, "n long").agg(F.sum("n")).first()  # staging barrier

@@ -1146,20 +1146,18 @@ def _encode_dc_scan(
     return bytes(out)
 
 
-def _comp_actual_blocks(comps, blocks, ci, fh, fw) -> tuple[int, int]:
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    _, ch, cv, _ = comps[ci]
-    cw = (fw * ch + hmax - 1) // hmax
-    chh = (fh * cv + vmax - 1) // vmax
-    return (chh + 7) // 8, (cw + 7) // 8
+def _comp_actual_blocks(comps, ci, fh, fw) -> tuple[int, int]:
+    # one formula, shared with the decoder — encoder and decoder must
+    # agree on the non-interleaved block grid or the coefficient-lossless
+    # cross-check desynchronizes
+    return _comp_block_dims((fh, fw, comps), ci)
 
 
 def _encode_ac_first_scan(
     comps, blocks, ci, ss, se, al, restart_interval, fh, fw
 ) -> bytes:
     enc_ac = _canonical_codes(*_PROG_AC_TABLE)
-    bh, bw = _comp_actual_blocks(comps, blocks, ci, fh, fw)
+    bh, bw = _comp_actual_blocks(comps, ci, fh, fw)
     out = bytearray()
     pw = _ProgWriter(enc_ac)
     count = 0
@@ -1200,7 +1198,7 @@ def _encode_ac_refine_scan(
     comps, blocks, ci, ss, se, al, restart_interval, fh, fw
 ) -> bytes:
     enc_ac = _canonical_codes(*_PROG_AC_TABLE)
-    bh, bw = _comp_actual_blocks(comps, blocks, ci, fh, fw)
+    bh, bw = _comp_actual_blocks(comps, ci, fh, fw)
     out = bytearray()
     pw = _ProgWriter(enc_ac)
     count = 0
@@ -1266,9 +1264,7 @@ def encode_jpeg_progressive(
     10-scan YCbCr script) — decoding both encodings must give identical
     pixels."""
     h, w, _ = img.shape
-    comps, blocks, (qy, qc) = (
-        lambda t: (t[0], t[1], (t[2][0], t[2][1]))
-    )(_quantized_comp_blocks(img, quality, subsampling))
+    comps, blocks, (qy, qc) = _quantized_comp_blocks(img, quality, subsampling)
     script = scan_script if scan_script is not None else _DEFAULT_SCAN_SCRIPT
 
     out = bytearray(b"\xff\xd8")  # SOI

@@ -65,7 +65,9 @@ def canonicalize_url_duckdb(expr: str) -> str:
     s = f"regexp_replace({s}, '{HTTPS_PORT_RE}', '\\1\\2')"
     s = f"regexp_replace({s}, '{HTTP_PORT_RE}', '\\1\\2')"
     s = f"regexp_replace({s}, '{AMP_UTM_RE}', '', 'g')"
-    s = f"regexp_replace({s}, '{LEAD_UTM_RE}', '?')"
+    # 'g' everywhere Spark replaces globally (a literal second '?utm_…&'
+    # deeper in the string must canonicalize identically on both engines)
+    s = f"regexp_replace({s}, '{LEAD_UTM_RE}', '?', 'g')"
     s = f"regexp_replace({s}, '{UTM_TAIL_RE}', '')"
     return f"regexp_replace({s}, '{TRAIL_Q_RE}', '')"
 

@@ -55,7 +55,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "newest KEEP_LAST snapshot versions and reclaim data files only "
         "they referenced (VACUUM); requires --snapshot-table",
     )
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if (args.compact_snapshots or args.expire_snapshots is not None) and (
+        not args.snapshot_table
+    ):
+        p.error(
+            "--compact-snapshots/--expire-snapshots require --snapshot-table"
+        )
+    return args
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -127,7 +127,11 @@ def refresh_hourly_rollup(
         with open(manifest_path, "w") as f:
             json.dump(per_date, f)
         if snapshot_log:
-            from deepseek_ocr_api_rs_spark.sources.snapshots import _publish
+            from deepseek_ocr_api_rs_spark.sources.snapshots import (
+                _publish,
+                current_version,
+                read_manifest,
+            )
 
             # catalog-style commit: the manifest lists exactly the LIVE
             # dates' files; retracted dates are simply absent (their files
@@ -139,21 +143,61 @@ def refresh_hourly_rollup(
                 for name in os.listdir(os.path.join(rollup_dir, f"date={d}"))
                 if name.endswith(".parquet")
             )
-            n_rows = (
-                spark.read.parquet(*(os.path.join(out_dir, f) for f in files)).count()
-                if files
-                else 0
-            )
+            # n_rows stays O(changed dates): count ONLY the rewritten
+            # partitions and carry per-date counts forward in the manifest
+            # metrics — a full-table count here would defeat the
+            # incremental-refresh design the operator exists for
+            prev_counts: dict[str, int] = {}
+            if current_version(out_dir) is not None:
+                prev_counts = read_manifest(out_dir).get("metrics", {}).get(
+                    "rollup_rows_per_date", {}
+                )
+            if changed:
+                changed_counts = {
+                    str(r.date): r.n
+                    for r in spark.read.option(
+                        "basePath", rollup_dir
+                    )
+                    .parquet(
+                        *(os.path.join(rollup_dir, f"date={d}") for d in changed)
+                    )
+                    .groupBy("date")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            else:
+                changed_counts = {}
+            rollup_rows = {
+                d: changed_counts.get(d, prev_counts.get(d))
+                for d in per_date
+            }
+            if any(v is None for v in rollup_rows.values()):
+                # migration fallback (pre-existing table without per-date
+                # counts): one full count, after which refreshes stay
+                # incremental
+                missing = [d for d, v in rollup_rows.items() if v is None]
+                fallback = {
+                    str(r.date): r.n
+                    for r in spark.read.option("basePath", rollup_dir)
+                    .parquet(
+                        *(os.path.join(rollup_dir, f"date={d}") for d in missing)
+                    )
+                    .groupBy("date")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                rollup_rows.update(fallback)
             _publish(
                 out_dir,
                 {
                     "files": files,
-                    "n_rows": n_rows,
+                    "n_rows": int(sum(rollup_rows.values())),
                     "committed_ts": time.time(),
                     "operation": "rollup_refresh",
                     "metrics": {
                         "refreshed_dates": changed,
                         "deleted_dates": deleted,
+                        "rollup_rows_per_date": rollup_rows,
                     },
                 },
             )

@@ -94,6 +94,12 @@ def connected_components(
     """
     import logging
 
+    if checkpoint_dir is not None:
+        # ONCE, before the loop: setCheckpointDir stores a fully-qualified
+        # <dir>/<uuid> path, so comparing getCheckpointDir() against the
+        # raw argument can never match (a per-cut guard would re-set every
+        # time and spray UUID subdirectories)
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -136,9 +142,6 @@ def connected_components(
         )
         if (it + 1) % checkpoint_every == 0:
             if checkpoint_dir is not None:
-                sc = pairs.sparkSession.sparkContext
-                if sc.getCheckpointDir() != checkpoint_dir:
-                    sc.setCheckpointDir(checkpoint_dir)
                 new_labels = new_labels.checkpoint(eager=True)
             else:
                 new_labels = new_labels.localCheckpoint(eager=True)

@@ -78,6 +78,7 @@ def _publish(
     max_retries: int = 32,
     append_files: list[str] | None = None,
     append_rows: int = 0,
+    require_parent: int | None = None,
 ) -> int:
     """Atomic optimistic commit: claim the next version number with a hard
     link (create-if-absent); on collision refresh the parent and retry.
@@ -86,10 +87,21 @@ def _publish(
     loser of a version race re-reads the freshly-committed parent manifest
     and re-merges, so a concurrent winner's files are never dropped from the
     retried commit (reading the parent once, before the loop, silently lost
-    the winner's files on every collision — ADVICE r3)."""
+    the winner's files on every collision — ADVICE r3).
+
+    ``require_parent`` is the compare-and-swap form for WHOLE-TABLE
+    rewrites (compaction): the commit is valid only against the exact
+    version the caller read — if anything else committed in between,
+    retrying would silently erase that writer's rows, so the publish
+    raises ``CommitConflict`` instead (Iceberg's validate-then-commit)."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     for _ in range(max_retries):
         cur = current_version(table_dir)
+        if require_parent is not None and cur != require_parent:
+            raise CommitConflict(
+                f"table advanced to v{cur} while rewriting v{require_parent}; "
+                "re-run the rewrite against the current version"
+            )
         version = (cur or 0) + 1
         if append_files is not None:
             prev_files: list[str] = []
@@ -220,9 +232,12 @@ def compact(
     restores scan efficiency WITHOUT breaking history — prior manifests
     still list the old files, which stay on disk until ``expire_snapshots``
     reclaims them, so time travel across the compaction boundary keeps
-    working. Returns the new version."""
-    cur = read_snapshot(spark, table_dir)
-    n_before = len(read_manifest(table_dir)["files"])
+    working. A concurrent commit landing between the read and the publish
+    raises ``CommitConflict`` (compare-and-swap — a blind retry would
+    erase the concurrent writer's rows). Returns the new version."""
+    base_version = current_version(table_dir)
+    cur = read_snapshot(spark, table_dir, version=base_version)
+    n_before = len(read_manifest(table_dir, base_version)["files"])
     stamp = uuid.uuid4().hex
     rel_dir = os.path.join("data", stamp)
     out = os.path.join(table_dir, rel_dir)
@@ -240,7 +255,7 @@ def compact(
         "operation": f"compact({n_before}->{len(files)})",
         "metrics": dict(metrics or {}, files_before=n_before, files_after=len(files)),
     }
-    return _publish(table_dir, manifest)
+    return _publish(table_dir, manifest, require_parent=base_version)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
@@ -250,6 +265,8 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     bounded storage); everything the retained manifests reference is
     untouched. Returns {"expired_versions": [...], "deleted_files": n,
     "kept_files": n} — the accounting IS the log, never silent."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current version must survive)")
     cur = current_version(table_dir)
     if cur is None:
         return {"expired_versions": [], "deleted_files": 0, "kept_files": 0}

@@ -254,6 +254,7 @@ def read_warc_documents(
     path: str,
     keep_mimes: frozenset[str] | set[str] = DEFAULT_KEEP_MIMES,
     keep_statuses: range | set[int] = range(200, 300),
+    glob: str = "*.warc*",
 ) -> DataFrame:
     """``.warc(.gz)`` files → input_hint-schema DataFrame of the response
     records. binaryFile scan (one row per WARC file) → Arrow fan-out into
@@ -272,7 +273,14 @@ def read_warc_documents(
     import pandas as pd
 
     keep = frozenset(keep_mimes)
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    # crawl landing dirs carry manifests/temp files alongside segments —
+    # only *.warc* names are containers
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
 
     def fan_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

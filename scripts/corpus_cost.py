@@ -34,6 +34,11 @@ def run_bench(compat: int, n_docs: int, cpus: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=900, cwd=REPO,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"bench.py failed (rc={out.returncode}) at compat={compat}:\n"
+            + out.stderr[-2000:]
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -253,7 +253,32 @@ def test_url_canonicalize_edge_cases(spark):
     assert got[0][1] == "ex.com" and got[n_nonurl][1] == ""  # host of non-URL = ''
 
 
-def test_pii_redaction_edge_cases(spark):
+def test_url_canonicalize_engines_agree_on_repeated_lead_utm(spark):
+    """Cross-engine parity regression (code-review r4): a SECOND literal
+    '?utm_…&' deeper in the string — Spark regexp_replace is always
+    global, so the DuckDB side must pass 'g' on the LEAD rule too."""
+    import duckdb
+
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        canonicalize_url,
+        canonicalize_url_duckdb,
+    )
+
+    urls = [
+        "http://ex.com/?utm_a=1&b=?utm_c=2&d=3",
+        "http://ex.com/?utm_a=1&x=1#f?utm_b=2&y=2",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, u string")
+    got_spark = {
+        r.i: r.c for r in df.select("i", canonicalize_url("u").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, u in enumerate(urls):
+        got_duck = con.execute(
+            f"with t(u) as (values (?)) select {canonicalize_url_duckdb('u')} from t",
+            [u],
+        ).fetchone()[0]
+        assert got_spark[i] == got_duck, (u, got_spark[i], got_duck)
     """Shared-regex PII scrub: emails/IPs/phones redacted, lookalikes
     (version strings, short digit runs, bare '@' words) untouched; counts
     match; phone digits inside an already-redacted email never double

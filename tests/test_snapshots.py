@@ -176,6 +176,43 @@ def test_expire_snapshots_reclaims_only_dead_files(spark, tmp_path):
     assert [x["version"] for x in h] == [4]
 
 
+def test_compact_conflicts_instead_of_erasing_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Compare-and-swap: an append committed between compact's read and
+    its publish must raise CommitConflict — a blind retry would publish a
+    rewrite of the OLD version and silently erase the appended rows
+    (code-review r4 finding, same race class as the append-merge fix)."""
+    import deepseek_ocr_api_rs_spark.sources.snapshots as snap
+    from deepseek_ocr_api_rs_spark.sources.snapshots import CommitConflict, compact
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t)  # v1
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if not state["fired"] and dst.endswith("v2.json"):
+            state["fired"] = True
+            write_snapshot(_df(spark, 100, 105), t, mode="append")  # winner
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", racing_link)
+    with pytest.raises(CommitConflict, match="advanced to v2"):
+        compact(spark, t, target_files=1)
+    # the concurrent append's rows survived; nothing was erased
+    assert read_snapshot(spark, t).count() == 15
+
+
+def test_expire_keep_last_zero_rejected(spark, tmp_path):
+    from deepseek_ocr_api_rs_spark.sources.snapshots import expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 3), t)
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(t, keep_last=0)
+
+
 def test_manifest_is_valid_json_with_relative_paths(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_snapshot(_df(spark, 0, 3), t)
