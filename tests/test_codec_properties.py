@@ -1,0 +1,81 @@
+"""Property-based sweeps over the round-4 codecs (hypothesis): random
+inputs through encoder→decoder must round-trip exactly (LZW, ASCII85,
+RunLength, AES-CBC) and random images through the progressive JPEG
+pipeline must equal the baseline pipeline bit-for-bit — the fixed-fixture
+equality tests generalized to arbitrary inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from deepseek_ocr_api_rs_spark.extraction.aes import cbc_decrypt, cbc_encrypt
+from deepseek_ocr_api_rs_spark.extraction.jpeg import (
+    decode_jpeg_pixels,
+    encode_jpeg_progressive,
+    encode_jpeg_rgb,
+)
+from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+    ascii85_decode,
+    ascii85_encode,
+    lzw_decode,
+    lzw_encode,
+    runlength_decode,
+    runlength_encode,
+)
+
+
+@given(st.binary(max_size=3000), st.sampled_from([0, 1]))
+@settings(max_examples=120, deadline=None)
+def test_lzw_roundtrip_any_bytes(data, early):
+    assert lzw_decode(lzw_encode(data, early=early), early=early) == data
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=120, deadline=None)
+def test_ascii85_roundtrip_any_bytes(data):
+    assert ascii85_decode(ascii85_encode(data)) == data
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=120, deadline=None)
+def test_runlength_roundtrip_any_bytes(data):
+    assert runlength_decode(runlength_encode(data)) == data
+
+
+@given(st.binary(min_size=16, max_size=16), st.binary(max_size=600))
+@settings(max_examples=60, deadline=None)
+def test_aes_cbc_roundtrip_any_key_and_payload(key, data):
+    iv = bytes(range(16))
+    assert cbc_decrypt(key, cbc_encrypt(key, iv, data)) == data
+
+
+# random small images: dims, quality, subsampling, pixel content all drawn
+_img = st.builds(
+    lambda h, w, seed: (
+        np.clip(
+            np.stack(
+                [
+                    (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3 + seed) % 256,
+                    (np.arange(h)[:, None] * 2 + np.arange(w)[None, :] * 11 + seed * 5) % 256,
+                    (np.arange(h)[:, None] * 13 + np.arange(w)[None, :] * 5 + seed * 9) % 256,
+                ],
+                axis=2,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+    ),
+    h=st.integers(8, 40),
+    w=st.integers(8, 48),
+    seed=st.integers(0, 10_000),
+)
+
+
+@given(_img, st.integers(12, 96), st.sampled_from(["444", "420"]))
+@settings(max_examples=40, deadline=None)
+def test_progressive_equals_baseline_on_random_images(img, quality, subsampling):
+    base = decode_jpeg_pixels(encode_jpeg_rgb(img, quality, subsampling))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality, subsampling))
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog), (img.shape, quality, subsampling)
