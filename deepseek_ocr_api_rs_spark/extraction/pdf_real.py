@@ -73,6 +73,11 @@ _COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 _COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_ENCODING_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9\-]+)")
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENCODING_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.DOTALL)
+_BASE_ENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z0-9\-]+)")
+_DIFFERENCES_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]")
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
@@ -446,6 +451,33 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _strip_nested_dicts(head: bytes) -> bytes:
+    """Drop the CONTENTS of dicts nested below the object's own << >>
+    (e.g. the /CF << /StdCF << ... >> >> crypt-filter tree) so top-level
+    key searches (/Length) cannot match a nested dict's same-named key."""
+    out = bytearray()
+    depth = 0
+    i = 0
+    n = len(head)
+    while i < n:
+        two = head[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            if depth <= 1:
+                out += two
+            i += 2
+        elif two == b">>":
+            if depth <= 1:
+                out += two
+            depth -= 1
+            i += 2
+        else:
+            if depth <= 1:
+                out.append(head[i])
+            i += 1
+    return bytes(out)
+
+
 def _pdf_string_value(head: bytes, key: bytes) -> bytes | None:
     """Value of ``/O`` / ``/U`` style string entries: hex or literal."""
     m = re.search(rb"/" + key + rb"\s*", head)
@@ -467,15 +499,23 @@ def _pdf_string_value(head: bytes, key: bytes) -> bytes | None:
 
 
 def _std_encryption_key(
-    o: bytes, p: int, id0: bytes, r: int, key_bytes: int
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    key_bytes: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2 with the empty user password."""
+    """Algorithm 2 with the empty user password (incl. the R4 step
+    appending FFFFFFFF when /EncryptMetadata false — omitted, such
+    documents derive a wrong key and are wrongly rejected)."""
     import hashlib
     import struct as _struct
 
-    h = hashlib.md5(
-        _PAD + o[:32] + _struct.pack("<i", p) + id0
-    ).digest()
+    md = _PAD + o[:32] + _struct.pack("<i", p) + id0
+    if r >= 4 and not encrypt_metadata:
+        md += b"\xff\xff\xff\xff"
+    h = hashlib.md5(md).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:key_bytes]).digest()
@@ -539,15 +579,20 @@ def _decrypt_objects(
             return False  # AESV3 / None / custom CFM out of scope
     elif v not in (1, 2) or r not in (2, 3):
         return False  # /V 5 (AES-256, R6) out of scope (documented)
-    km = _KEYLEN_RE.search(head)
+    # top-level /Length only: a /CF << /StdCF << /Length 16 >> >> crypt-
+    # filter dict that precedes the file /Length must not win the search
+    km = _KEYLEN_RE.search(_strip_nested_dicts(head))
     key_bytes = (int(km.group(1)) // 8) if (km and v >= 2) else 5
+    encrypt_metadata = b"/EncryptMetadata false" not in b" ".join(head.split())
     o = _pdf_string_value(head, b"O")
     u = _pdf_string_value(head, b"U")
     p = int(pm.group(1)) if pm else -1
     if o is None or u is None:
         return False
     id0 = bytes.fromhex(im.group(1).decode("ascii"))
-    key = _std_encryption_key(o, p, id0, r, key_bytes)
+    key = _std_encryption_key(
+        o, p, id0, r, key_bytes, encrypt_metadata=encrypt_metadata
+    )
     want_u = _expected_u(key, id0, r)
     if (r == 2 and want_u != u[:32]) or (r >= 3 and want_u[:16] != u[:16]):
         return False  # non-empty user password: cannot decrypt
@@ -957,6 +1002,61 @@ class _CMap:
         return chr(code) if code < 0x110000 else "�"
 
 
+class _SimpleEncoding:
+    """Single-byte font decoder (Annex D base encoding + /Differences).
+
+    Duck-types ``_CMap``'s (code_len, lookup) interface so ``_decode_text``
+    and the span interpreter treat both uniformly."""
+
+    __slots__ = ("table",)
+    code_len = 1
+
+    def __init__(self, table: list[str]):
+        self.table = table
+
+    def lookup(self, code: int) -> str:
+        return self.table[code] if 0 <= code < 256 else "•"
+
+
+def _font_encoding_table(
+    objs: dict[int, tuple[bytes, bytes | None]], font_head: bytes
+) -> list[str] | None:
+    """Resolve a simple font's /Encoding entry (PDF 32000 §9.6.6) →
+    256-char table, or None when absent/unrecognized (→ latin-1 path).
+    Handles the base-encoding NAME form, the inline DICT form, and an
+    indirect reference to a dict; dict form = /BaseEncoding (default
+    StandardEncoding) patched by /Differences."""
+    from deepseek_ocr_api_rs_spark.extraction import pdf_encodings as _pe
+
+    enc_body = None
+    dm = _ENCODING_DICT_RE.search(font_head)
+    if dm is not None:
+        enc_body = dm.group(1)
+    else:
+        rm = _ENCODING_REF_RE.search(font_head)
+        if rm is not None:
+            ref = objs.get(int(rm.group(1)))
+            if ref is not None:
+                enc_body = ref[0]
+        else:
+            nm = _ENCODING_NAME_RE.search(font_head)
+            if nm is not None:
+                return _pe.base_encoding_table(nm.group(1).decode("latin-1"))
+            return None
+    if enc_body is None:
+        return None
+    bm = _BASE_ENC_RE.search(enc_body)
+    base = None
+    if bm is not None:
+        base = _pe.base_encoding_table(bm.group(1).decode("latin-1"))
+    if base is None:
+        base = _pe.standard_table()
+    dfm = _DIFFERENCES_RE.search(enc_body)
+    if dfm is not None:
+        base = _pe.apply_differences(base, dfm.group(1))
+    return base
+
+
 def _parse_cmap(cm: bytes) -> _CMap | None:
     csm = _CODESPACE_RE.search(cm)
     code_len = len(csm.group(1)) // 2 if csm else 2
@@ -987,10 +1087,12 @@ def _parse_cmap(cm: bytes) -> _CMap | None:
 
 def _page_fonts(
     objs: dict[int, tuple[bytes, bytes | None]], page_head: bytes
-) -> dict[str, _CMap]:
+) -> dict[str, _CMap | _SimpleEncoding]:
     """Resolve the page's /Resources /Font dict (direct or indirect) →
-    {resource name: CMap} for fonts carrying a /ToUnicode stream. Fonts
-    without one decode as latin-1 (the classic-writer path)."""
+    {resource name: decoder}. Priority per font: /ToUnicode CMap (the
+    authoritative text mapping) → /Encoding simple-font table (Annex D
+    base name and/or /Differences) → absent, which decodes as latin-1
+    (the classic-writer path)."""
     res = page_head
     rm = _RESOURCES_REF_RE.search(page_head)
     if rm is not None:
@@ -1000,27 +1102,30 @@ def _page_fonts(
     fm = _FONT_DICT_RE.search(res)
     if fm is None:
         return {}
-    fonts: dict[str, _CMap] = {}
+    fonts: dict[str, _CMap | _SimpleEncoding] = {}
     for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
         fobj = objs.get(int(ref))
         if fobj is None:
             continue
         tm = _TOUNICODE_RE.search(fobj[0])
-        if tm is None:
-            continue
-        cmobj = objs.get(int(tm.group(1)))
-        if cmobj is None or cmobj[1] is None:
-            continue
-        cm_data = _decode_stream(cmobj[0], cmobj[1])
-        if cm_data is None:
-            continue
-        cmap = _parse_cmap(cm_data)
-        if cmap is not None:
-            fonts[name.decode("latin-1")] = cmap
+        if tm is not None:
+            cmobj = objs.get(int(tm.group(1)))
+            if cmobj is not None and cmobj[1] is not None:
+                cm_data = _decode_stream(cmobj[0], cmobj[1])
+                if cm_data is not None:
+                    cmap = _parse_cmap(cm_data)
+                    if cmap is not None:
+                        fonts[name.decode("latin-1")] = cmap
+                        continue
+        table = _font_encoding_table(objs, fobj[0])
+        if table is not None:
+            fonts[name.decode("latin-1")] = _SimpleEncoding(table)
     return fonts
 
 
-def _decode_text(raw: bytes, cmap: _CMap | None = None) -> str:
+def _decode_text(
+    raw: bytes, cmap: _CMap | _SimpleEncoding | None = None
+) -> str:
     if cmap is None:
         return raw.decode("latin-1")
     step = cmap.code_len
@@ -1047,7 +1152,7 @@ def _page_spans(
     content: bytes,
     page: int,
     page_height: float,
-    fonts: dict[str, _CMap] | None = None,
+    fonts: dict[str, _CMap | _SimpleEncoding] | None = None,
 ) -> list[dict]:
     """Interpret one page's content stream(s) → positioned span dicts.
 
@@ -1064,7 +1169,7 @@ def _page_spans(
     leading = 0.0
     line_x = line_y = 0.0  # line matrix origin
     cur_x = cur_y = 0.0  # glyph cursor
-    cur_cmap: _CMap | None = None
+    cur_cmap: _CMap | _SimpleEncoding | None = None
 
     def nums(k: int) -> list[float]:
         vals = [v for t, v in stack if t == "num"]
@@ -1271,6 +1376,10 @@ def make_pdf_bytes(
     use_tj_every: int = 0,
     stream_filter: str | None = None,
     encrypt: bool | str = False,
+    font_encoding: str | None = None,
+    differences: dict[int, str] | None = None,
+    keylen_after_cf: bool = False,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
@@ -1284,12 +1393,43 @@ def make_pdf_bytes(
     emits the crypt-filter era's R4/V4 /AESV2 form (AES-128-CBC,
     IV-prefixed streams, deterministic per-object IV for fixture
     reproducibility). Encryption wraps the stream AFTER the filter
-    encoding, per spec.
+    encoding, per spec. ``font_encoding`` ("winansi"/"macroman"/
+    "standard") writes a simple Type1 font with that /Encoding name and
+    encodes span text through the Annex D table; ``differences``
+    ({code: glyphname}) writes the /Encoding-dict form with a
+    /Differences array over the base. ``keylen_after_cf`` reorders the
+    V4 encrypt dict so the crypt-filter's /Length 16 precedes the
+    top-level /Length 128 (real-writer ordering); ``encrypt_metadata=
+    False`` emits /EncryptMetadata false (R4 key derivation appends
+    FFFFFFFF).
     """
     import hashlib
 
     if stream_filter is None and compress:
         stream_filter = "flate"
+    enc_table: list[str] | None = None
+    font_extra = ""
+    if font_encoding or differences:
+        from deepseek_ocr_api_rs_spark.extraction import pdf_encodings as _pe
+
+        base_name = {
+            "winansi": "WinAnsiEncoding",
+            "macroman": "MacRomanEncoding",
+            "standard": "StandardEncoding",
+        }[font_encoding or "standard"]
+        enc_table = _pe.base_encoding_table(base_name)
+        assert enc_table is not None
+        if differences:
+            diff_body = " ".join(
+                f"{c} /{n}" for c, n in sorted(differences.items())
+            )
+            enc_table = _pe.apply_differences(enc_table, diff_body.encode())
+            font_extra = (
+                f" /Encoding << /BaseEncoding /{base_name} "
+                f"/Differences [{diff_body}] >>"
+            )
+        else:
+            font_extra = f" /Encoding /{base_name}"
     enc_key = None
     enc_aes = encrypt == "aes"
     enc_id0 = bytes.fromhex("0123456789abcdeffedcba987654321f")
@@ -1304,7 +1444,9 @@ def make_pdf_bytes(
         for i in range(1, 20):
             o_val = _rc4(bytes(b ^ i for b in key_o), o_val)
         enc_r = 4 if enc_aes else 3
-        enc_key = _std_encryption_key(o_val, enc_p, enc_id0, enc_r, 16)
+        enc_key = _std_encryption_key(
+            o_val, enc_p, enc_id0, enc_r, 16, encrypt_metadata=encrypt_metadata
+        )
         u_val = _expected_u(enc_key, enc_id0, enc_r) + b"\x00" * 16
     by_page: dict[int, list[dict]] = {}
     for s in spans:
@@ -1317,6 +1459,18 @@ def make_pdf_bytes(
             text = str(s["text"])
             if not text:
                 continue
+            if enc_table is not None:
+                from deepseek_ocr_api_rs_spark.extraction import (
+                    pdf_encodings as _pe,
+                )
+
+                # bytes-as-latin1 so the literal-string escape/encode
+                # path below is byte-transparent (len is preserved: one
+                # char → one code, so span geometry round-trips too)
+                text = _pe.encode_with_table(text, enc_table).decode(
+                    "latin-1"
+                )
+                s = dict(s, text=text)
             ops = _span_ops(s, height)
             if use_tj_every and i % use_tj_every == 0 and len(text) > 2:
                 cut = len(text) // 2
@@ -1337,7 +1491,10 @@ def make_pdf_bytes(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
         f"/MediaBox [0 0 {width:g} {height:g}] >>"
     ).encode("latin-1")
-    objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objects[3] = (
+        f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        f"{font_extra} >>"
+    ).encode("latin-1")
     for p in range(n_pages):
         objects[first_page + p] = (
             f"<< /Type /Page /Parent 2 0 R /Contents {first_content + p} 0 R "
@@ -1400,12 +1557,23 @@ def make_pdf_bytes(
         n_objs += 1
         offsets[enc_num] = len(out)
         if enc_aes:
-            enc_dict = (
-                "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            cf = (
                 "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
-                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
-                f"/P {enc_p} /O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
             )
+            meta = "" if encrypt_metadata else " /EncryptMetadata false"
+            if keylen_after_cf:
+                enc_dict = (
+                    f"<< /Filter /Standard /V 4 /R 4 {cf} /Length 128"
+                    f"{meta} /P {enc_p} /O <{o_val.hex()}> "
+                    f"/U <{u_val.hex()}> >>"
+                )
+            else:
+                enc_dict = (
+                    f"<< /Filter /Standard /V 4 /R 4 /Length 128 {cf}"
+                    f"{meta} /P {enc_p} /O <{o_val.hex()}> "
+                    f"/U <{u_val.hex()}> >>"
+                )
         else:
             enc_dict = (
                 "<< /Filter /Standard /V 2 /R 3 /Length 128 "

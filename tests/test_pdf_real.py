@@ -407,3 +407,173 @@ def test_aes_encrypted_pdf_empty_password_decrypts(flt):
     assert parse_real_pdf(
         blob.replace(b"/V 4 /R 4", b"/V 5 /R 6")
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# simple-font /Encoding decode (PDF 32000 §9.6.6 + Annex D)
+
+
+WINANSI_LINES = [
+    "“Curly” quotes – en, — em dashes",
+    "café naïve résumé façade Škoda €99",
+    "…ellipsis •bullet ‰permille ±5°",
+]
+
+
+def _spans_for(lines):
+    return [
+        {"page": 0, "x0": 72.0, "y0": 100.0 + 20.0 * i, "x1": 400.0,
+         "y1": 112.0 + 20.0 * i, "text": t}
+        for i, t in enumerate(lines)
+    ]
+
+
+def test_winansi_encoding_roundtrip_byte_exact():
+    """The most common real-PDF family: a simple Type1 font with
+    /Encoding /WinAnsiEncoding (cp1252 layout). Curly quotes, dashes,
+    accents and € must extract byte-exact, not latin-1 mojibake."""
+    blob = make_pdf_bytes(_spans_for(WINANSI_LINES), font_encoding="winansi")
+    assert b"/WinAnsiEncoding" in blob
+    assert "“".encode("utf-8") not in blob  # single-byte codes on the wire
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == WINANSI_LINES
+
+
+def test_macroman_encoding_roundtrip_byte_exact():
+    lines = ["café naïve — “done” – ƒ(x) ¤", "Ωµπ∂∑√∞ ≠ ≤ ≥ ≈ ÷"]
+    blob = make_pdf_bytes(_spans_for(lines), font_encoding="macroman")
+    assert b"/MacRomanEncoding" in blob
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == lines
+
+
+def test_standard_encoding_quotes_and_ligatures():
+    """Adobe StandardEncoding: 0x27/0x60 are the CURLY quotes, 0xAE/0xAF
+    the fi/fl ligatures, 0xB1 the endash — all different from ASCII."""
+    lines = ["‘quoted’ ﬁne ﬂow – dash", "plain ascii stays ascii"]
+    blob = make_pdf_bytes(_spans_for(lines), font_encoding="standard")
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == lines
+    # the wire bytes use the Annex D codes, not unicode
+    assert b"\x27quoted\x27" not in blob  # 0x27 is quoteRIGHT in Standard
+
+
+def test_differences_array_overrides_base():
+    """/Encoding dict form: /BaseEncoding patched by /Differences; the
+    array's run semantics (one code, then consecutive names) and the
+    AGL uniXXXX family both decode."""
+    lines = ["base é plus remapped ⅀ and €"]
+    blob = make_pdf_bytes(
+        _spans_for(lines),
+        font_encoding="winansi",
+        differences={0x7F: "uni2140", 0x80: "Euro"},
+    )
+    assert b"/Differences" in blob and b"/BaseEncoding /WinAnsiEncoding" in blob
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == lines
+
+
+def test_differences_consecutive_names_and_unknown_fallback():
+    from deepseek_ocr_api_rs_spark.extraction.pdf_encodings import (
+        apply_differences,
+        winansi_table,
+    )
+
+    base = winansi_table()
+    t = apply_differences(base, b" 200 /eacute /Euro 65 /bogusglyph 12 ")
+    assert t[200] == "é" and t[201] == "€"  # consecutive fill
+    assert t[65] == base[65]  # unknown name: keep base (non-destructive)
+    assert t[12] == base[12]  # trailing int with no name: no change
+
+
+def test_encoding_indirect_dict_resolves():
+    """/Encoding as an indirect reference to a dict object."""
+    content = b"BT /F1 12 Tf 72 700 Tm (ab\x80) Tj ET"
+    out = bytearray(b"%PDF-1.4\n")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>", None),
+        (4, b"<< /Length %d >>" % len(content), content),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding 6 0 R >>", None),
+        (6, b"<< /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [128 /emdash] >>", None),
+    ]
+    for num, h, stream in objs:
+        out += f"{num} 0 obj\n".encode() + h
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    parsed = parse_real_pdf(bytes(out))
+    assert parsed is not None
+    assert parsed[1][0]["text"] == "ab—"
+
+
+def test_differences_junk_never_raises():
+    """Fuzz guard: malformed /Differences bodies parse without raising
+    and unmapped junk degrades to the base table."""
+    for junk in (b"", b"/////", b"999999 /x", b"12 34 56", b"/uniZZZZ 7",
+                 b"(not an array)", b"\xff\xfe\x00"):
+        blob = make_pdf_bytes(
+            _spans_for(["safe text"]), font_encoding="winansi"
+        ).replace(
+            b"/Encoding /WinAnsiEncoding",
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences ["
+            + junk + b"] >>",
+        )
+        parsed = parse_real_pdf(blob)
+        assert parsed is None or parsed[1][0]["text"] == "safe text"
+
+
+def test_tounicode_preferred_over_simple_encoding():
+    """A font carrying BOTH /ToUnicode and /Encoding decodes through the
+    CMap (the authoritative mapping): the modern-dialect writer's
+    Identity-H font also carries /Encoding, which must not shadow it."""
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        make_pdf_bytes_modern,
+    )
+
+    spans = _spans_for(["unicode ⊕ text — 北京 🎉"])
+    parsed = parse_real_pdf(make_pdf_bytes_modern(spans))
+    assert parsed is not None
+    assert parsed[1][0]["text"] == "unicode ⊕ text — 北京 🎉"
+
+
+# ---------------------------------------------------------------------------
+# encrypt-dict parsing regressions (ADVICE r4)
+
+
+def test_keylen_inside_crypt_filter_dict_is_ignored():
+    """Real V4 writers put /CF << /StdCF << /Length 16 >> >> BEFORE the
+    top-level /Length 128; the key length must come from the top level
+    (16 bytes), not the crypt-filter's (2 bytes)."""
+    spans = _spans_for(["cf-first ordering text"])
+    blob = make_pdf_bytes(spans, encrypt="aes", keylen_after_cf=True)
+    assert blob.index(b"/StdCF") < blob.index(b"/Length 128")
+    got = parse_real_pdf(blob)
+    assert got is not None
+    assert got[1][0]["text"] == "cf-first ordering text"
+
+
+def test_encrypt_metadata_false_key_derivation():
+    """R4 + /EncryptMetadata false appends FFFFFFFF to the Algorithm 2
+    MD5 input; without that step the /U check fails and an openable
+    document is wrongly rejected."""
+    spans = _spans_for(["metadata-clear text"])
+    blob = make_pdf_bytes(spans, encrypt="aes", encrypt_metadata=False)
+    assert b"/EncryptMetadata false" in blob
+    got = parse_real_pdf(blob)
+    assert got is not None
+    assert got[1][0]["text"] == "metadata-clear text"
+    both = make_pdf_bytes(
+        spans, encrypt="aes", encrypt_metadata=False, keylen_after_cf=True
+    )
+    assert parse_real_pdf(both) == got
