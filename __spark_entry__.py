@@ -618,8 +618,33 @@ def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i, w in enumerate(words)
                 ]
                 d = int(doc_id)
+                is_ascii = all(ord(c) < 128 for w in words for c in w)
                 if d % 2 == 1:
                     payloads.append(make_pdf_bytes_modern(spans))
+                elif d % 16 == 6 and is_ascii:
+                    # simple-font /Encoding (WinAnsi) dialect — ASCII-gated
+                    # so the oracle text is container-invariant by
+                    # construction (cp1252 is ASCII-transparent)
+                    payloads.append(
+                        make_pdf_bytes(spans, font_encoding="winansi")
+                    )
+                elif d % 16 == 10:
+                    # PDF 2.0 AES-256 (/V 5 /R 6) — Algorithm 2.B + /UE
+                    # unwrap + /Perms check on the decode side
+                    payloads.append(
+                        make_pdf_bytes(
+                            spans, stream_filter="flate", encrypt="aes256"
+                        )
+                    )
+                elif d % 16 == 14 and is_ascii:
+                    # /Differences-patched /Encoding dict form
+                    payloads.append(
+                        make_pdf_bytes(
+                            spans,
+                            font_encoding="winansi",
+                            differences={0x7F: "uni2295"},
+                        )
+                    )
                 else:
                     payloads.append(
                         make_pdf_bytes(spans, compress=bool(d % 4 == 0))

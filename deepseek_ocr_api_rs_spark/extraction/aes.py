@@ -1,13 +1,15 @@
-"""AES-128 block cipher + CBC mode, stdlib-only (FIPS-197).
+"""AES-128/192/256 block cipher + CBC/ECB modes, stdlib-only (FIPS-197).
 
-Exists for one consumer: PDF /V 4 /AESV2 stream decryption
-(extraction/pdf_real.py) — modern-era encrypted PDFs use AES-CBC with a
-per-stream IV prefix. Tables are COMPUTED from the spec's definitions
-(GF(2^8) inverse + affine transform) rather than transcribed, and the
-implementation is pinned to the FIPS-197 Appendix C known-answer vector in
-tests — an independent correctness anchor, like the LZW spec vector.
-Performance is irrelevant here (encrypted streams are a rare slice and a
-few KB each); clarity wins.
+Exists for one consumer: PDF encrypted-stream decryption
+(extraction/pdf_real.py) — /V 4 /AESV2 uses AES-128-CBC with a per-stream
+IV prefix; /V 5 /R 6 (PDF 2.0) uses AES-256-CBC with the file key directly
+plus the Algorithm 2.B hardened hash (which itself needs no-padding CBC
+encryption and ECB for /Perms). Tables are COMPUTED from the spec's
+definitions (GF(2^8) inverse + affine transform) rather than transcribed,
+and the implementation is pinned to the FIPS-197 Appendix C known-answer
+vectors (all three key sizes) in tests — an independent correctness
+anchor, like the LZW spec vector. Performance is irrelevant here
+(encrypted streams are a rare slice and a few KB each); clarity wins.
 """
 
 from __future__ import annotations
@@ -46,19 +48,32 @@ for _i, _v in enumerate(SBOX):
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
-def expand_key_128(key: bytes) -> list[bytes]:
-    """16-byte key → 11 round keys of 16 bytes each (FIPS-197 §5.2)."""
-    if len(key) != 16:
-        raise ValueError("AES-128 key must be 16 bytes")
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+def expand_key(key: bytes) -> list[bytes]:
+    """16/24/32-byte key → Nr+1 round keys of 16 bytes (FIPS-197 §5.2;
+    Nk=4/6/8 → Nr=10/12/14; AES-256 adds the extra SubWord at
+    i ≡ 4 mod Nk)."""
+    nk = len(key) // 4
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES key must be 16, 24 or 32 bytes")
+    nr = nk + 6
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = bytearray(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]  # RotWord
             t = bytearray(SBOX[b] for b in t)  # SubWord
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = bytearray(SBOX[b] for b in t)  # AES-256 extra SubWord
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+def expand_key_128(key: bytes) -> list[bytes]:
+    """16-byte key → 11 round keys (legacy alias for the AESV2 path)."""
+    if len(key) != 16:
+        raise ValueError("AES-128 key must be 16 bytes")
+    return expand_key(key)
 
 
 def _shift_rows(s: bytearray, inverse: bool) -> bytearray:
@@ -87,22 +102,24 @@ def _mix_columns(s: bytearray, inverse: bool) -> bytearray:
 
 
 def encrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
+    nr = len(round_keys) - 1
     s = bytearray(a ^ b for a, b in zip(block, round_keys[0]))
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = bytearray(SBOX[b] for b in s)
         s = _shift_rows(s, inverse=False)
         s = _mix_columns(s, inverse=False)
         s = bytearray(a ^ b for a, b in zip(s, round_keys[rnd]))
     s = bytearray(SBOX[b] for b in s)
     s = _shift_rows(s, inverse=False)
-    return bytes(a ^ b for a, b in zip(s, round_keys[10]))
+    return bytes(a ^ b for a, b in zip(s, round_keys[nr]))
 
 
 def decrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, round_keys[10]))
+    nr = len(round_keys) - 1
+    s = bytearray(a ^ b for a, b in zip(block, round_keys[nr]))
     s = _shift_rows(s, inverse=True)
     s = bytearray(INV_SBOX[b] for b in s)
-    for rnd in range(9, 0, -1):
+    for rnd in range(nr - 1, 0, -1):
         s = bytearray(a ^ b for a, b in zip(s, round_keys[rnd]))
         s = _mix_columns(s, inverse=True)
         s = _shift_rows(s, inverse=True)
@@ -111,11 +128,12 @@ def decrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
 
 
 def cbc_decrypt(key: bytes, iv_and_data: bytes) -> bytes | None:
-    """PDF AESV2 layout: the 16-byte IV prefixes the ciphertext; PKCS#7
-    padding stripped (tolerantly — malformed padding → None)."""
+    """PDF AESV2/AESV3 layout: the 16-byte IV prefixes the ciphertext;
+    PKCS#7 padding stripped (tolerantly — malformed padding → None).
+    Key size selects AES-128 (/V 4) or AES-256 (/V 5)."""
     if len(iv_and_data) < 32 or len(iv_and_data) % 16:
         return None
-    rk = expand_key_128(key)
+    rk = expand_key(key)
     iv = iv_and_data[:16]
     out = bytearray()
     prev = iv
@@ -131,7 +149,7 @@ def cbc_decrypt(key: bytes, iv_and_data: bytes) -> bytes | None:
 
 def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Fixture-side inverse: PKCS#7 pad, prefix the IV (PDF layout)."""
-    rk = expand_key_128(key)
+    rk = expand_key(key)
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
@@ -141,3 +159,41 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         prev = encrypt_block(rk, block)
         out += prev
     return bytes(out)
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt, NO padding, NO IV prefix — the Algorithm 2.B hash
+    step and the /UE //OE file-key wrap both use exact-multiple inputs."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs a 16-byte multiple")
+    rk = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = encrypt_block(rk, block)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes | None:
+    """CBC decrypt, NO padding, NO IV prefix (inverse of the above)."""
+    if len(data) % 16 or not data:
+        return None
+    rk = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(decrypt_block(rk, block), prev))
+        prev = block
+    return bytes(out)
+
+
+def ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """Single-block ECB — the /Perms entry of the V5 encrypt dict."""
+    return encrypt_block(expand_key(key), block)
+
+
+def ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
+    return decrypt_block(expand_key(key), block)

@@ -22,12 +22,17 @@ ASCIIHexDecode, RunLengthDecode; /Predictor 2/10-15 row unfiltering after
 the decompression stage. Encryption: the standard
 security handler with an EMPTY user password is decrypted transparently
 (the "opens without prompting" form crawls contain) — RC4 (/V 1-2,
-/R 2-3) AND the crypt-filter era's AES-128-CBC (/V 4 /R 4 /AESV2, via
-extraction/aes.py, FIPS-197-vector-pinned); /U is verified first, so a
-real-password or /V 5 (AES-256/R6) document returns None instead of
-mojibake. Remaining scope limits (documented, not silent): no
-DCT/CCITT/JBIG2/JPX image filters (pixel JPEG decode lives in
-extraction/jpeg.py), no AES-256 (/V 5) or real passwords, CMap
+/R 2-3), the crypt-filter era's AES-128-CBC (/V 4 /R 4 /AESV2,
+incl. /EncryptMetadata false key derivation), AND PDF 2.0's AES-256
+(/V 5 /R 6 /AESV3: Algorithm 2.B hardened hash, /UE file-key unwrap,
+/Perms ECB check — all via extraction/aes.py, FIPS-197-vector-pinned
+for every key size); the password proof (/U) is verified first, so a
+real-password document returns None instead of mojibake. Simple fonts
+without /ToUnicode decode through their /Encoding
+(WinAnsi/MacRoman/Standard + /Differences, extraction/pdf_encodings.py);
+only fonts with neither fall back to latin-1. Remaining scope limits
+(documented, not silent): no DCT/CCITT/JBIG2/JPX image filters (pixel
+JPEG decode lives in extraction/jpeg.py), no real passwords, CMap
 codespaces wider than 2 bytes fall back to identity, glyph widths
 estimated at 0.5 em (column detection needs centers + gaps, not exact
 metrics). ``make_pdf_bytes`` is the inverse: assembles a
@@ -535,6 +540,70 @@ def _expected_u(key: bytes, id0: bytes, r: int) -> bytes:
     return u
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 hardened hash): SHA-256 seed,
+    then ≥64 rounds of AES-128-CBC over (pwd+K+udata)*64 with the digest
+    algorithm re-selected each round by E's first 16 bytes mod 3, until
+    the last byte of E is ≤ rounds−32. Deliberately expensive (the spec
+    hardens it against brute force) → memoized, since validation and
+    key-unwrap recompute the same (password, salt, udata) triples."""
+    import hashlib
+
+    from deepseek_ocr_api_rs_spark.extraction.aes import cbc_encrypt_nopad
+
+    digests = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\xff"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = digests[sum(e[:16]) % 3](e).digest()
+        i += 1
+    return k[:32]
+
+
+def _decrypt_v5(
+    head: bytes, objs: dict[int, tuple[bytes, bytes | None]], enc_num: int
+) -> bool:
+    """/V 5 /R 6 (PDF 2.0, AES-256): validate the EMPTY user password via
+    Algorithm 2.B over /U's validation salt, unwrap the file key from
+    /UE with the key-salt hash (Algorithm 8 inverse), check /Perms
+    (AES-ECB, bytes 9-11 must read 'adb'), then decrypt every stream
+    with the file key directly — V5 has no per-object key step."""
+    from deepseek_ocr_api_rs_spark.extraction.aes import (
+        cbc_decrypt,
+        cbc_decrypt_nopad,
+        ecb_decrypt_block,
+    )
+
+    u = _pdf_string_value(head, b"U")
+    ue = _pdf_string_value(head, b"UE")
+    if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+        return False
+    vsalt, ksalt = u[32:40], u[40:48]
+    if _hash_2b(b"", vsalt) != u[:32]:
+        return False  # non-empty user password: cannot decrypt
+    ikey = _hash_2b(b"", ksalt)
+    file_key = cbc_decrypt_nopad(ikey, bytes(16), ue[:32])
+    if file_key is None:
+        return False
+    perms = _pdf_string_value(head, b"Perms")
+    if perms is not None and len(perms) >= 16:
+        if ecb_decrypt_block(file_key, perms[:16])[9:12] != b"adb":
+            return False  # wrong key / tampered perms
+    for num, (h, stream) in list(objs.items()):
+        if stream is None or num == enc_num or _XREF_TYPE_RE.search(h):
+            continue
+        dec = cbc_decrypt(file_key, stream)
+        objs[num] = (h, dec if dec is not None else stream)
+    return True
+
+
 def _object_key(file_key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
     """Algorithm 1 per-object key (AES appends the 'sAlT' constant)."""
     import hashlib
@@ -560,7 +629,7 @@ def _decrypt_objects(
         return True  # not encrypted
     im = _ID_RE.search(data)
     enc = objs.get(int(em.group(1)))
-    if enc is None or im is None:
+    if enc is None:
         return False
     head = enc[0]
     if b"/Standard" not in head:
@@ -568,6 +637,11 @@ def _decrypt_objects(
     vm, rm, pm = _V_RE.search(head), _R_RE.search(head), _P_RE.search(head)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
+    if v == 5:
+        # AES-256 (R6) never consults /ID; key auth is Algorithm 2.B
+        return r == 6 and _decrypt_v5(head, objs, int(em.group(1)))
+    if im is None:
+        return False
     use_aes = False
     if v == 4 and r == 4:
         # crypt-filter era (PDF 1.5/1.6): /CF /StdCF with /CFM AESV2
@@ -578,7 +652,7 @@ def _decrypt_objects(
         elif b"/CFM" in head and b"/V2" not in head:
             return False  # AESV3 / None / custom CFM out of scope
     elif v not in (1, 2) or r not in (2, 3):
-        return False  # /V 5 (AES-256, R6) out of scope (documented)
+        return False  # unknown /V//R combination
     # top-level /Length only: a /CF << /StdCF << /Length 16 >> >> crypt-
     # filter dict that precedes the file /Length must not win the search
     km = _KEYLEN_RE.search(_strip_nested_dicts(head))
@@ -1432,9 +1506,39 @@ def make_pdf_bytes(
             font_extra = f" /Encoding /{base_name}"
     enc_key = None
     enc_aes = encrypt == "aes"
+    enc_v5 = encrypt == "aes256"
     enc_id0 = bytes.fromhex("0123456789abcdeffedcba987654321f")
     enc_p = -44
-    if encrypt:
+    v5_entries = ""
+    if enc_v5:
+        # PDF 2.0 /V 5 /R 6: random file key wrapped via Algorithm 8/9
+        # (deterministic salts/key for fixture reproducibility)
+        import struct as _struct
+
+        from deepseek_ocr_api_rs_spark.extraction.aes import (
+            cbc_encrypt_nopad,
+            ecb_encrypt_block,
+        )
+
+        enc_key = hashlib.sha256(b"fixture aes-256 file key").digest()
+        u_vsalt, u_ksalt = b"uvsalt#1", b"uksalt#2"
+        o_vsalt, o_ksalt = b"ovsalt#3", b"oksalt#4"
+        u_val = _hash_2b(b"", u_vsalt) + u_vsalt + u_ksalt
+        ue_val = cbc_encrypt_nopad(_hash_2b(b"", u_ksalt), bytes(16), enc_key)
+        o_val = _hash_2b(b"", o_vsalt, u_val) + o_vsalt + o_ksalt
+        oe_val = cbc_encrypt_nopad(
+            _hash_2b(b"", o_ksalt, u_val), bytes(16), enc_key
+        )
+        perms_clear = (
+            _struct.pack("<i", enc_p) + b"\xff\xff\xff\xffTadbfixd"
+        )
+        perms_val = ecb_encrypt_block(enc_key, perms_clear[:16])
+        v5_entries = (
+            f"/O <{o_val.hex()}> /U <{u_val.hex()}> "
+            f"/OE <{oe_val.hex()}> /UE <{ue_val.hex()}> "
+            f"/Perms <{perms_val.hex()}>"
+        )
+    elif encrypt:
         # Algorithm 3 with empty owner+user passwords (R3/R4, 128-bit)
         h = hashlib.md5(_PAD).digest()
         for _ in range(50):
@@ -1532,13 +1636,16 @@ def make_pdf_bytes(
             payload = raw
             head = f"<< /Length {len(payload)} >>"
         if enc_key is not None:
-            if enc_aes:
+            if enc_aes or enc_v5:
                 from deepseek_ocr_api_rs_spark.extraction.aes import cbc_encrypt
 
                 iv = hashlib.md5(b"iv%d" % num).digest()
-                payload = cbc_encrypt(
-                    _object_key(enc_key, num, aes=True), iv, payload
+                stream_key = (
+                    enc_key  # V5: the file key directly, no per-object step
+                    if enc_v5
+                    else _object_key(enc_key, num, aes=True)
                 )
+                payload = cbc_encrypt(stream_key, iv, payload)
             else:
                 payload = _rc4(_object_key(enc_key, num), payload)
             head = re.sub(
@@ -1556,7 +1663,14 @@ def make_pdf_bytes(
         enc_num = n_objs
         n_objs += 1
         offsets[enc_num] = len(out)
-        if enc_aes:
+        if enc_v5:
+            enc_dict = (
+                "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                "/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/P {enc_p} {v5_entries} >>"
+            )
+        elif enc_aes:
             cf = (
                 "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
                 "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"

@@ -28,8 +28,10 @@ SEED = 42
 # v4: +12.5% modern-PDF (xref stream/ObjStm) slice; v7: +6% slice of
 # LZW / ASCII85+Flate filtered and RC4- / AES-encrypted classic PDFs
 # (extracted-text goldens unchanged by construction in all — the container
-# dialect must not leak into output)
-CORPUS_VERSION = 7
+# dialect must not leak into output); v8: +2% slice of simple-font
+# /Encoding PDFs (WinAnsi with curly-quote/accent text, /Differences
+# overrides) and AES-256 (/V 5 /R 6) encrypted classic PDFs
+CORPUS_VERSION = 8
 
 
 def _compat_version() -> int:
@@ -198,6 +200,32 @@ def _pdf_doc(rng: random.Random) -> bytes:
         )
 
         return make_pdf_bytes_modern(spans, width=width)
+    if 0.56 <= roll < 0.58 and _compat_version() >= 8:
+        # v8: simple-font /Encoding dialects (the most common real-PDF
+        # family) and PDF 2.0 AES-256 — span text gains WinAnsi-reachable
+        # non-ASCII so the encoding tables do real work; goldens follow
+        # the spans, so the container stays output-invariant
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
+
+        if roll < 0.57:
+            k = rng.randrange(len(spans))
+            spans[k] = dict(
+                spans[k],
+                text=spans[k]["text"] + " — café “naïve” résumé",
+            )
+            return make_pdf_bytes(spans, width=width, font_encoding="winansi")
+        if roll < 0.575:
+            return make_pdf_bytes(
+                spans, width=width, stream_filter="flate", encrypt="aes256"
+            )
+        k = rng.randrange(len(spans))
+        spans[k] = dict(spans[k], text=spans[k]["text"] + " ⊕é⊕")
+        return make_pdf_bytes(
+            spans,
+            width=width,
+            font_encoding="winansi",
+            differences={0x7F: "uni2295"},
+        )
     if roll < 0.56 and _compat_version() >= 5:
         # non-Flate stream filters old distillers emitted (LZWDecode, the
         # chained ASCII85→Flate 7-bit-safe form) and the empty-password

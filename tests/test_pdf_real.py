@@ -577,3 +577,90 @@ def test_encrypt_metadata_false_key_derivation():
         spans, encrypt="aes", encrypt_metadata=False, keylen_after_cf=True
     )
     assert parse_real_pdf(both) == got
+
+
+# ---------------------------------------------------------------------------
+# AES-256 (/V 5 /R 6, PDF 2.0)
+
+
+def test_aes_192_and_256_fips_vectors():
+    """FIPS-197 Appendix C.2/C.3 known-answer vectors pin the generalized
+    key expansion (Nk=6/8, the AES-256 extra SubWord) — independent of
+    our own writer; plus the nopad-CBC and ECB helper inverses."""
+    from deepseek_ocr_api_rs_spark.extraction.aes import (
+        cbc_decrypt_nopad,
+        cbc_encrypt_nopad,
+        decrypt_block,
+        ecb_decrypt_block,
+        ecb_encrypt_block,
+        encrypt_block,
+        expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = [
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for keyhex, cthex in vectors:
+        rk = expand_key(bytes.fromhex(keyhex))
+        ct = encrypt_block(rk, pt)
+        assert ct == bytes.fromhex(cthex)
+        assert decrypt_block(rk, ct) == pt
+    key = bytes.fromhex(vectors[1][0])
+    data = b"0123456789abcdef" * 5
+    iv = bytes(range(16))
+    assert cbc_decrypt_nopad(key, iv, cbc_encrypt_nopad(key, iv, data)) == data
+    assert ecb_decrypt_block(key, ecb_encrypt_block(key, pt)) == pt
+    with pytest.raises(ValueError):
+        expand_key(b"short")
+
+
+def test_hash_2b_contract():
+    """Algorithm 2.B: 32-byte digest, deterministic, salt- and
+    udata-sensitive (the O-hash binds the /U string as udata)."""
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import _hash_2b
+
+    a = _hash_2b(b"", b"saltsalt")
+    assert len(a) == 32 and a == _hash_2b(b"", b"saltsalt")
+    assert a != _hash_2b(b"", b"SALTSALT")
+    assert a != _hash_2b(b"", b"saltsalt", b"udata")
+    assert a != _hash_2b(b"pw", b"saltsalt")
+
+
+@pytest.mark.parametrize("flt", [None, "flate"])
+def test_aes256_encrypted_pdf_empty_password_decrypts(flt):
+    """/V 5 /R 6 /AESV3: the Algorithm 2.B validation + /UE unwrap +
+    /Perms check path; extraction byte-identical to the plaintext file."""
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 260.0, "y1": 112.0,
+         "text": "aes-256 protected but open"},
+        {"page": 0, "x0": 40.0, "y0": 130.0, "x1": 180.0, "y1": 142.0,
+         "text": "second r6 line"},
+    ]
+    plain = parse_real_pdf(make_pdf_bytes(spans, stream_filter=flt))
+    blob = make_pdf_bytes(spans, stream_filter=flt, encrypt="aes256")
+    assert b"/AESV3" in blob and b"/V 5 /R 6" in blob
+    assert b"aes-256 protected" not in blob  # ciphertext on the wire
+    got = parse_real_pdf(blob)
+    assert got == plain and got is not None
+
+
+def test_aes256_wrong_password_or_tamper_returns_none():
+    spans = [{"page": 0, "x0": 40.0, "y0": 100.0, "x1": 240.0,
+              "y1": 112.0, "text": "must not leak"}]
+    blob = make_pdf_bytes(spans, encrypt="aes256")
+    # flip a /U hash byte: the 2.B validation fails → treated as a real
+    # password we do not have
+    i = blob.index(b"/U <") + 4
+    flip = b"00" if blob[i : i + 2] != b"00" else b"11"
+    assert parse_real_pdf(blob[:i] + flip + blob[i + 2 :]) is None
+    # flip a /Perms byte: decrypts to garbage, 'adb' check fails
+    j = blob.index(b"/Perms <") + 8
+    flip = b"00" if blob[j : j + 2] != b"00" else b"11"
+    assert parse_real_pdf(blob[:j] + flip + blob[j + 2 :]) is None
+    # unsupported /R for V5 → None
+    assert parse_real_pdf(blob.replace(b"/V 5 /R 6", b"/V 5 /R 5")) is None
