@@ -336,6 +336,39 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _planes_to_rgb(
+    full: list[np.ndarray], adobe: int | None
+) -> np.ndarray:
+    """Component planes → (h, w, 3) uint8 RGB. 1 = grayscale broadcast,
+    3 = YCbCr, 4 = CMYK/YCCK per the Adobe APP14 transform flag: with the
+    marker present the samples are stored INVERTED (255 = no ink, the
+    Photoshop convention), and transform 2 (YCCK) additionally runs the
+    inverted CMY through the YCbCr transform; a bare 4-component frame
+    (no APP14) is taken as true ink-coverage CMYK."""
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(full) == 4:
+        p = np.stack(full, axis=-1)
+        if adobe == 2:  # YCCK: undo the YCbCr stage first
+            y, cb, cr = p[..., 0], p[..., 1] - 128.0, p[..., 2] - 128.0
+            c = y + 1.402 * cr
+            m = y - 0.344136 * cb - 0.714136 * cr
+            ye = y + 1.772 * cb
+        else:
+            c, m, ye = p[..., 0], p[..., 1], p[..., 2]
+        k = p[..., 3]
+        if adobe is None:
+            c, m, ye, k = 255.0 - c, 255.0 - m, 255.0 - ye, 255.0 - k
+        r = c * k / 255.0
+        g = m * k / 255.0
+        b = ye * k / 255.0
+        return np.clip(
+            np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))
+
+
 def _encode_block(
     writer: _BitWriter,
     block: np.ndarray,
@@ -472,14 +505,88 @@ def encode_jpeg_rgb(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(
+    cmyk: np.ndarray, quality: int = 85, transform: int = 0
+) -> bytes:
+    """(h, w, 4) uint8 TRUE ink-coverage CMYK → baseline 4-component JPEG
+    with the Adobe APP14 marker (the print-workflow form the reference's
+    image crate accepts, crates/cli/src/app.rs:116-122). Per the Adobe
+    convention the samples are stored INVERTED (255 = no ink);
+    ``transform=2`` (YCCK) additionally sends the inverted CMY through the
+    YCbCr forward transform (K untouched). 1×1 sampling, Annex K tables —
+    the decoder's test inverse, like ``encode_jpeg_rgb``."""
+    if transform not in (0, 2):
+        raise ValueError("APP14 transform must be 0 (CMYK) or 2 (YCCK)")
+    h, w, nc = cmyk.shape
+    if nc != 4:
+        raise ValueError("expected (h, w, 4) CMYK")
+    inv = 255.0 - cmyk.astype(np.float64)
+    if transform == 2:
+        ycc = _rgb_to_ycbcr(inv[..., :3])
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2], inv[..., 3]]
+        tsel = [0, 1, 1, 0]
+    else:
+        planes = [inv[..., i] for i in range(4)]
+        tsel = [0, 0, 0, 0]
+    qy = _quality_scale(STD_LUMA_Q, quality)
+    qc = _quality_scale(STD_CHROMA_Q, quality)
+    qts = [qy.reshape(8, 8), qc.reshape(8, 8)]
+    enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+    enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = [_pad_edge(p, ph, pw) for p in planes]
+    writer = _BitWriter()
+    prev = [0, 0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci in range(4):
+                t = tsel[ci]
+                prev[ci] = _encode_block(
+                    writer,
+                    padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qts[t], enc_dc[t], enc_ac[t], prev[ci],
+                )
+    entropy = writer.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+        + struct.pack(">HHHB", 100, 0, 0, transform)
+    )
+    tables = ((0, qy), (1, qc)) if transform == 2 else ((0, qy),)
+    for tid, qtab in tables:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(qtab[z]) for z in ZIGZAG)
+    comp_spec = b"".join(
+        struct.pack("BBB", ci + 1, 0x11, tsel[ci]) for ci in range(4)
+    )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 12, 8, h, w, 4) + comp_spec
+    huff_defs = [(0, 0, DC_LUMA), (1, 0, AC_LUMA)]
+    if transform == 2:
+        huff_defs += [(0, 1, DC_CHROMA), (1, 1, AC_CHROMA)]
+    for cls, tid, (bits, values) in huff_defs:
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(values), (cls << 4) | tid
+        )
+        out += bytes(bits) + bytes(values)
+    scan = b"".join(
+        struct.pack("BB", ci + 1, (tsel[ci] << 4) | tsel[ci])
+        for ci in range(4)
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 8, 4) + scan + b"\x00\x3f\x00"
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
     """Baseline or progressive JPEG → (h, w, 3) uint8 RGB (grayscale
-    broadcast), or None outside scope (arithmetic, hierarchical, 12-bit,
-    sampling > 2). Never raises."""
+    broadcast; 4-component CMYK/YCCK converted per the Adobe APP14
+    transform flag), or None outside scope (arithmetic, hierarchical,
+    12-bit, sampling > 2). Never raises."""
     try:
         b = bytes(payload or b"")
         if b[:2] != b"\xff\xd8":
@@ -490,6 +597,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
         progressive = False
         store: list[np.ndarray] | None = None
         restart_interval = 0
+        adobe: int | None = None
         i = 2
         n = len(b)
         while i + 2 <= n:
@@ -503,7 +611,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             if marker == 0xD9:
                 # EOI: progressive renders accumulated coefficients here
                 if progressive and store is not None:
-                    return _render_coef_store(frame, store, qt)
+                    return _render_coef_store(frame, store, qt, adobe)
                 return None  # baseline: EOI before SOS
             if i + 4 > n:
                 return None
@@ -531,6 +639,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                     p += 17 + cnt
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[:2], "big")
+            elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+                # "Adobe" + version(2) + flags0(2) + flags1(2) + transform
+                adobe = seg[11] if len(seg) > 11 else 0
             elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
                 prec = seg[0]
                 if prec != 8:
@@ -557,7 +668,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                         cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                         sel[cid] = (tabs >> 4, tabs & 0x0F)
                     return _decode_scan(
-                        b[data_start:], frame, qt, huff, sel, restart_interval
+                        b[data_start:], frame, qt, huff, sel,
+                        restart_interval, adobe,
                     )
                 # progressive: one of many scans — decode into the store,
                 # then continue the marker walk after the entropy bytes
@@ -584,7 +696,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             i += 2 + seg_len
         # truncated stream: render what the progressive store holds
         if progressive and store is not None:
-            return _render_coef_store(frame, store, qt)
+            return _render_coef_store(frame, store, qt, adobe)
         return None
     except Exception:
         return None
@@ -597,9 +709,10 @@ def _decode_scan(
     huff: dict[tuple[int, int], dict],
     sel: dict[int, tuple[int, int]],
     restart_interval: int,
+    adobe: int | None = None,
 ) -> np.ndarray | None:
     fh, fw, comps = frame
-    if fh <= 0 or fw <= 0 or len(comps) not in (1, 3):
+    if fh <= 0 or fw <= 0 or len(comps) not in (1, 3, 4):
         return None
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -678,11 +791,7 @@ def _decode_scan(
         if cv < vmax:
             p = np.repeat(p, vmax // cv, axis=0)
         full.append(p[:fh, :fw])
-    if len(full) == 1:
-        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    ycc = np.stack(full, axis=-1)
-    return _ycbcr_to_rgb(ycc)
+    return _planes_to_rgb(full, adobe)
 
 
 # ---------------------------------------------------------------------------
@@ -706,7 +815,7 @@ def _scan_end(b: bytes, start: int) -> int:
 
 def _init_coef_store(frame: tuple) -> list[np.ndarray] | None:
     fh, fw, comps = frame
-    if fh <= 0 or fw <= 0 or len(comps) not in (1, 3):
+    if fh <= 0 or fw <= 0 or len(comps) not in (1, 3, 4):
         return None
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -965,7 +1074,10 @@ def _ac_refine_scan(reader, frame, store, act, ci, ss, se, al, ri) -> bool:
 
 
 def _render_coef_store(
-    frame: tuple, store: list[np.ndarray], qt: dict[int, np.ndarray]
+    frame: tuple,
+    store: list[np.ndarray],
+    qt: dict[int, np.ndarray],
+    adobe: int | None = None,
 ) -> np.ndarray | None:
     """Dezigzag + dequantize + vectorized IDCT + upsample + color convert —
     the single rendering pass at EOI."""
@@ -990,11 +1102,7 @@ def _render_coef_store(
         if cv < vmax:
             plane = np.repeat(plane, vmax // cv, axis=0)
         full.append(plane[:fh, :fw])
-    if len(full) == 1:
-        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    ycc = np.stack(full, axis=-1)
-    return _ycbcr_to_rgb(ycc)
+    return _planes_to_rgb(full, adobe)
 
 
 # ---------------------------------------------------------------------------

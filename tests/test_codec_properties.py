@@ -79,3 +79,46 @@ def test_progressive_equals_baseline_on_random_images(img, quality, subsampling)
     prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality, subsampling))
     assert base is not None and prog is not None
     assert np.array_equal(base, prog), (img.shape, quality, subsampling)
+
+
+@given(
+    st.integers(8, 32), st.integers(8, 40), st.integers(0, 10_000),
+    st.integers(50, 96), st.sampled_from([0, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_cmyk_roundtrip_bounded_error(h, w, seed, quality, transform):
+    """Property sweep for the 4-component Adobe path: smooth synthetic
+    CMYK encodes/decodes within a quality-dependent error bound and
+    never raises."""
+    from deepseek_ocr_api_rs_spark.extraction.jpeg import encode_jpeg_cmyk
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    cmyk = np.clip(
+        np.stack(
+            [
+                (xx * 3 + seed) % 256,
+                (yy * 5 + seed * 7) % 256,
+                (xx + yy * 2 + seed * 3) % 256,
+                np.full((h, w), (seed * 11) % 200),
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    blob = encode_jpeg_cmyk(cmyk, quality=quality, transform=transform)
+    rgb = decode_jpeg_pixels(blob)
+    assert rgb is not None and rgb.shape == (h, w, 3)
+    c, m, y, k = [cmyk[..., i].astype(np.float64) for i in range(4)]
+    exp = np.stack(
+        [
+            (255 - c) * (255 - k) / 255,
+            (255 - m) * (255 - k) / 255,
+            (255 - y) * (255 - k) / 255,
+        ],
+        axis=-1,
+    )
+    # modulo gradients have hard wrap edges: bound the MEAN error (ringing
+    # at wraps makes max unbounded at low quality), tight for smooth runs
+    err = np.abs(rgb.astype(np.float64) - exp).mean()
+    assert err < 30.0, (h, w, seed, quality, transform, err)
