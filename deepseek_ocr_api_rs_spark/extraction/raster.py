@@ -111,11 +111,21 @@ def unfilter_scanlines(data: bytes, rowlen: int, bpp: int) -> bytes | None:
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def decode_png_pixels(payload: bytes) -> np.ndarray | None:
     """Full PNG pixel decode → (h, w, 3) uint8 RGB, or None if the payload
-    is not a PNG this decoder supports (non-8-bit depth, interlaced, or
-    malformed). stdlib zlib + the shared scanline unfilter; never raises."""
+    is not a PNG this decoder supports (sub-8-bit depth, or malformed).
+    8- AND 16-bit samples (16-bit scaled to 8 by taking the high byte,
+    libpng's default), non-interlaced AND Adam7 interlaced (each pass is
+    an independently filtered sub-image; the 7 passes are scattered back
+    onto the x/y stride grid). stdlib zlib + the shared scanline
+    unfilter; never raises."""
     try:
         if not payload or not payload.startswith(PNG_MAGIC):
             return None
@@ -144,17 +154,49 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
             elif ctype == b"IEND":
                 break
             pos += 12 + length  # length + type + data + crc
-        if width <= 0 or height <= 0 or bit_depth != 8 or interlace != 0:
+        if (
+            width <= 0
+            or height <= 0
+            or bit_depth not in (8, 16)
+            or interlace not in (0, 1)
+        ):
             return None
         channels = _CHANNELS.get(color_type)
         if channels is None or not idat:
             return None
+        if bit_depth == 16 and color_type == 3:
+            return None  # palette indices are 8-bit by spec
+        bpp = channels * (bit_depth // 8)
         raw = zlib.decompress(bytes(idat))
-        rowlen = width * channels
-        flat = unfilter_scanlines(raw, rowlen, channels)
-        if flat is None:
-            return None
-        img = np.frombuffer(flat, dtype=np.uint8).reshape(height, width, channels)
+
+        def rows_to_img(flat: bytes, h: int, w: int) -> np.ndarray:
+            if bit_depth == 16:
+                a = np.frombuffer(flat, dtype=">u2").reshape(h, w, channels)
+                return (a >> 8).astype(np.uint8)
+            return np.frombuffer(flat, dtype=np.uint8).reshape(
+                h, w, channels
+            ).copy()
+
+        if interlace == 0:
+            flat = unfilter_scanlines(raw, width * bpp, bpp)
+            if flat is None:
+                return None
+            img = rows_to_img(flat, height, width)
+        else:
+            img = np.zeros((height, width, channels), dtype=np.uint8)
+            pos2 = 0
+            for xs, ys, xstep, ystep in _ADAM7:
+                pw = (width - xs + xstep - 1) // xstep
+                ph = (height - ys + ystep - 1) // ystep
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass emits no scanlines (spec §8.2)
+                stride = pw * bpp + 1
+                chunk = raw[pos2 : pos2 + ph * stride]
+                pos2 += ph * stride
+                flat = unfilter_scanlines(chunk, pw * bpp, bpp)
+                if flat is None:
+                    return None
+                img[ys::ystep, xs::xstep, :] = rows_to_img(flat, ph, pw)
         if color_type == 2:
             return img.copy()
         if color_type == 6:
@@ -176,9 +218,50 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
         return None
 
 
-def encode_png_rgb(img: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 → valid truecolor PNG (filter 0 rows, one IDAT)."""
+def encode_png_rgb(
+    img: np.ndarray,
+    interlace: bool = False,
+    bit_depth: int = 8,
+    row_filter: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 → valid truecolor PNG (one IDAT). Fixture knobs for
+    the decoder's full input space: ``interlace=True`` emits the Adam7
+    pass sequence; ``bit_depth=16`` widens samples as v*257 (the spec's
+    8→16 expansion, whose high byte round-trips to v exactly);
+    ``row_filter=1`` writes Sub-filtered rows (left-delta) so filtered
+    scanlines inside interlace passes are exercised too."""
+    if bit_depth not in (8, 16) or row_filter not in (0, 1):
+        raise ValueError("bit_depth must be 8/16, row_filter 0/1")
     h, w, _ = img.shape
+    bpp = 3 * (bit_depth // 8)
+
+    def sample_bytes(a: np.ndarray) -> np.ndarray:
+        # (rows, cols, 3) uint8 → flat filtered-ready byte rows
+        if bit_depth == 16:
+            wide = (a.astype(np.uint16) * 257).astype(">u2")
+            return wide.reshape(a.shape[0], -1).view(np.uint8)
+        return a.reshape(a.shape[0], -1)
+
+    def filter_rows(rows: np.ndarray) -> bytes:
+        if row_filter == 0:
+            return b"".join(b"\x00" + rows[y].tobytes() for y in range(rows.shape[0]))
+        out = bytearray()
+        for y in range(rows.shape[0]):
+            r = rows[y].astype(np.int16)
+            left = np.zeros_like(r)
+            left[bpp:] = r[:-bpp]
+            out += b"\x01" + ((r - left) % 256).astype(np.uint8).tobytes()
+        return bytes(out)
+
+    if interlace:
+        raw = b""
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = img[ys::ystep, xs::xstep, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += filter_rows(sample_bytes(sub))
+    else:
+        raw = filter_rows(sample_bytes(img))
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -188,8 +271,9 @@ def encode_png_rgb(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 2, 0, 0, 1 if interlace else 0
+    )
     # level 6: deterministic like any fixed level, ~2× faster than 9 on the
     # photographic-ish rasters this path carries
     return (

@@ -319,7 +319,19 @@ def synthesize_gradient_pngs(
                     ],
                     axis=2,
                 ).astype(np.uint8)
-                payloads.append(encode_png_rgb(img))
+                # roll the container dialect by doc_id (plain / Adam7 /
+                # 16-bit / Adam7+16-bit+Sub): decoded pixels are identical
+                # by construction, so downstream resize bytes — and the
+                # pinned q_png_resize sha — must not move
+                style = int(d % 4)
+                payloads.append(
+                    encode_png_rgb(
+                        img,
+                        interlace=style in (1, 3),
+                        bit_depth=16 if style >= 2 else 8,
+                        row_filter=1 if style == 3 else 0,
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(

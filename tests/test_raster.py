@@ -257,3 +257,68 @@ def test_decode_image_pixels_dispatch():
     assert jpg is not None and jpg.shape == (6, 8, 3)
     assert jpg.any(), "make_jpeg_bytes must carry real (non-black) pixels"
     assert decode_image_pixels(b"who knows") is None
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace + 16-bit depth (round 5)
+
+
+def test_adam7_and_16bit_roundtrip_exact():
+    """Every (interlace × bit-depth × row-filter) combination decodes to
+    the source pixels exactly: 16-bit widens as v*257 (high byte == v),
+    Adam7 passes are independently filtered sub-images."""
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (2, 3), (7, 5), (16, 16), (23, 31)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for interlace in (False, True):
+            for bit_depth in (8, 16):
+                for row_filter in (0, 1):
+                    blob = encode_png_rgb(
+                        img,
+                        interlace=interlace,
+                        bit_depth=bit_depth,
+                        row_filter=row_filter,
+                    )
+                    got = decode_png_pixels(blob)
+                    assert got is not None and np.array_equal(got, img), (
+                        h, w, interlace, bit_depth, row_filter,
+                    )
+
+
+def test_adam7_golden_pinned():
+    """Deterministic interlaced/16-bit fixture → pinned decode sha256:
+    pass-grid or depth-scaling regressions break the hash."""
+    import hashlib
+
+    yy, xx = np.mgrid[0:21, 0:17]
+    img = np.stack(
+        [(xx * 11) % 256, (yy * 7) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    shas = [
+        hashlib.sha256(
+            decode_png_pixels(encode_png_rgb(img, interlace=True)).tobytes()
+        ).hexdigest()[:16],
+        hashlib.sha256(
+            decode_png_pixels(
+                encode_png_rgb(img, interlace=True, bit_depth=16, row_filter=1)
+            ).tobytes()
+        ).hexdigest()[:16],
+    ]
+    # both must equal the plain decode (content-identical containers)
+    plain = hashlib.sha256(
+        decode_png_pixels(encode_png_rgb(img)).tobytes()
+    ).hexdigest()[:16]
+    assert shas == [plain, plain]
+    assert plain == "207cb93065c53101", plain
+
+
+def test_png_malformed_interlace_returns_none():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = encode_png_rgb(img, interlace=True)
+    assert decode_png_pixels(blob[: len(blob) // 2]) is None
+    # sub-8-bit depth stays out of scope → None, not garbage
+    bad = bytearray(blob)
+    ihdr_depth = blob.index(b"IHDR") + 4 + 8
+    bad[ihdr_depth] = 4
+    assert decode_png_pixels(bytes(bad)) is None
