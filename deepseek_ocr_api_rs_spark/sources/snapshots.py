@@ -222,40 +222,125 @@ def history(table_dir: str) -> list[dict]:
 def compact(
     spark: SparkSession,
     table_dir: str,
-    target_files: int = 1,
+    target_files: int | None = None,
+    target_bytes: int = 128 << 20,
     metrics: dict | None = None,
 ) -> int:
-    """OPTIMIZE analogue: rewrite the current snapshot's data into
-    ``target_files`` larger files and commit a manifest that lists ONLY
-    the rewritten files. Many-small-appends is the natural failure mode of
-    per-micro-batch commits (the 100 TB small-files problem); compaction
-    restores scan efficiency WITHOUT breaking history — prior manifests
-    still list the old files, which stay on disk until ``expire_snapshots``
-    reclaims them, so time travel across the compaction boundary keeps
-    working. A concurrent commit landing between the read and the publish
-    raises ``CommitConflict`` (compare-and-swap — a blind retry would
-    erase the concurrent writer's rows). Returns the new version."""
+    """OPTIMIZE analogue, size-targeted bin packing (Iceberg's
+    rewrite_data_files binpack): group the snapshot's small files into
+    ~``target_bytes`` bins (first-fit decreasing) and rewrite each bin as
+    ONE file; files already at/above the target pass through UNREWRITTEN
+    (rewriting a big file buys nothing and costs a full copy — the flaw
+    of the old global ``coalesce(n)``, which also funneled the whole
+    table through ``n`` write tasks). ``target_files`` is the legacy
+    knob: when given, the byte target is derived as total/target_files.
+
+    Many-small-appends is the natural failure mode of per-micro-batch
+    commits (the 100 TB small-files problem); compaction restores scan
+    efficiency WITHOUT breaking history — prior manifests still list the
+    old files, which stay on disk until ``expire_snapshots`` reclaims
+    them, so time travel across the compaction boundary keeps working. A
+    concurrent commit landing between the read and the publish raises
+    ``CommitConflict`` (compare-and-swap — a blind retry would erase the
+    concurrent writer's rows). A stream sink's ``stream_max_epoch``
+    marker is carried forward so epoch-replay dedup stays O(1) across
+    compactions. No-op (everything already ≥ target) returns the current
+    version unchanged. Returns the (possibly new) version."""
     base_version = current_version(table_dir)
-    cur = read_snapshot(spark, table_dir, version=base_version)
-    n_before = len(read_manifest(table_dir, base_version)["files"])
+    base = read_manifest(table_dir, base_version)
+    rels = base["files"]
+    if not rels:
+        return base_version
+    sizes = {rel: os.path.getsize(os.path.join(table_dir, rel)) for rel in rels}
+    if target_files is not None:
+        total = sum(sizes.values())
+        target_bytes = max(1, -(-total // max(target_files, 1)))
+    passthrough = [r for r in rels if sizes[r] >= target_bytes]
+    small = sorted(
+        (r for r in rels if sizes[r] < target_bytes),
+        key=lambda r: (-sizes[r], r),
+    )
+    if not small:
+        return base_version  # everything already at/above target: no-op
+    bins: list[list[str]] = []
+    bin_free: list[int] = []
+    for rel in small:  # first-fit decreasing
+        for i in range(len(bins)):
+            if sizes[rel] <= bin_free[i]:
+                bins[i].append(rel)
+                bin_free[i] -= sizes[rel]
+                break
+        else:
+            bins.append([rel])
+            bin_free.append(target_bytes - sizes[rel])
     stamp = uuid.uuid4().hex
     rel_dir = os.path.join("data", stamp)
     out = os.path.join(table_dir, rel_dir)
-    cur.coalesce(target_files).write.mode("error").parquet(out)
-    files = sorted(
-        os.path.join(rel_dir, name)
-        for name in os.listdir(out)
-        if name.endswith(".parquet")
-    )
-    n_rows = spark.read.parquet(out).count()
+    files: list[str] = []
+    for bi, group in enumerate(bins):
+        paths = [os.path.join(table_dir, r) for r in group]
+        bin_out = os.path.join(out, f"bin-{bi:05d}")
+        spark.read.parquet(*paths).coalesce(1).write.mode("error").parquet(
+            bin_out
+        )
+        files.extend(
+            sorted(
+                os.path.join(rel_dir, f"bin-{bi:05d}", name)
+                for name in os.listdir(bin_out)
+                if name.endswith(".parquet")
+            )
+        )
+    all_files = sorted(files + passthrough)
+    n_rows = spark.read.parquet(
+        *(os.path.join(table_dir, f) for f in all_files)
+    ).count()
+    carried = {
+        k: v
+        for k, v in base.get("metrics", {}).items()
+        if k == "stream_max_epoch"
+    }
     manifest = {
-        "files": files,
+        "files": all_files,
         "n_rows": n_rows,
         "committed_ts": time.time(),
-        "operation": f"compact({n_before}->{len(files)})",
-        "metrics": dict(metrics or {}, files_before=n_before, files_after=len(files)),
+        "operation": f"compact({len(rels)}->{len(all_files)})",
+        "metrics": dict(
+            carried,
+            **dict(
+                metrics or {},
+                files_before=len(rels),
+                files_after=len(all_files),
+                files_rewritten=len(small),
+                files_passthrough=len(passthrough),
+            ),
+        ),
     }
     return _publish(table_dir, manifest, require_parent=base_version)
+
+
+def last_stream_epoch(table_dir: str) -> int | None:
+    """Newest committed stream-epoch marker, O(1) manifest reads on the
+    steady path: the stream sink stamps ``stream_max_epoch`` into every
+    manifest it publishes (and ``compact`` carries it forward), so the
+    CURRENT manifest answers directly; the parent walk only continues
+    across foreign commits that dropped the marker, stopping at the
+    first hit. Unlike a full ``history()`` scan, the marker survives
+    ``expire_snapshots`` — the current manifest always survives — so a
+    crash-replay of an epoch older than the retention horizon still
+    dedups (ADVICE r4). Pre-r5 manifests are read via their per-commit
+    ``epoch_id`` (epochs are monotone, so the newest marker is the max)."""
+    v = current_version(table_dir)
+    while v is not None:
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            return None
+        metrics = m.get("metrics", {})
+        e = metrics.get("stream_max_epoch", metrics.get("epoch_id"))
+        if e is not None:
+            return int(e)
+        v = m["parent"]
+    return None
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:

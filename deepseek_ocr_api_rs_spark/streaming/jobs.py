@@ -614,10 +614,18 @@ def extraction_stream_to_snapshots(
     Exactly-once composition: Spark's streaming checkpoint makes epoch
     REPLAY the only duplicate source (a batch can rerun after a crash
     between sink write and offset commit), so the sink is made IDEMPOTENT
-    per epoch — if the snapshot history already records this epoch_id, the
-    replayed batch is skipped (the foreachBatch idempotent-sink contract;
-    same role as Iceberg's commit-dedup by checkpoint id). Readers see
-    only committed manifests, never a half-written batch.
+    per epoch — epoch ids are monotone, every stream commit stamps
+    ``stream_max_epoch`` into its manifest, and a replayed ``epoch_id ≤``
+    that marker is skipped after O(1) manifest reads
+    (``snapshots.last_stream_epoch``; the foreachBatch idempotent-sink
+    contract, same role as Iceberg's commit-dedup by checkpoint id). The
+    marker lives in the CURRENT manifest, so it survives
+    ``expire_snapshots`` — replaying an epoch older than the retention
+    horizon still dedups (ADVICE r4). Corollary of monotonicity: the
+    stream checkpoint and the table are a unit — pointing a FRESH
+    checkpoint (epochs restart at 0) at an existing table would skip
+    every batch; start a fresh table with a fresh checkpoint. Readers
+    see only committed manifests, never a half-written batch.
     """
     from deepseek_ocr_api_rs_spark.operators.extract import (
         EXTRACT_OUTPUT_SCHEMA,
@@ -632,14 +640,8 @@ def extraction_stream_to_snapshots(
     )
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
-            done = {
-                h["metrics"].get("epoch_id")
-                for h in snap.history(table_dir)
-            }
-        except FileNotFoundError:
-            done = set()
-        if epoch_id in done:
+        last = snap.last_stream_epoch(table_dir)
+        if last is not None and epoch_id <= last:
             return  # replayed epoch: already committed, skip (idempotence)
         batch_df.persist()  # metrics agg + snapshot write: ONE extraction
         try:
@@ -656,6 +658,7 @@ def extraction_stream_to_snapshots(
                 mode="append",
                 metrics={
                     "epoch_id": epoch_id,
+                    "stream_max_epoch": epoch_id,  # monotone dedup marker
                     "n_docs": int(agg.n),
                     "total_chars": int(agg.chars or 0),
                     "blocks_accepted": int(agg.acc or 0),

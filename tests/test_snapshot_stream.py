@@ -64,3 +64,51 @@ def test_stream_commits_snapshots_with_lineage(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_epoch_dedup_o1_reads_and_survives_expiry(spark, tmp_path):
+    """The stream sink's replay dedup reads O(1) manifests (the CURRENT
+    manifest carries stream_max_epoch), compaction carries the marker
+    forward, and the marker survives expire_snapshots — so a crash-replay
+    of an epoch older than the retention horizon still dedups (ADVICE
+    r4)."""
+    import deepseek_ocr_api_rs_spark.sources.snapshots as snap
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for i, name in enumerate("abcd"):
+        _stage(spark, landing, i * 20, (i + 1) * 20, name)
+        extraction_stream_to_snapshots(spark, landing, table, ckpt)
+    max_epoch = max(x["metrics"]["epoch_id"] for x in history(table))
+    assert snap.last_stream_epoch(table) == max_epoch
+
+    # O(1): resolving the marker must read exactly ONE manifest
+    reads = {"n": 0}
+    real = snap.read_manifest
+
+    def counting(table_dir, version=None):
+        reads["n"] += 1
+        return real(table_dir, version)
+
+    snap.read_manifest, orig = counting, snap.read_manifest
+    try:
+        assert snap.last_stream_epoch(table) == max_epoch
+        assert reads["n"] == 1
+    finally:
+        snap.read_manifest = orig
+
+    # compaction carries the marker forward...
+    snap.compact(spark, table, target_files=1)
+    assert snap.last_stream_epoch(table) == max_epoch
+    # ...and expiry cannot lose it (current manifest always survives)
+    snap.expire_snapshots(table, keep_last=1)
+    assert snap.last_stream_epoch(table) == max_epoch
+    n_versions = len(history(table))
+    rows = read_snapshot(spark, table).count()
+    # replaying the whole stream after expiry (same checkpoint, no new
+    # data) must commit nothing — the pre-horizon epochs all dedup
+    extraction_stream_to_snapshots(spark, landing, table, ckpt)
+    assert len(history(table)) == n_versions
+    assert read_snapshot(spark, table).count() == rows

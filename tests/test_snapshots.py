@@ -220,3 +220,50 @@ def test_manifest_is_valid_json_with_relative_paths(spark, tmp_path):
         m = json.load(f)
     assert all(p.startswith("data/") for p in m["files"])
     assert m["version"] == 1 and m["parent"] is None
+
+
+def test_binpack_compaction_heterogeneous_sizes(spark, tmp_path):
+    """Size-targeted bin packing: small files group into ~target_bytes
+    bins (>1 output when they cannot all fit one bin), files already at
+    the target pass through UNREWRITTEN, and contents are preserved."""
+    import os as _os
+
+    from deepseek_ocr_api_rs_spark.sources.snapshots import compact
+
+    t = str(tmp_path / "tbl")
+    # one big append (1 file) + six tiny appends (1 file each)
+    write_snapshot(_df(spark, 0, 2000).coalesce(1), t, mode="append")
+    for lo in range(2000, 2060, 10):
+        write_snapshot(_df(spark, lo, lo + 10).coalesce(1), t, mode="append")
+    m0 = read_manifest(t)
+    sizes = sorted(
+        _os.path.getsize(_os.path.join(t, f)) for f in m0["files"]
+    )
+    big = sizes[-1]
+    # target between: big passes through, tinies need >1 bin
+    target = sizes[0] * 3
+    assert target < big
+    v = compact(spark, t, target_bytes=target)
+    m = read_manifest(t, v)
+    assert m["metrics"]["files_passthrough"] >= 1
+    assert m["metrics"]["files_rewritten"] == len(m0["files"]) - m["metrics"]["files_passthrough"]
+    rewritten_out = [f for f in m["files"] if "bin-" in f]
+    assert len(rewritten_out) > 1  # heterogeneous → multiple bins
+    # the big file is listed verbatim (not rewritten)
+    assert any(f in m0["files"] for f in m["files"])
+    # row-level preservation
+    got = {(r.id, r.v) for r in read_snapshot(spark, t).collect()}
+    assert got == {(i, i * 2) for i in range(2000)} | {
+        (i, i * 2) for i in range(2000, 2060)
+    }
+    assert m["n_rows"] == m0["n_rows"]
+
+
+def test_compact_noop_when_everything_at_target(spark, tmp_path):
+    from deepseek_ocr_api_rs_spark.sources.snapshots import compact
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10).coalesce(1), t)
+    v0 = current_version(t)
+    assert compact(spark, t, target_bytes=1) == v0  # all files ≥ 1 byte
+    assert current_version(t) == v0  # no useless version published
