@@ -240,9 +240,19 @@ def bpe_token_count_duckdb(text_col: str) -> str:
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-# loose international-ish phone: leading digit or +, then ≥7 phone chars,
-# ending in a digit (dots excluded so IPs/versions never match)
-PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+# structured phone shapes, not a loose char-class run (ADVICE r4: \s in
+# the run merged unrelated space-separated digit tokens — '1999 2000
+# 2018 2021' over-redacted as one <PHONE>). Three RE2-safe alternatives:
+# +CC with up to 4 optionally-parenthesized digit groups; the NANP
+# (555) 123-4567 / 555 010 9999 family (3-3-4); a bare 7-15 digit run.
+# Separators are single space/dash only — never \n/\t, never consecutive
+# spaces — and the 3-3-4 / leading-+ structure means year runs and
+# number tables cannot chain into one match.
+PHONE_RE = (
+    r"\+[0-9]{1,3}(?:[ \-]?\(?[0-9]{1,4}\)?){1,4}"
+    r"|\(?[0-9]{3}\)?[ \-]?[0-9]{3}[ \-][0-9]{4}"
+    r"|[0-9]{7,15}"
+)
 
 _PII_CHAIN = (
     (EMAIL_RE, "<EMAIL>"),

@@ -23,6 +23,13 @@ HTTP-envelope realism (all routine in real Common Crawl segments):
   the declared charset into the ``text`` column, re-encoding non-UTF-8
   HTML payloads to UTF-8 bytes in ``html`` so the downstream extraction
   branch (which assumes UTF-8) is correct for latin-1/KOI8/etc. pages;
+- the charset re-encode is STRICT-gated: a payload whose declared charset
+  decodes cleanly is re-encoded to UTF-8; a mislabeled one keeps its
+  original bytes (baking U+FFFD over recoverable content is worse than a
+  passthrough);
+- ``WARC-Type: revisit`` dedup records (ubiquitous in real segments —
+  their block is the bare HTTP headers of an identical refetch) never
+  surface as documents;
 - ``WARC-Truncated`` records are tolerated: parsed normally, payload
   as-stored, the flag surfaced per record;
 - WARC 1.1 fractional-second dates are normalized and timestamp parsing
@@ -93,6 +100,14 @@ def make_warc_gz(records: list[dict]) -> bytes:
                 f"HTTP/1.1 {status} OK\r\n"
                 f"Content-Type: {ctype}\r\n" + framing + "\r\n"
             ).encode("latin-1") + body
+        elif rtype == "revisit":
+            # dedup record (ubiquitous in real segments): the block is the
+            # bare HTTP response HEADERS of the revisited fetch, no body
+            status = int(rec.get("status", 200))
+            http = (
+                f"HTTP/1.1 {status} OK\r\n"
+                "Content-Type: text/html; charset=utf-8\r\n\r\n"
+            ).encode("latin-1")
         else:
             http = payload
         if date.microsecond:  # WARC 1.1 fractional seconds
@@ -104,6 +119,13 @@ def make_warc_gz(records: list[dict]) -> bytes:
             if rec.get("truncated")
             else ""
         )
+        if rtype == "revisit":
+            trunc += (
+                "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+                "identical-payload-digest\r\n"
+                "WARC-Refers-To: <urn:uuid:00000000-0000-0000-0000-"
+                "000000000001>\r\n"
+            )
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {rtype}\r\n"
@@ -113,7 +135,7 @@ def make_warc_gz(records: list[dict]) -> bytes:
             + trunc
             + (
                 'Content-Type: application/http; msgtype=response\r\n'
-                if rtype == "response"
+                if rtype in ("response", "revisit")
                 else "Content-Type: application/octet-stream\r\n"
             )
             + f"Content-Length: {len(http)}\r\n\r\n"
@@ -306,7 +328,16 @@ def read_warc_documents(
                         except LookupError:  # unknown charset label
                             text = payload.decode("utf-8", "replace")
                         if charset not in ("utf-8", "utf8", "ascii", "us-ascii"):
-                            payload = text.encode("utf-8")
+                            try:
+                                strict = payload.decode(charset)
+                            except (UnicodeDecodeError, LookupError):
+                                strict = None
+                            if strict is not None:
+                                payload = strict.encode("utf-8")
+                            # else: mislabeled charset — keep the ORIGINAL
+                            # bytes; re-encoding the replace-decoded string
+                            # would bake U+FFFD over recoverable content
+                            # (ADVICE r4)
                     dm = _WARC_DATE_RE.match(rec["date"])
                     tss.append(dm.group(1) + "Z" if dm else None)
                     urls.append(rec["url"])

@@ -297,6 +297,13 @@ def test_url_canonicalize_engines_agree_on_repeated_lead_utm(spark):
         ("email a@b.io and ip 8.8.8.8 and tel 555 010 9999 x",
          "email <EMAIL> and ip <IP> and tel <PHONE> x", (1, 1, 1)),
         ("not-an-email @ sign alone", "not-an-email @ sign alone", (0, 0, 0)),
+        # ADVICE r4: space-separated year runs must NOT merge into one
+        # <PHONE> (the old loose run pattern chained them via \s)
+        ("years 1999 2000 2018 2021 listed", "years 1999 2000 2018 2021 listed",
+         (0, 0, 0)),
+        ("range 1999-2000 and 2018-2021 ok", "range 1999-2000 and 2018-2021 ok",
+         (0, 0, 0)),
+        ("intl +44 (0) 2079-460-000 line", "intl <PHONE> line", (0, 0, 1)),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _, _) in enumerate(cases)], "i int, t string"

@@ -214,3 +214,80 @@ def test_read_warc_documents_and_extract(spark, tmp_path):
     assert out["https://ex.org/a"].branch == "html"
     assert "real warc main content body" in out["https://ex.org/a"].extracted_text
     assert out["https://ex.org/c"].branch == "html"
+
+
+def test_warc_revisit_records_never_surface(spark, tmp_path):
+    """WARC-Type: revisit dedup records (ubiquitous in real Common Crawl
+    segments — the block is the bare HTTP headers of an identical
+    refetch) are parsed tolerantly and NEVER emitted as documents."""
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        iter_warc_records,
+        make_warc_gz,
+        read_warc_documents,
+    )
+
+    blob = make_warc_gz(
+        [
+            {"type": "response", "url": "http://a.example/page",
+             "payload": b"<html><body><p>real page body</p></body></html>"},
+            {"type": "revisit", "url": "http://a.example/page"},
+            {"type": "revisit", "url": "http://b.example/dup"},
+            {"type": "response", "url": "http://c.example/other",
+             "payload": b"<html><body><p>second body</p></body></html>"},
+        ]
+    )
+    recs = list(iter_warc_records(blob))
+    assert [r["type"] for r in recs] == [
+        "response", "revisit", "revisit", "response",
+    ]
+    # the revisit blocks carry a profile and an HTTP status line, but no body
+    p = str(tmp_path / "seg")
+    import os as _os
+
+    _os.makedirs(p)
+    with open(_os.path.join(p, "part.warc.gz"), "wb") as f:
+        f.write(blob)
+    got = read_warc_documents(spark, p).collect()
+    assert sorted(r.url for r in got) == [
+        "http://a.example/page", "http://c.example/other",
+    ]
+    assert all(b"body" in bytes(r.html) for r in got)
+
+
+def test_warc_mislabeled_charset_keeps_original_bytes(spark, tmp_path):
+    """A payload whose declared charset does NOT decode cleanly keeps its
+    ORIGINAL bytes in html (re-encoding the replace-decoded string would
+    bake U+FFFD over recoverable content — ADVICE r4); a correctly
+    labeled non-UTF-8 page is still re-encoded to UTF-8."""
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        make_warc_gz,
+        read_warc_documents,
+    )
+
+    good_latin = "<html><body><p>café señor</p></body></html>".encode("latin-1")
+    # invalid EUC-JP: lone 0x8F prefix byte — strict decode raises
+    bad_euc = b"<html><body><p>broken \x8f\x21 bytes</p></body></html>"
+    blob = make_warc_gz(
+        [
+            {"type": "response", "url": "http://ok.example/",
+             "payload": good_latin,
+             "content_type": "text/html; charset=iso-8859-1"},
+            {"type": "response", "url": "http://bad.example/",
+             "payload": bad_euc,
+             "content_type": "text/html; charset=euc-jp"},
+        ]
+    )
+    p = str(tmp_path / "seg")
+    import os as _os
+
+    _os.makedirs(p)
+    with open(_os.path.join(p, "part.warc.gz"), "wb") as f:
+        f.write(blob)
+    got = {r.url: r for r in read_warc_documents(spark, p).collect()}
+    # clean label → UTF-8 re-encode
+    assert bytes(got["http://ok.example/"].html) == (
+        good_latin.decode("latin-1").encode("utf-8")
+    )
+    # mislabeled → original bytes preserved verbatim, no U+FFFD baked in
+    assert bytes(got["http://bad.example/"].html) == bad_euc
+    assert "�".encode() not in bytes(got["http://bad.example/"].html)
