@@ -101,7 +101,68 @@ def _mix_columns(s: bytearray, inverse: bool) -> bytearray:
     return out
 
 
+# --- encryption T-tables -----------------------------------------------
+# The R6 hardened hash (Algorithm 2.B, pdf_real._hash_2b) runs ~10k block
+# encryptions per evaluation, so the encrypt direction gets the classic
+# T-table formulation: each table entry fuses SubBytes + the MixColumns
+# column contribution; ShiftRows becomes the byte-selection pattern.
+# COMPUTED from SBOX and the same GF(2^8) doubling as everything else —
+# still no transcribed constants. Decrypt stays in the readable
+# matrix form (it runs once per encrypted stream, not 10k times).
+_TE0 = [0] * 256
+for _i, _s in enumerate(SBOX):
+    _s2 = _gmul(_s, 2)
+    _TE0[_i] = (_s2 << 24) | (_s << 16) | (_s << 8) | (_s2 ^ _s)
+_TE1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE0]
+_TE2 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE1]
+_TE3 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _TE2]
+
+
+def _rk_words(round_keys: list[bytes]) -> list[list[int]]:
+    return [
+        [int.from_bytes(k[4 * j : 4 * j + 4], "big") for j in range(4)]
+        for k in round_keys
+    ]
+
+
+def _encrypt_words(rkw: list[list[int]], c: list[int]) -> list[int]:
+    nr = len(rkw) - 1
+    k0 = rkw[0]
+    c = [c[j] ^ k0[j] for j in range(4)]
+    for rnd in range(1, nr):
+        k = rkw[rnd]
+        c = [
+            _TE0[(c[j] >> 24) & 0xFF]
+            ^ _TE1[(c[(j + 1) & 3] >> 16) & 0xFF]
+            ^ _TE2[(c[(j + 2) & 3] >> 8) & 0xFF]
+            ^ _TE3[c[(j + 3) & 3] & 0xFF]
+            ^ k[j]
+            for j in range(4)
+        ]
+    k = rkw[nr]
+    return [
+        (
+            (SBOX[(c[j] >> 24) & 0xFF] << 24)
+            | (SBOX[(c[(j + 1) & 3] >> 16) & 0xFF] << 16)
+            | (SBOX[(c[(j + 2) & 3] >> 8) & 0xFF] << 8)
+            | SBOX[c[(j + 3) & 3] & 0xFF]
+        )
+        ^ k[j]
+        for j in range(4)
+    ]
+
+
 def encrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
+    out = _encrypt_words(
+        _rk_words(round_keys),
+        [int.from_bytes(block[4 * j : 4 * j + 4], "big") for j in range(4)],
+    )
+    return b"".join(w.to_bytes(4, "big") for w in out)
+
+
+def encrypt_block_slow(round_keys: list[bytes], block: bytes) -> bytes:
+    """Direct FIPS-197 restatement (SubBytes/ShiftRows/MixColumns as
+    written in the spec) — the parity witness for the T-table path."""
     nr = len(round_keys) - 1
     s = bytearray(a ^ b for a, b in zip(block, round_keys[0]))
     for rnd in range(1, nr):
@@ -147,18 +208,27 @@ def cbc_decrypt(key: bytes, iv_and_data: bytes) -> bytes | None:
     return bytes(out[:-pad])
 
 
+def _cbc_encrypt_core(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Word-level CBC encrypt over a 16-byte-multiple payload (no IV
+    prefix, no padding) — the shared hot loop."""
+    rkw = _rk_words(expand_key(key))
+    prev = [int.from_bytes(iv[4 * j : 4 * j + 4], "big") for j in range(4)]
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        c = [
+            int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "big") ^ prev[j]
+            for j in range(4)
+        ]
+        prev = _encrypt_words(rkw, c)
+        for w in prev:
+            out += w.to_bytes(4, "big")
+    return bytes(out)
+
+
 def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Fixture-side inverse: PKCS#7 pad, prefix the IV (PDF layout)."""
-    rk = expand_key(key)
     pad = 16 - len(data) % 16
-    data = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = encrypt_block(rk, block)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_core(key, iv, data + bytes([pad]) * pad)
 
 
 def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -166,14 +236,7 @@ def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     step and the /UE //OE file-key wrap both use exact-multiple inputs."""
     if len(data) % 16:
         raise ValueError("nopad CBC needs a 16-byte multiple")
-    rk = expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = encrypt_block(rk, block)
-        out += prev
-    return bytes(out)
+    return _cbc_encrypt_core(key, iv, data)
 
 
 def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes | None:

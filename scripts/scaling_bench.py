@@ -166,24 +166,83 @@ construction.
 
 Raw runs: `BENCH/scaling.json`.
 """
-    cc_path = os.path.join(REPO, "BENCH", "corpus_cost.json")
-    if os.path.exists(cc_path):
+    md += """
+## Comparison discipline (pinned — VERDICT r4 ask #7)
+
+Round-over-round performance claims use **task-CPU seconds at FIXED
+parallelism from interleaved same-box runs** — never wall-clock compared
+across rounds (the r3/r4 verdicts measured same-code wall spread
+exceeding real round deltas on this shared box). Each round factors its
+delta into two artifacts:
+
+- **code effect** — `scripts/round_compare.py`: the previous round's
+  commit in a git worktree, bench runs alternating base/HEAD at the SAME
+  corpus version and cpu count, best-of-N per query →
+  `BENCH/round_compare.json`;
+- **corpus effect** — `scripts/corpus_cost.py`: HEAD code, old vs new
+  corpus grammar interleaved → `BENCH/corpus_cost_v{A}_v{B}.json`.
+"""
+    import re as _re
+
+    bench_dir = os.path.join(REPO, "BENCH")
+    for name in sorted(os.listdir(bench_dir)):
+        if not (name.startswith("corpus_cost") and name.endswith(".json")):
+            continue
         try:
-            cc = json.load(open(cc_path))
+            cc = json.load(open(os.path.join(bench_dir, name)))
+            vers = sorted(
+                int(m.group(1))
+                for k in cc
+                for m in [_re.match(r"cpu_sec_v(\d+)$", k)]
+                if m
+            )
+            if len(vers) != 2:
+                continue
+            a, b = vers
             md += f"""
-## Corpus v3 → v4 cost (isolated, interleaved best-of-{cc['repeats']})
+## Corpus v{a} → v{b} cost (isolated, interleaved best-of-{cc['repeats']})
 
 | corpus | task-CPU sec (best) | docs/sec (best) |
 |---|---|---|
-| v3 (no modern-PDF slice) | {cc['cpu_sec_v3']} | {cc['docs_per_sec_v3']:,.0f} |
-| v4 (12.5% modern-PDF slice) | {cc['cpu_sec_v4']} | {cc['docs_per_sec_v4']:,.0f} |
+| v{a} | {cc[f'cpu_sec_v{a}']} | {cc[f'docs_per_sec_v{a}']:,.0f} |
+| v{b} | {cc[f'cpu_sec_v{b}']} | {cc[f'docs_per_sec_v{b}']:,.0f} |
 
-cpu ratio v4/v3 = {cc['cpu_ratio_v4_over_v3']} — the v4 grammar change is
-within measurement noise (the modern-PDF slice replaces the JSON-geometry
-branch at similar cost), so round-over-round docs/s comparisons need NO
-corpus correction. Raw runs: `BENCH/corpus_cost.json`
-(`python scripts/corpus_cost.py`, {cc['generated_at']}).
+cpu ratio v{b}/v{a} = {cc[f'cpu_ratio_v{b}_over_v{a}']}. Raw runs:
+`BENCH/{name}` ({cc['generated_at']}).
 """
+        except Exception:
+            pass
+    rc_path = os.path.join(bench_dir, "round_compare.json")
+    if os.path.exists(rc_path):
+        try:
+            rc = json.load(open(rc_path))
+            md += f"""
+## Code cost vs previous round (interleaved, fixed {rc['cpus']} cpus, corpus v{rc['corpus_compat']}, best-of-{rc['repeats']})
+
+Base `{rc['base_ref']}` vs head `{rc['head_ref']}`: total task-CPU
+{rc['cpu_sec_total_base']}s → {rc['cpu_sec_total_head']}s
+(**ratio {rc['cpu_ratio_head_over_base']}**). Largest per-query moves:
+
+| query | base cpu s | head cpu s | ratio |
+|---|---|---|---|
+"""
+            moved = sorted(
+                rc["queries"].items(),
+                key=lambda kv: abs((kv[1]["ratio_head_over_base"] or 1) - 1),
+                reverse=True,
+            )[:8]
+            for q, d in moved:
+                md += (
+                    f"| {q} | {d['base_cpu_sec']} | {d['head_cpu_sec']} "
+                    f"| {d['ratio_head_over_base']} |\n"
+                )
+            if rc.get("queries_only_in_head"):
+                md += (
+                    "\nNew queries this round (no base side): "
+                    + ", ".join(rc["queries_only_in_head"])
+                    + ".\n"
+                )
+            md += "\nFull table: `BENCH/round_compare.json`.\n"
         except Exception:
             pass
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

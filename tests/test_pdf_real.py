@@ -664,3 +664,25 @@ def test_aes256_wrong_password_or_tamper_returns_none():
     assert parse_real_pdf(blob[:j] + flip + blob[j + 2 :]) is None
     # unsupported /R for V5 → None
     assert parse_real_pdf(blob.replace(b"/V 5 /R 6", b"/V 5 /R 5")) is None
+
+
+def test_aes_ttable_matches_spec_restatement():
+    """The T-table encrypt path (the Algorithm 2.B hot loop) is
+    bit-identical to the direct FIPS-197 restatement across random
+    keys/blocks and all three key sizes — same witness pattern as the
+    vectorized-vs-scalar resize parity."""
+    import random
+
+    from deepseek_ocr_api_rs_spark.extraction.aes import (
+        encrypt_block,
+        encrypt_block_slow,
+        expand_key,
+    )
+
+    rng = random.Random(99)
+    for _ in range(60):
+        klen = rng.choice([16, 24, 32])
+        key = bytes(rng.randrange(256) for _ in range(klen))
+        blk = bytes(rng.randrange(256) for _ in range(16))
+        rk = expand_key(key)
+        assert encrypt_block(rk, blk) == encrypt_block_slow(rk, blk)
