@@ -1677,8 +1677,8 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingestion under the oracle gate: per-doc response records
-    (some chunked-transfer, some ISO-8859-1, plus request and image/png
-    decoys) are staged into real ``.warc.gz`` segment files by an
+    (some chunked-transfer, some ISO-8859-1, plus request, image/png and
+    revisit-dedup decoys) are staged into real ``.warc.gz`` segment files by an
     executor-side Arrow stage, then read back through the production
     ingestion path (binaryFile scan → record fan-out → envelope/charset/
     mime/status handling — sources/warc.py). The oracle reproduces url /
@@ -1737,6 +1737,13 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "url": f"https://warc.example.org/doc/{d}",
                     "date": epoch, "payload": b"GET / HTTP/1.1\r\n\r\n",
                 })
+                if d % 7 == 0:  # decoy: revisit dedup record (bare HTTP
+                    # headers, no body) — must never surface as a document
+                    recs.append({
+                        "type": "revisit",
+                        "url": f"https://warc.example.org/doc/{d}",
+                        "date": epoch,
+                    })
             # deterministic name per (disjoint) doc_id batch + atomic
             # replace: a retried or speculative task attempt rewrites the
             # SAME file instead of adding a duplicate segment

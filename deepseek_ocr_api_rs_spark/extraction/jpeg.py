@@ -617,17 +617,25 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 return None
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
             seg = b[i + 4 : i + 2 + seg_len]
-            if marker == 0xDB:  # DQT
+            if marker == 0xDB:  # DQT (8-bit pq=0 or 16-bit pq=1 entries)
                 p = 0
                 while p < len(seg):
                     pq, tq = seg[p] >> 4, seg[p] & 0x0F
                     p += 1
-                    if pq != 0:
-                        return None  # 16-bit tables out of scope
+                    if pq not in (0, 1):
+                        return None
                     tab = np.zeros(64, dtype=np.int32)
-                    tab[ZIGZAG] = np.frombuffer(seg[p : p + 64], dtype=np.uint8)
+                    if pq == 0:
+                        tab[ZIGZAG] = np.frombuffer(
+                            seg[p : p + 64], dtype=np.uint8
+                        )
+                        p += 64
+                    else:
+                        tab[ZIGZAG] = np.frombuffer(
+                            seg[p : p + 128], dtype=">u2"
+                        ).astype(np.int32)
+                        p += 128
                     qt[tq] = tab.reshape(8, 8)
-                    p += 64
             elif marker == 0xC4:  # DHT
                 p = 0
                 while p < len(seg):

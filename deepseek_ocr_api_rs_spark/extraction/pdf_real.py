@@ -85,6 +85,7 @@ _BASE_ENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z0-9\-]+)")
 _DIFFERENCES_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]")
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 
 _WHITESPACE = b" \t\r\n\f\x00"
@@ -1174,10 +1175,19 @@ def _page_fonts(
         if ref is not None:
             res = ref[0]
     fm = _FONT_DICT_RE.search(res)
-    if fm is None:
-        return {}
+    if fm is not None:
+        body = fm.group(1)
+    else:
+        # /Font as an indirect reference to the dict object
+        rm2 = _FONT_REF_RE.search(res)
+        if rm2 is None:
+            return {}
+        ref2 = objs.get(int(rm2.group(1)))
+        if ref2 is None:
+            return {}
+        body = ref2[0]
     fonts: dict[str, _CMap | _SimpleEncoding] = {}
-    for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
+    for name, ref in _FONT_ENTRY_RE.findall(body):
         fobj = objs.get(int(ref))
         if fobj is None:
             continue

@@ -206,3 +206,31 @@ def test_cmyk_encoder_rejects_bad_input():
         encode_jpeg_cmyk(np.zeros((8, 8, 3), dtype=np.uint8))
     with pytest.raises(ValueError):
         encode_jpeg_cmyk(np.zeros((8, 8, 4), dtype=np.uint8), transform=1)
+
+
+def test_16bit_dqt_tables_decode_identically():
+    """pq=1 (16-bit) quantization tables: rewrite an image's 8-bit DQT
+    segments into the 16-bit encoding — same values, so the decode must
+    be bit-identical to the 8-bit-table original."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    blob = encode_jpeg_rgb(img, quality=80)
+    base = decode_jpeg_pixels(blob)
+
+    out = bytearray()
+    i = 0
+    while i < len(blob):
+        if blob[i] == 0xFF and i + 4 <= len(blob) and blob[i + 1] == 0xDB:
+            seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+            seg = blob[i + 4 : i + 2 + seg_len]
+            pq_tq, vals = seg[0], seg[1:65]
+            assert pq_tq >> 4 == 0
+            wide = b"".join(bytes([0, v]) for v in vals)  # same values, >u2
+            new_seg = bytes([0x10 | (pq_tq & 0x0F)]) + wide
+            out += b"\xff\xdb" + (len(new_seg) + 2).to_bytes(2, "big") + new_seg
+            i += 2 + seg_len
+        else:
+            out.append(blob[i])
+            i += 1
+    got = decode_jpeg_pixels(bytes(out))
+    assert got is not None and np.array_equal(got, base)

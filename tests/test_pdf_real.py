@@ -686,3 +686,30 @@ def test_aes_ttable_matches_spec_restatement():
         blk = bytes(rng.randrange(256) for _ in range(16))
         rk = expand_key(key)
         assert encrypt_block(rk, blk) == encrypt_block_slow(rk, blk)
+
+
+def test_indirect_font_dict_resolves():
+    """/Resources whose /Font entry is an INDIRECT reference to the font
+    dict object (a common real-writer layout) still resolves encodings."""
+    content = b"BT /F1 12 Tf 72 700 Tm (ab\x80) Tj ET"
+    out = bytearray(b"%PDF-1.4\n")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 612 792] >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font 7 0 R >> >>", None),
+        (4, b"<< /Length %d >>" % len(content), content),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>", None),
+        (7, b"<< /F1 5 0 R >>", None),
+    ]
+    for num, h, stream in objs:
+        out += f"{num} 0 obj\n".encode() + h
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    out += b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    parsed = parse_real_pdf(bytes(out))
+    assert parsed is not None
+    assert parsed[1][0]["text"] == "ab€"  # 0x80 through WinAnsi
