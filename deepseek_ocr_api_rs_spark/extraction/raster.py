@@ -120,12 +120,12 @@ _ADAM7 = (
 
 def decode_png_pixels(payload: bytes) -> np.ndarray | None:
     """Full PNG pixel decode → (h, w, 3) uint8 RGB, or None if the payload
-    is not a PNG this decoder supports (sub-8-bit depth, or malformed).
-    8- AND 16-bit samples (16-bit scaled to 8 by taking the high byte,
-    libpng's default), non-interlaced AND Adam7 interlaced (each pass is
-    an independently filtered sub-image; the 7 passes are scattered back
-    onto the x/y stride grid). stdlib zlib + the shared scanline
-    unfilter; never raises."""
+    is malformed or out of spec. Sample depths 1/2/4 (grayscale and
+    palette, MSB-first packed), 8, AND 16 (scaled to 8 by taking the high
+    byte, libpng's default); non-interlaced AND Adam7 interlaced (each
+    pass is an independently filtered sub-image; the 7 passes are
+    scattered back onto the x/y stride grid). stdlib zlib + the shared
+    scanline unfilter; never raises."""
     try:
         if not payload or not payload.startswith(PNG_MAGIC):
             return None
@@ -157,7 +157,7 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
         if (
             width <= 0
             or height <= 0
-            or bit_depth not in (8, 16)
+            or bit_depth not in (1, 2, 4, 8, 16)
             or interlace not in (0, 1)
         ):
             return None
@@ -165,20 +165,39 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
         if channels is None or not idat:
             return None
         if bit_depth == 16 and color_type == 3:
-            return None  # palette indices are 8-bit by spec
-        bpp = channels * (bit_depth // 8)
+            return None  # palette indices are 8-bit max by spec
+        if bit_depth < 8 and color_type not in (0, 3):
+            return None  # sub-byte depths: grayscale/palette only (§11.2.2)
+        # filter distance: whole bytes, min 1 (sub-byte rows filter by byte)
+        bpp = max(1, channels * bit_depth // 8)
+
+        def row_bytes(w: int) -> int:
+            return (w * channels * bit_depth + 7) // 8
+
         raw = zlib.decompress(bytes(idat))
 
         def rows_to_img(flat: bytes, h: int, w: int) -> np.ndarray:
             if bit_depth == 16:
                 a = np.frombuffer(flat, dtype=">u2").reshape(h, w, channels)
                 return (a >> 8).astype(np.uint8)
-            return np.frombuffer(flat, dtype=np.uint8).reshape(
-                h, w, channels
-            ).copy()
+            if bit_depth == 8:
+                return np.frombuffer(flat, dtype=np.uint8).reshape(
+                    h, w, channels
+                ).copy()
+            # 1/2/4-bit: MSB-first packed single-channel samples
+            a = np.frombuffer(flat, dtype=np.uint8).reshape(h, row_bytes(w))
+            bits = np.unpackbits(a, axis=1)[:, : w * bit_depth]
+            bits = bits.reshape(h, w, bit_depth)
+            vals = np.zeros((h, w), dtype=np.uint8)
+            for k in range(bit_depth):
+                vals = (vals << 1) | bits[:, :, k]
+            if color_type == 0:
+                # exact sample scaling: 255 is divisible by 1, 3 and 15
+                vals = vals * (255 // ((1 << bit_depth) - 1))
+            return vals[:, :, None].astype(np.uint8)
 
         if interlace == 0:
-            flat = unfilter_scanlines(raw, width * bpp, bpp)
+            flat = unfilter_scanlines(raw, row_bytes(width), bpp)
             if flat is None:
                 return None
             img = rows_to_img(flat, height, width)
@@ -190,10 +209,10 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
                 ph = (height - ys + ystep - 1) // ystep
                 if pw <= 0 or ph <= 0:
                     continue  # empty pass emits no scanlines (spec §8.2)
-                stride = pw * bpp + 1
+                stride = row_bytes(pw) + 1
                 chunk = raw[pos2 : pos2 + ph * stride]
                 pos2 += ph * stride
-                flat = unfilter_scanlines(chunk, pw * bpp, bpp)
+                flat = unfilter_scanlines(chunk, row_bytes(pw), bpp)
                 if flat is None:
                     return None
                 img[ys::ystep, xs::xstep, :] = rows_to_img(flat, ph, pw)
@@ -282,6 +301,64 @@ def encode_png_rgb(
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_indexed(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    interlace: bool = False,
+    grayscale: bool = False,
+) -> bytes:
+    """(h, w) uint8 sample raster → paletted (type 3, with the given
+    (n, 3) palette) or grayscale (type 0) PNG at depth 1/2/4/8,
+    MSB-first bit packing, filter-0 rows, optionally Adam7 — the fixture
+    inverse for the sub-byte decode paths (icons/diagrams family)."""
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("bit_depth must be 1/2/4/8")
+    if int(idx.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError("sample exceeds bit depth")
+    h, w = idx.shape
+
+    def pack_rows(rows: np.ndarray) -> bytes:
+        if bit_depth == 8:
+            return b"".join(
+                b"\x00" + rows[y].tobytes() for y in range(rows.shape[0])
+            )
+        out = bytearray()
+        for y in range(rows.shape[0]):
+            bits = (
+                (rows[y][:, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+            ).astype(np.uint8)
+            out += b"\x00" + np.packbits(bits.reshape(-1)).tobytes()
+        return bytes(out)
+
+    if interlace:
+        raw = b""
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = idx[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += pack_rows(sub)
+    else:
+        raw = pack_rows(idx)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    color_type = 0 if grayscale else 3
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if not grayscale:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
 
 
 # ---------------------------------------------------------------------------

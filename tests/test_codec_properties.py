@@ -122,3 +122,60 @@ def test_cmyk_roundtrip_bounded_error(h, w, seed, quality, transform):
     # at wraps makes max unbounded at low quality), tight for smooth runs
     err = np.abs(rgb.astype(np.float64) - exp).mean()
     assert err < 30.0, (h, w, seed, quality, transform, err)
+
+
+# --- simple-font encodings (round 5) ---------------------------------------
+
+from deepseek_ocr_api_rs_spark.extraction.pdf_encodings import (  # noqa: E402
+    apply_differences,
+    encode_with_table,
+    macroman_table,
+    standard_table,
+    winansi_table,
+)
+
+_WINANSI = winansi_table()
+# printable, bullet-free (bullet marks undefined slots), encoder-reachable
+_WINANSI_ALPHABET = "".join(
+    sorted(
+        {
+            ch
+            for code, ch in enumerate(_WINANSI)
+            if 0x20 <= code and ch not in ("•", "\x7f")
+            and not (0x7F <= ord(ch) < 0xA0)
+        }
+    )
+)
+
+
+@given(st.text(alphabet=_WINANSI_ALPHABET, min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_winansi_pdf_roundtrip_property(text):
+    """Any WinAnsi-encodable span text survives the classic-writer →
+    parser round-trip byte-exact through the /Encoding table."""
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        make_pdf_bytes,
+        parse_real_pdf,
+    )
+
+    spans = [{"page": 0, "x0": 40.0, "y0": 90.0, "x1": 400.0,
+              "y1": 102.0, "text": text}]
+    parsed = parse_real_pdf(make_pdf_bytes(spans, font_encoding="winansi"))
+    assert parsed is not None
+    assert parsed[1][0]["text"] == text
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_apply_differences_never_raises(junk):
+    for base in (winansi_table(), macroman_table(), standard_table()):
+        t = apply_differences(base, junk)
+        assert len(t) == 256 and all(isinstance(c, str) for c in t)
+
+
+@given(st.text(alphabet=_WINANSI_ALPHABET, min_size=0, max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_encode_decode_table_inverse(text):
+    enc = encode_with_table(text, _WINANSI)
+    assert len(enc) == len(text)
+    assert "".join(_WINANSI[b] for b in enc) == text

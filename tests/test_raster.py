@@ -322,3 +322,44 @@ def test_png_malformed_interlace_returns_none():
     ihdr_depth = blob.index(b"IHDR") + 4 + 8
     bad[ihdr_depth] = 4
     assert decode_png_pixels(bytes(bad)) is None
+
+
+def test_sub_byte_depths_palette_and_grayscale():
+    """1/2/4-bit packed samples (the icons/diagrams PNG family): palette
+    lookup and exact grayscale scaling (255 divisible by 1/3/15), plain
+    and Adam7, all round-trip exactly; sub-byte truecolor stays out of
+    spec → None."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        encode_png_indexed,
+    )
+
+    rng = np.random.RandomState(9)
+    pal256 = np.stack(
+        [np.arange(256), 255 - np.arange(256), (np.arange(256) * 3) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    for d in (1, 2, 4, 8):
+        n = 1 << d
+        pal = pal256[:n]
+        for h, w in [(1, 1), (3, 5), (13, 23)]:
+            idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+            for inter in (False, True):
+                got = decode_png_pixels(
+                    encode_png_indexed(idx, pal, bit_depth=d, interlace=inter)
+                )
+                assert got is not None and np.array_equal(got, pal[idx])
+                got = decode_png_pixels(
+                    encode_png_indexed(
+                        idx, pal, bit_depth=d, interlace=inter, grayscale=True
+                    )
+                )
+                exp = (idx * (255 // (n - 1)))[..., None].repeat(3, axis=2)
+                assert got is not None and np.array_equal(
+                    got, exp.astype(np.uint8)
+                )
+    # depth 4 on truecolor is out of spec → None, not garbage
+    blob = bytearray(
+        encode_png_rgb(rng.randint(0, 256, (8, 8, 3), dtype=np.uint8))
+    )
+    blob[blob.index(b"IHDR") + 4 + 8] = 4
+    assert decode_png_pixels(bytes(blob)) is None
