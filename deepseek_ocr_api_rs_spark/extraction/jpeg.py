@@ -340,14 +340,20 @@ def _planes_to_rgb(
     full: list[np.ndarray], adobe: int | None
 ) -> np.ndarray:
     """Component planes → (h, w, 3) uint8 RGB. 1 = grayscale broadcast,
-    3 = YCbCr, 4 = CMYK/YCCK per the Adobe APP14 transform flag: with the
-    marker present the samples are stored INVERTED (255 = no ink, the
-    Photoshop convention), and transform 2 (YCCK) additionally runs the
-    inverted CMY through the YCbCr transform; a bare 4-component frame
-    (no APP14) is taken as true ink-coverage CMYK."""
+    3 = YCbCr — except Adobe APP14 transform 0, which declares raw RGB
+    planes (no color transform; Photoshop emits these) — 4 = CMYK/YCCK
+    per the transform flag: with the marker present the samples are
+    stored INVERTED (255 = no ink, the Photoshop convention), and
+    transform 2 (YCCK) additionally runs the inverted CMY through the
+    YCbCr transform; a bare 4-component frame (no APP14) is taken as
+    true ink-coverage CMYK."""
     if len(full) == 1:
         y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
+    if len(full) == 3 and adobe == 0:
+        return np.clip(
+            np.rint(np.stack(full, axis=-1)), 0, 255
+        ).astype(np.uint8)
     if len(full) == 4:
         p = np.stack(full, axis=-1)
         if adobe == 2:  # YCCK: undo the YCbCr stage first
@@ -421,18 +427,25 @@ def encode_jpeg_rgb(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    color: str = "ycbcr",
 ) -> bytes:
     """(h, w, 3) uint8 → baseline JFIF JPEG, Annex K tables.
     ``subsampling``: '444' (no chroma decimation) or '420' (2×2 chroma —
     the layout virtually every camera/web writer emits). Optional DRI/RSTn
-    restart markers every ``restart_interval`` MCUs."""
+    restart markers every ``restart_interval`` MCUs. ``color="rgb"``
+    stores the planes UNtransformed with an Adobe APP14 transform-0
+    marker (the Photoshop no-color-transform family) — 444 only."""
     if subsampling not in ("444", "420"):
         raise ValueError(subsampling)
+    if color not in ("ycbcr", "rgb"):
+        raise ValueError(color)
+    if color == "rgb" and subsampling != "444":
+        raise ValueError("rgb storage cannot chroma-subsample")
     h, w, _ = img.shape
     sub = 2 if subsampling == "420" else 1
     qy = _quality_scale(STD_LUMA_Q, quality)
     qc = _quality_scale(STD_CHROMA_Q, quality)
-    ycc = _rgb_to_ycbcr(img)
+    ycc = _rgb_to_ycbcr(img) if color == "ycbcr" else img.astype(np.float64)
     mcu = 8 * sub
     ph = (h + mcu - 1) // mcu * mcu
     pw = (w + mcu - 1) // mcu * mcu
@@ -468,26 +481,33 @@ def encode_jpeg_rgb(
                         qyt, enc_dc[0], enc_ac[0], prev_dc[0],
                     )
             cy, cx = my * 8, mx * 8
+            ct = 0 if color == "rgb" else 1
+            ctab = qyt if ct == 0 else qct
             prev_dc[1] = _encode_block(
                 writer, cbp[cy : cy + 8, cx : cx + 8],
-                qct, enc_dc[1], enc_ac[1], prev_dc[1],
+                ctab, enc_dc[ct], enc_ac[ct], prev_dc[1],
             )
             prev_dc[2] = _encode_block(
                 writer, crp[cy : cy + 8, cx : cx + 8],
-                qct, enc_dc[1], enc_ac[1], prev_dc[2],
+                ctab, enc_dc[ct], enc_ac[ct], prev_dc[2],
             )
             mcu_count += 1
     entropy += writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    if color == "rgb":
+        out += (
+            b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+            + struct.pack(">HHHB", 100, 0, 0, 0)
+        )
     for tid, qtab in ((0, qy), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(qtab[z]) for z in ZIGZAG)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     samp = [(sub << 4) | sub, 0x11, 0x11]
-    tsel = [0, 1, 1]
+    tsel = [0, 1, 1] if color == "ycbcr" else [0, 0, 0]
     comp_spec = b"".join(
         struct.pack("BBB", cid + 1, samp[cid], tsel[cid]) for cid in range(3)
     )

@@ -32,6 +32,7 @@ Table provenance (all public):
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 
@@ -142,17 +143,32 @@ def _from_codec(codec: str) -> list[str]:
     return table
 
 
-def winansi_table() -> list[str]:
+# tables are constants; _page_fonts resolves one per font per page, so
+# the builders cache an immutable tuple and the public functions hand
+# out fresh lists (apply_differences and the fixture writer mutate)
+
+
+@functools.lru_cache(maxsize=None)
+def _winansi_cached() -> tuple[str, ...]:
     t = _from_codec("cp1252")
     t[0xA0] = " "   # Annex D: "space", not NBSP
     t[0xAD] = "-"   # Annex D: "hyphen", not soft hyphen
-    return t
+    return tuple(t)
+
+
+def winansi_table() -> list[str]:
+    return list(_winansi_cached())
+
+
+@functools.lru_cache(maxsize=None)
+def _macroman_cached() -> tuple[str, ...]:
+    t = _from_codec("mac_roman")
+    t[0xDB] = "¤"  # Annex D keeps currency (pre-euro Mac OS Roman)
+    return tuple(t)
 
 
 def macroman_table() -> list[str]:
-    t = _from_codec("mac_roman")
-    t[0xDB] = "¤"  # Annex D keeps currency (pre-euro Mac OS Roman)
-    return t
+    return list(_macroman_cached())
 
 
 # Annex D StandardEncoding: sparse {code: glyph name} over an ASCII base.
@@ -176,12 +192,17 @@ _STANDARD_HIGH = {
 }
 
 
-def standard_table() -> list[str]:
+@functools.lru_cache(maxsize=None)
+def _standard_cached() -> tuple[str, ...]:
     t = [chr(b) if 0x20 <= b < 0x7F else "•" for b in range(256)]
     for code, name in _STANDARD_HIGH.items():
         ch = glyph_to_char(name)
         t[code] = ch if ch is not None else "•"
-    return t
+    return tuple(t)
+
+
+def standard_table() -> list[str]:
+    return list(_standard_cached())
 
 
 _BASE_TABLES = {

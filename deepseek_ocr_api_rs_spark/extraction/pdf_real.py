@@ -460,13 +460,21 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 def _strip_nested_dicts(head: bytes) -> bytes:
     """Drop the CONTENTS of dicts nested below the object's own << >>
     (e.g. the /CF << /StdCF << ... >> >> crypt-filter tree) so top-level
-    key searches (/Length) cannot match a nested dict's same-named key."""
+    key searches (/Length) cannot match a nested dict's same-named key.
+
+    String-aware: ``(...)`` literal strings (backslash escapes, nested
+    parens) and ``<...>`` hex strings are skipped opaquely — binary /O
+    //U literal values routinely contain ``<<`` / ``>>`` byte pairs, and
+    counting those corrupted the depth tracking (code-review r5: a
+    ``<<`` inside /O hid the top-level /Length → wrong 40-bit key →
+    valid document rejected)."""
     out = bytearray()
     depth = 0
     i = 0
     n = len(head)
     while i < n:
         two = head[i : i + 2]
+        c = head[i]
         if two == b"<<":
             depth += 1
             if depth <= 1:
@@ -477,9 +485,34 @@ def _strip_nested_dicts(head: bytes) -> bytes:
                 out += two
             depth -= 1
             i += 2
+        elif c == 0x28:  # "(" literal string — skip to its matching ")"
+            j = i
+            pdepth = 0
+            while j < n:
+                cj = head[j]
+                if cj == 0x5C:  # backslash escape: skip next byte
+                    j += 2
+                    continue
+                if cj == 0x28:
+                    pdepth += 1
+                elif cj == 0x29:
+                    pdepth -= 1
+                    if pdepth == 0:
+                        j += 1
+                        break
+                j += 1
+            if depth <= 1:
+                out += head[i:j]
+            i = j
+        elif c == 0x3C:  # "<" hex string (not "<<", handled above)
+            j = head.find(b">", i)
+            j = n if j < 0 else j + 1
+            if depth <= 1:
+                out += head[i:j]
+            i = j
         else:
             if depth <= 1:
-                out.append(head[i])
+                out.append(c)
             i += 1
     return bytes(out)
 
@@ -499,7 +532,9 @@ def _pdf_string_value(head: bytes, key: bytes) -> bytes | None:
             hexstr += b"0"
         return bytes.fromhex(hexstr.decode("ascii"))
     if i < len(head) and head[i : i + 1] == b"(":
-        s, _ = _parse_literal_string(head, i + 1)
+        # _parse_literal_string expects to be AT the "(" (it skips it
+        # itself); passing i+1 silently dropped the value's first byte
+        s, _ = _parse_literal_string(head, i)
         return s
     return None
 

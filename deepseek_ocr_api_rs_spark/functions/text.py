@@ -248,10 +248,13 @@ IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 # Separators are single space/dash only — never \n/\t, never consecutive
 # spaces — and the 3-3-4 / leading-+ structure means year runs and
 # number tables cannot chain into one match.
+# every alternative ends with an unbounded digit run so an over-long
+# number is consumed WHOLE — a bounded tail ({4} / {7,15}) redacted only
+# a prefix and leaked the remaining digits (code-review r5)
 PHONE_RE = (
-    r"\+[0-9]{1,3}(?:[ \-]?\(?[0-9]{1,4}\)?){1,4}"
-    r"|\(?[0-9]{3}\)?[ \-]?[0-9]{3}[ \-][0-9]{4}"
-    r"|[0-9]{7,15}"
+    r"\+[0-9]{1,3}(?:[ \-]?\(?[0-9]{1,4}\)?){1,4}[0-9]*"
+    r"|\(?[0-9]{3}\)?[ \-]?[0-9]{3}[ \-][0-9]{4,}"
+    r"|[0-9]{7,}"
 )
 
 _PII_CHAIN = (

@@ -106,14 +106,36 @@ def _publish(
         if append_files is not None:
             prev_files: list[str] = []
             prev_rows = 0
+            prev_metrics: dict = {}
             if cur is not None:
                 prev = read_manifest(table_dir, cur)
                 prev_files = prev["files"]
                 prev_rows = prev["n_rows"]
+                prev_metrics = prev.get("metrics", {})
+            metrics = dict(manifest.get("metrics", {}))
+            # an append that does not itself advance the stream-epoch
+            # marker must CARRY the parent's forward (falling back to the
+            # pre-r5 per-commit epoch_id form): otherwise a batch append
+            # on top of a stream table drops the marker and a later
+            # expire_snapshots strands the dedup walk (code-review r5)
+            if "stream_max_epoch" not in metrics:
+                cands = [
+                    int(x)
+                    for x in (
+                        metrics.get("epoch_id"),  # pre-r5-style commit
+                        prev_metrics.get(
+                            "stream_max_epoch", prev_metrics.get("epoch_id")
+                        ),
+                    )
+                    if x is not None
+                ]
+                if cands:
+                    metrics["stream_max_epoch"] = max(cands)
             manifest = dict(
                 manifest,
                 files=prev_files + append_files,
                 n_rows=prev_rows + append_rows,
+                metrics=metrics,
             )
         manifest = dict(manifest, version=version, parent=cur)
         tmp = os.path.join(
@@ -294,11 +316,11 @@ def compact(
     n_rows = spark.read.parquet(
         *(os.path.join(table_dir, f) for f in all_files)
     ).count()
-    carried = {
-        k: v
-        for k, v in base.get("metrics", {}).items()
-        if k == "stream_max_epoch"
-    }
+    # resolve the marker via the full pre-rewrite walk, not just the base
+    # manifest's metrics: a pre-r5 chain carries only per-commit epoch_id
+    # entries deeper in the lineage (code-review r5)
+    marker = last_stream_epoch(table_dir)
+    carried = {} if marker is None else {"stream_max_epoch": marker}
     manifest = {
         "files": all_files,
         "n_rows": n_rows,

@@ -13,33 +13,18 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_common import REPO, run_bench as _run_bench  # noqa: E402
 
 
 def run_bench(compat: int, n_docs: int, cpus: int) -> dict:
-    env = dict(os.environ)
-    env.update(
-        {
-            "SPARK_GRAFT_CPUS": str(cpus),
-            "BENCH_EXTRACTION_ONLY": "1",
-            "BENCH_N_DOCS": str(n_docs),
-            "SPARK_GRAFT_CORPUS_COMPAT": str(compat),
-        }
+    return _run_bench(
+        cpus=cpus, n_docs=n_docs, compat=compat,
+        extraction_only=True, timeout=900,
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=900, cwd=REPO,
-    )
-    if out.returncode != 0 or not out.stdout.strip():
-        raise RuntimeError(
-            f"bench.py failed (rc={out.returncode}) at compat={compat}:\n"
-            + out.stderr[-2000:]
-        )
-    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:

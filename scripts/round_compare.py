@@ -23,28 +23,12 @@ import subprocess
 import sys
 from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_common import REPO, run_bench as _run_bench  # noqa: E402
 
 
 def run_bench(cwd: str, cpus: int, n_docs: int, compat: int) -> dict:
-    env = dict(os.environ)
-    env.update(
-        {
-            "SPARK_GRAFT_CPUS": str(cpus),
-            "BENCH_N_DOCS": str(n_docs),
-            "SPARK_GRAFT_CORPUS_COMPAT": str(compat),
-        }
-    )
-    out = subprocess.run(
-        [sys.executable, os.path.join(cwd, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800, cwd=cwd,
-    )
-    if out.returncode != 0 or not out.stdout.strip():
-        raise RuntimeError(
-            f"bench.py failed (rc={out.returncode}) in {cwd}:\n"
-            + out.stderr[-2000:]
-        )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return _run_bench(cwd=cwd, cpus=cpus, n_docs=n_docs, compat=compat)
 
 
 def main() -> None:

@@ -18,28 +18,14 @@ import subprocess
 import sys
 from datetime import datetime, timezone
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_common import REPO, run_bench as _run_bench  # noqa: E402
 
 
 def run_bench(cpus: int, n_docs: int) -> dict:
-    env = dict(os.environ)
-    env.update(
-        {
-            "SPARK_GRAFT_CPUS": str(cpus),
-            "BENCH_EXTRACTION_ONLY": "1",
-            "BENCH_N_DOCS": str(n_docs),
-        }
+    return _run_bench(
+        cpus=cpus, n_docs=n_docs, extraction_only=True, timeout=900
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=900,
-        cwd=REPO,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
 
 
 def _wait_for_quiet(max_wait: float, quiet_load: float) -> None:

@@ -234,3 +234,26 @@ def test_16bit_dqt_tables_decode_identically():
             i += 1
     got = decode_jpeg_pixels(bytes(out))
     assert got is not None and np.array_equal(got, base)
+
+
+def test_adobe_transform0_rgb_three_component():
+    """Adobe APP14 transform 0 on a 3-component frame declares RAW RGB
+    planes (no color transform — the Photoshop no-transform family);
+    running them through YCbCr->RGB scrambles colors (code-review r5)."""
+    g = np.zeros((16, 16, 3), dtype=np.uint8)
+    g[..., 1] = 255  # pure green
+    blob = encode_jpeg_rgb(g, quality=95, color="rgb")
+    assert b"Adobe" in blob
+    got = decode_jpeg_pixels(blob)
+    assert got is not None
+    # green stays green (YCbCr misinterpretation would yield magenta-ish)
+    assert got[8, 8, 1] > 240 and got[8, 8, 0] < 15 and got[8, 8, 2] < 15
+    # bounded error on a gradient too
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [xx * 255 // 31, yy * 255 // 23, (xx + yy) * 255 // 54], axis=-1
+    ).astype(np.uint8)
+    got = decode_jpeg_pixels(encode_jpeg_rgb(img, quality=95, color="rgb"))
+    assert np.abs(got.astype(float) - img.astype(float)).max() <= 2.0
+    with pytest.raises(ValueError):
+        encode_jpeg_rgb(img, subsampling="420", color="rgb")

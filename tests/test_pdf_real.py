@@ -713,3 +713,54 @@ def test_indirect_font_dict_resolves():
     parsed = parse_real_pdf(bytes(out))
     assert parsed is not None
     assert parsed[1][0]["text"] == "ab€"  # 0x80 through WinAnsi
+
+
+def test_strip_nested_dicts_is_string_aware():
+    """Binary /O //U literal-string values can contain << and >> byte
+    pairs; the top-level /Length search must not let them corrupt the
+    depth tracking (code-review r5)."""
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        _strip_nested_dicts,
+    )
+
+    head = (
+        b"<< /Filter /Standard /V 2 /R 3 /O (ab<<cd\\)ef>>gh) /U (x) "
+        b"/CF << /StdCF << /Length 16 >> >> /Length 128 /P -44 >>"
+    )
+    stripped = _strip_nested_dicts(head)
+    assert b"/Length 128" in stripped
+    assert b"/Length 16" not in stripped
+    assert b"(ab<<cd\\)ef>>gh)" in stripped  # string kept verbatim
+    # hex strings with stray < are skipped opaquely too
+    head2 = b"<< /U <0123ab> /CF << /Length 16 >> /Length 256 >>"
+    s2 = _strip_nested_dicts(head2)
+    assert b"/Length 256" in s2 and b"/Length 16" not in s2
+
+
+def test_encrypted_pdf_with_literal_string_o_u_decrypts():
+    """End-to-end: the same encrypted document with /O and /U re-emitted
+    as LITERAL strings (escaped binary) instead of hex must still
+    decrypt — whatever << >> pairs the derived values happen to
+    contain."""
+    import re as _re
+
+    spans = _spans_for(["literal-string o and u"])
+    blob = make_pdf_bytes(spans, encrypt=True)
+    plain = parse_real_pdf(blob)
+    assert plain is not None
+
+    def hex_to_literal(m):
+        raw = bytes.fromhex(m.group(2).decode("ascii"))
+        esc = (
+            raw.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+            .replace(b"\r", b"\\r")
+        )
+        return m.group(1) + b"(" + esc + b")"
+
+    mutated = _re.sub(
+        rb"(/[OU]\s*)<([0-9a-fA-F]+)>", hex_to_literal, blob
+    )
+    assert mutated != blob
+    assert parse_real_pdf(mutated) == plain

@@ -304,6 +304,10 @@ def test_url_canonicalize_engines_agree_on_repeated_lead_utm(spark):
         ("range 1999-2000 and 2018-2021 ok", "range 1999-2000 and 2018-2021 ok",
          (0, 0, 0)),
         ("intl +44 (0) 2079-460-000 line", "intl <PHONE> line", (0, 0, 1)),
+        # code-review r5: over-long digit runs must redact WHOLE, never
+        # leave a tail ('<PHONE>678' leaked the last digits)
+        ("acct 123456789012345678 end", "acct <PHONE> end", (0, 0, 1)),
+        ("card 5555444433332222 on file", "card <PHONE> on file", (0, 0, 1)),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _, _) in enumerate(cases)], "i int, t string"

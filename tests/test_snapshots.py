@@ -267,3 +267,33 @@ def test_compact_noop_when_everything_at_target(spark, tmp_path):
     v0 = current_version(t)
     assert compact(spark, t, target_bytes=1) == v0  # all files ≥ 1 byte
     assert current_version(t) == v0  # no useless version published
+
+
+def test_epoch_marker_carried_by_appends_and_pre_r5_chains(spark, tmp_path):
+    """Code-review r5: a batch append on top of a stream table, or a
+    compaction of a pre-r5 chain (manifests carrying only per-commit
+    epoch_id), must CARRY the stream-epoch marker forward so
+    expire_snapshots cannot strand the exactly-once dedup walk."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        compact,
+        expire_snapshots,
+        last_stream_epoch,
+    )
+
+    t = str(tmp_path / "tbl")
+    # pre-r5-style stream commits: only epoch_id in metrics
+    write_snapshot(_df(spark, 0, 10), t, metrics={"epoch_id": 3})
+    write_snapshot(
+        _df(spark, 10, 20), t, mode="append", metrics={"epoch_id": 4}
+    )
+    # batch append with unrelated metrics (job.py-style)
+    write_snapshot(
+        _df(spark, 20, 30), t, mode="append", metrics={"run_id": "x"}
+    )
+    assert last_stream_epoch(t) == 4  # carried into the append manifest
+    m = read_manifest(t)
+    assert m["metrics"]["stream_max_epoch"] == 4
+    compact(spark, t, target_files=1)
+    assert last_stream_epoch(t) == 4  # resolved through the walk
+    expire_snapshots(t, keep_last=1)
+    assert last_stream_epoch(t) == 4  # survives the retention horizon
