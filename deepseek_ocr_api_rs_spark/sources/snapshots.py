@@ -42,6 +42,21 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first (after max retries)."""
 
 
+def _stat_repr(v):
+    """JSON-safe, ORDER-PRESERVING representation for manifest column
+    stats: numbers/bools pass through, datetimes become ISO strings
+    (lexicographic == chronological at fixed format), everything else
+    str()s. Predicate bounds go through the same function, so prune
+    comparisons are representation-consistent."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    return str(v)
+
+
 def _snap_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_snapshots")
 
@@ -112,6 +127,9 @@ def _publish(
                 prev_files = prev["files"]
                 prev_rows = prev["n_rows"]
                 prev_metrics = prev.get("metrics", {})
+            prev_stats: dict = {}
+            if cur is not None:
+                prev_stats = prev.get("file_stats", {})
             metrics = dict(manifest.get("metrics", {}))
             # an append that does not itself advance the stream-epoch
             # marker must CARRY the parent's forward (falling back to the
@@ -136,6 +154,10 @@ def _publish(
                 files=prev_files + append_files,
                 n_rows=prev_rows + append_rows,
                 metrics=metrics,
+                file_stats={
+                    **prev_stats,
+                    **manifest.get("file_stats", {}),
+                },
             )
         manifest = dict(manifest, version=version, parent=cur)
         tmp = os.path.join(
@@ -158,11 +180,21 @@ def write_snapshot(
     table_dir: str,
     mode: str = "append",
     metrics: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as new parquet files under ``data/`` and commit a
     snapshot. ``mode='append'`` adds to the parent's file list,
     ``'overwrite'`` replaces it. Data lands BEFORE the manifest publishes —
-    a crash in between leaves only invisible orphans. Returns the version."""
+    a crash in between leaves only invisible orphans.
+
+    ``stats_cols`` records per-FILE min/max for the named columns in the
+    manifest (Iceberg's manifest-level column stats): one distributed
+    pass grouped by ``input_file_name`` — which also yields the row count,
+    so stats cost no extra scan — and ``read_snapshot(..., where=...)``
+    then prunes whole files on the DRIVER before Spark ever plans the
+    scan. At 10^12 rows the manifest prune is what turns a
+    time/key-range query from "touch every file's footer" into "open
+    only the files that can match". Returns the version."""
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     stamp = uuid.uuid4().hex
@@ -175,13 +207,36 @@ def write_snapshot(
         if name.endswith(".parquet")
     )
     spark = df.sparkSession
-    n_rows = spark.read.parquet(out).count()
+    file_stats: dict[str, dict] = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        back = spark.read.parquet(out)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        rows = (
+            back.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        )
+        n_rows = 0
+        for r in rows:
+            n_rows += r["__n"]
+            name = os.path.basename(r["__file"])
+            file_stats[os.path.join(rel_dir, name)] = {
+                c: [_stat_repr(r[f"__min_{c}"]), _stat_repr(r[f"__max_{c}"])]
+                for c in stats_cols
+            }
+    else:
+        n_rows = spark.read.parquet(out).count()
     manifest = {
         "files": files,
         "n_rows": n_rows,
         "committed_ts": time.time(),
         "operation": mode,
         "metrics": metrics or {},
+        "file_stats": file_stats,
     }
     if mode == "append":
         # merge with the parent INSIDE the optimistic-retry loop
@@ -190,14 +245,48 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where: tuple | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the files the (given or latest)
-    manifest lists — orphans from uncommitted writers are invisible."""
+    manifest lists — orphans from uncommitted writers are invisible.
+
+    ``where=(col, lo, hi)`` prunes files on the DRIVER using the
+    manifest's per-file min/max stats (inclusive range; ``lo``/``hi``
+    may be None for open-ended). Files without stats for ``col`` are
+    always kept — pruning is an optimization, never a filter — so the
+    caller still applies the real predicate to the returned frame. When
+    every file is pruned, an empty frame with the table schema is
+    returned (read via one manifest file, limit 0)."""
     m = read_manifest(table_dir, version)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    files = m["files"]
+    if where is not None:
+        col, lo, hi = where
+        lo_r, hi_r = _stat_repr(lo), _stat_repr(hi)
+        stats = m.get("file_stats", {})
+        kept = []
+        for f in files:
+            s = stats.get(f, {}).get(col)
+            if (
+                s is not None
+                and s[0] is not None
+                and s[1] is not None
+                and (
+                    (hi_r is not None and s[0] > hi_r)
+                    or (lo_r is not None and s[1] < lo_r)
+                )
+            ):
+                continue  # [min,max] disjoint from [lo,hi]: skip the file
+            kept.append(f)
+        if not kept:
+            one = spark.read.parquet(os.path.join(table_dir, files[0]))
+            return one.limit(0)
+        files = kept
+    paths = [os.path.join(table_dir, f) for f in files]
     return spark.read.parquet(*paths)
 
 
@@ -321,10 +410,17 @@ def compact(
     # entries deeper in the lineage (code-review r5)
     marker = last_stream_epoch(table_dir)
     carried = {} if marker is None else {"stream_max_epoch": marker}
+    base_stats = base.get("file_stats", {})
     manifest = {
         "files": all_files,
         "n_rows": n_rows,
         "committed_ts": time.time(),
+        # pass-through files keep their column stats; rewritten bins get
+        # none (they are never pruned — safe — and regain stats on the
+        # next stats-carrying write)
+        "file_stats": {
+            f: base_stats[f] for f in passthrough if f in base_stats
+        },
         "operation": f"compact({len(rels)}->{len(all_files)})",
         "metrics": dict(
             carried,

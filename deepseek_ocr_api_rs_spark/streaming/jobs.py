@@ -656,6 +656,10 @@ def extraction_stream_to_snapshots(
                 batch_df,
                 table_dir,
                 mode="append",
+                # per-file warc_ts min/max in the manifest: time-range
+                # reads over the snapshot table prune whole files on the
+                # driver (same pass as the row count, no extra scan)
+                stats_cols=["warc_ts"],
                 metrics={
                     "epoch_id": epoch_id,
                     "stream_max_epoch": epoch_id,  # monotone dedup marker

@@ -34,6 +34,11 @@ def test_stream_commits_snapshots_with_lineage(spark, tmp_path):
     extraction_stream_to_snapshots(spark, landing, table, ckpt)
     h1 = history(table)
     assert len(h1) >= 1
+    # the sink records per-file warc_ts min/max for manifest-prune reads
+    from deepseek_ocr_api_rs_spark.sources.snapshots import read_manifest
+
+    stats = read_manifest(table).get("file_stats", {})
+    assert stats and all("warc_ts" in v for v in stats.values())
     assert sum(x["metrics"]["n_docs"] for x in h1) == 60
     assert all("epoch_id" in x["metrics"] for x in h1)
     assert read_snapshot(spark, table).count() == 60

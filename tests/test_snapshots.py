@@ -297,3 +297,68 @@ def test_epoch_marker_carried_by_appends_and_pre_r5_chains(spark, tmp_path):
     assert last_stream_epoch(t) == 4  # resolved through the walk
     expire_snapshots(t, keep_last=1)
     assert last_stream_epoch(t) == 4  # survives the retention horizon
+
+
+def test_file_stats_prune_whole_files(spark, tmp_path):
+    """Iceberg-style manifest column stats: per-file min/max recorded at
+    write (same pass as the row count), range reads prune whole files on
+    the driver, files without stats are never pruned (safe), and the
+    pruned result equals the unpruned filter exactly."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import compact
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 40, 10):  # 4 appends, disjoint id ranges
+        write_snapshot(
+            _df(spark, lo, lo + 10).coalesce(1), t, mode="append",
+            stats_cols=["id"],
+        )
+    m = read_manifest(t)
+    assert len(m["file_stats"]) == 4
+    assert all(set(v) == {"id"} for v in m["file_stats"].values())
+
+    full = read_snapshot(spark, t)
+    pruned = read_snapshot(spark, t, where=("id", 12, 17))
+    assert len(pruned.inputFiles()) == 1  # only the [10,20) file
+    assert sorted(
+        r.id for r in pruned.filter("id between 12 and 17").collect()
+    ) == sorted(
+        r.id for r in full.filter("id between 12 and 17").collect()
+    )
+    # open-ended ranges
+    assert len(read_snapshot(spark, t, where=("id", 25, None)).inputFiles()) == 2
+    assert len(read_snapshot(spark, t, where=("id", None, 5)).inputFiles()) == 1
+    # disjoint range → empty frame with the table schema
+    empty = read_snapshot(spark, t, where=("id", 1000, 2000))
+    assert empty.count() == 0 and empty.columns == full.columns
+
+    # a stats-less append is always kept
+    write_snapshot(_df(spark, 100, 105).coalesce(1), t, mode="append")
+    assert len(read_snapshot(spark, t, where=("id", 0, 5)).inputFiles()) == 2
+
+    # compaction: everything rewritten into bins → stats gone → no file
+    # is pruned, but the read is still correct (pruning is advisory)
+    compact(spark, t, target_bytes=10**9)
+    assert read_snapshot(spark, t, where=("id", 12, 17)).count() == 45
+
+
+def test_file_stats_timestamp_pruning(spark, tmp_path):
+    """Datetime stats round-trip through the ISO representation and prune
+    chronologically."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    epoch = dt.datetime(2024, 1, 1)
+    for day in range(3):
+        df = spark.range(5).select(
+            "id",
+            F.lit(epoch + dt.timedelta(days=day)).cast("timestamp").alias("ts"),
+        )
+        write_snapshot(df.coalesce(1), t, mode="append", stats_cols=["ts"])
+    got = read_snapshot(
+        spark, t,
+        where=("ts", dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 23)),
+    )
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 5
