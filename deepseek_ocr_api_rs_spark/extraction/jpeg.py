@@ -9,7 +9,9 @@ matrix IDCT, chroma upsampling for sampling factors h,v ∈ {1,2} (4:4:4,
 selection + successive approximation over a per-component coefficient
 store — DC-first / DC-refine / AC-first / AC-refine scan types per T.81
 G.2, with EOB-run aggregation, buffered correction bits, ZRL-in-refinement
-and RSTn resets. Arithmetic coding, hierarchical, 12-bit precision and
+and RSTn resets. 12-bit (extended sequential) precision renders to 8-bit
+output; 4-component CMYK/YCCK converts per the Adobe APP14 flag; 16-bit
+(pq=1) quantization tables parse. Arithmetic coding, hierarchical and
 >2 sampling factors return None (documented scope).
 
 Encoders: ``encode_jpeg_rgb`` — 4:4:4/4:2:0 baseline with the ITU-T T.81
@@ -382,8 +384,9 @@ def _encode_block(
     enc_dc: dict,
     enc_ac: dict,
     prev_dc: int,
+    center: float = 128.0,
 ) -> int:
-    coef = _dct2(block - 128.0)
+    coef = _dct2(block - center)
     qz = np.rint(coef / qt).astype(np.int32).reshape(64)[ZIGZAG]
     dc = int(qz[0])
     t, mag = _category(dc - prev_dc)
@@ -525,6 +528,69 @@ def encode_jpeg_rgb(
     return bytes(out)
 
 
+# 12-bit DC/AC tables for the extended-sequential encoder: Annex K's
+# 8-bit examples stop at DC category 11 / AC size 10, but 12-bit
+# coefficients reach categories 15/14 — so the encoder uses universal
+# fixed tables (15 DC cats at 4 bits + cat 15 at 5; the progressive
+# encoder's complete AC symbol set at 8 bits). Kraft-complete, all-ones
+# code unassigned, decoder-agnostic (tables travel in DHT).
+_DC12_TABLE = ([0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+               list(range(16)))
+
+
+def encode_jpeg_12bit(img12: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint16 samples < 4096 → 12-bit extended-sequential
+    (SOF1) JPEG, 1×1 sampling, YCbCr at 12-bit scale. The decoder
+    renders 12-bit to 8-bit (high nibble), so the round-trip target is
+    ``img12 >> 4``. Fixture inverse for the prec=12 decode path (the
+    scanned-document/medical family)."""
+    h, w, nc = img12.shape
+    if nc != 3:
+        raise ValueError("expected (h, w, 3)")
+    if int(img12.max(initial=0)) >= 4096:
+        raise ValueError("12-bit samples must be < 4096")
+    f = img12.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [y, cb, cr]
+    qy = _quality_scale(STD_LUMA_Q, quality).reshape(8, 8)
+    enc_dc = _canonical_codes(*_DC12_TABLE)
+    enc_ac = _canonical_codes(*_PROG_AC_TABLE)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = [_pad_edge(p, ph, pw) for p in planes]
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci in range(3):
+                prev[ci] = _encode_block(
+                    writer,
+                    padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qy, enc_dc, enc_ac, prev[ci], center=2048.0,
+                )
+    entropy = writer.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(int(qy.reshape(64)[z]) for z in ZIGZAG)
+    comp_spec = b"".join(
+        struct.pack("BBB", ci + 1, 0x11, 0) for ci in range(3)
+    )
+    # SOF1 (extended sequential): the frame that allows 12-bit precision
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 8 + 9, 12, h, w, 3) + comp_spec
+    for cls, (bits, values) in ((0, _DC12_TABLE), (1, _PROG_AC_TABLE)):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 3 + 16 + len(values), cls << 4
+        )
+        out += bytes(bits) + bytes(values)
+    scan = b"".join(struct.pack("BB", ci + 1, 0x00) for ci in range(3))
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 6, 3) + scan + b"\x00\x3f\x00"
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_cmyk(
     cmyk: np.ndarray, quality: int = 85, transform: int = 0
 ) -> bytes:
@@ -618,6 +684,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
         store: list[np.ndarray] | None = None
         restart_interval = 0
         adobe: int | None = None
+        prec = 8
         i = 2
         n = len(b)
         while i + 2 <= n:
@@ -631,7 +698,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             if marker == 0xD9:
                 # EOI: progressive renders accumulated coefficients here
                 if progressive and store is not None:
-                    return _render_coef_store(frame, store, qt, adobe)
+                    return _render_coef_store(frame, store, qt, adobe, prec)
                 return None  # baseline: EOI before SOS
             if i + 4 > n:
                 return None
@@ -672,8 +739,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 adobe = seg[11] if len(seg) > 11 else 0
             elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
                 prec = seg[0]
-                if prec != 8:
-                    return None
+                if prec not in (8, 12):
+                    return None  # only 8- and 12-bit sample precision
                 fh = int.from_bytes(seg[1:3], "big")
                 fw = int.from_bytes(seg[3:5], "big")
                 nc = seg[5]
@@ -697,7 +764,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                         sel[cid] = (tabs >> 4, tabs & 0x0F)
                     return _decode_scan(
                         b[data_start:], frame, qt, huff, sel,
-                        restart_interval, adobe,
+                        restart_interval, adobe, prec,
                     )
                 # progressive: one of many scans — decode into the store,
                 # then continue the marker walk after the entropy bytes
@@ -724,7 +791,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             i += 2 + seg_len
         # truncated stream: render what the progressive store holds
         if progressive and store is not None:
-            return _render_coef_store(frame, store, qt, adobe)
+            return _render_coef_store(frame, store, qt, adobe, prec)
         return None
     except Exception:
         return None
@@ -738,8 +805,11 @@ def _decode_scan(
     sel: dict[int, tuple[int, int]],
     restart_interval: int,
     adobe: int | None = None,
+    prec: int = 8,
 ) -> np.ndarray | None:
     fh, fw, comps = frame
+    center = float(1 << (prec - 1))
+    scale = float(1 << (prec - 8))  # 12-bit samples render to 8-bit
     if fh <= 0 or fw <= 0 or len(comps) not in (1, 3, 4):
         return None
     hmax = max(c[1] for c in comps)
@@ -804,7 +874,9 @@ def _decode_scan(
                             k += 1
                         coef = np.zeros(64, dtype=np.float64)
                         coef[ZIGZAG] = zz
-                        block = _idct2(coef.reshape(8, 8) * q) + 128.0
+                        block = (
+                            _idct2(coef.reshape(8, 8) * q) + center
+                        ) / scale
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -1106,6 +1178,7 @@ def _render_coef_store(
     store: list[np.ndarray],
     qt: dict[int, np.ndarray],
     adobe: int | None = None,
+    prec: int = 8,
 ) -> np.ndarray | None:
     """Dezigzag + dequantize + vectorized IDCT + upsample + color convert —
     the single rendering pass at EOI."""
@@ -1123,7 +1196,10 @@ def _render_coef_store(
         nat[:, :, ZIGZAG] = zz
         coef = nat.reshape(bh, bw, 8, 8) * q
         # IDCT over every block at once: M.T @ C @ M
-        blocks = np.einsum("ij,xyjk,kl->xyil", _DCT_M.T, coef, _DCT_M) + 128.0
+        blocks = (
+            np.einsum("ij,xyjk,kl->xyil", _DCT_M.T, coef, _DCT_M)
+            + float(1 << (prec - 1))
+        ) / float(1 << (prec - 8))
         plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if ch < hmax:
             plane = np.repeat(plane, hmax // ch, axis=1)

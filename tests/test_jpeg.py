@@ -257,3 +257,37 @@ def test_adobe_transform0_rgb_three_component():
     assert np.abs(got.astype(float) - img.astype(float)).max() <= 2.0
     with pytest.raises(ValueError):
         encode_jpeg_rgb(img, subsampling="420", color="rgb")
+
+
+def test_12bit_extended_sequential_roundtrip():
+    """prec=12 (SOF1 extended sequential — the scanned-document/medical
+    family): 12-bit samples level-shift at 2048, render to 8-bit via the
+    high nibble; round-trip lands within quantization error of
+    img12 >> 4. Encoder uses universal 16-category DC / 14-size AC
+    tables (Annex K's 8-bit examples cannot express 12-bit
+    magnitudes)."""
+    from deepseek_ocr_api_rs_spark.extraction.jpeg import encode_jpeg_12bit
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img12 = np.stack(
+        [xx * 4095 // 31, yy * 4095 // 23, (xx + yy) * 4095 // 54],
+        axis=-1,
+    ).astype(np.uint16)
+    blob = encode_jpeg_12bit(img12, quality=92)
+    i = blob.index(b"\xff\xc1")
+    assert blob[i + 4] == 12  # SOF1 precision byte
+    got = decode_jpeg_pixels(blob)
+    assert got is not None and got.shape == (24, 32, 3)
+    err = np.abs(got.astype(np.float64) - (img12 >> 4).astype(np.float64))
+    assert err.max() <= 2.0, err.max()
+    # extremes: full-range white/black survive the widened DC categories
+    flat = np.zeros((8, 8, 3), dtype=np.uint16)
+    flat[..., :] = 4095
+    got = decode_jpeg_pixels(encode_jpeg_12bit(flat, quality=95))
+    assert got is not None and got.min() >= 253
+    with pytest.raises(ValueError):
+        encode_jpeg_12bit(np.full((8, 8, 3), 5000, dtype=np.uint16))
+    # precision byte other than 8/12 still rejects
+    bad = bytearray(blob)
+    bad[i + 4] = 10
+    assert decode_jpeg_pixels(bytes(bad)) is None
