@@ -722,11 +722,100 @@ GIF_PALETTE = np.stack(
 )
 
 
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB) — the no-compression raster containers screenshots and
+# legacy tooling emit. Public layout: BITMAPFILEHEADER (14 bytes) +
+# BITMAPINFOHEADER (biSize ≥ 40), BGR(A) rows padded to 4 bytes, stored
+# bottom-up unless the height is negative (top-down).
+
+
+def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
+    """Uncompressed BI_RGB BMP → (h, w, 3) uint8 RGB: 8-bit palette,
+    24-bit BGR, 32-bit BGRA (alpha dropped). Strictly validated (header
+    size, bpp, BI_RGB, sane dims) so arbitrary text starting 'BM' can
+    never parse as an image; anything else → None, never raises."""
+    try:
+        b = bytes(payload or b"")
+        if b[:2] != b"BM" or len(b) < 54:
+            return None
+        data_off = int.from_bytes(b[10:14], "little")
+        hsize = int.from_bytes(b[14:18], "little")
+        if hsize not in (40, 52, 56, 108, 124):
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        top_down = h < 0
+        h = abs(h)
+        if comp != 0 or bpp not in (8, 24, 32):
+            return None
+        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+            return None
+        rowlen = (w * bpp // 8 + 3) & ~3
+        px = b[data_off : data_off + rowlen * h]
+        if len(px) < rowlen * h:
+            return None
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, rowlen)
+        if bpp == 8:
+            ncol = int.from_bytes(b[46:50], "little") or 256
+            pal = np.frombuffer(
+                b[14 + hsize : 14 + hsize + 4 * ncol], dtype=np.uint8
+            ).reshape(-1, 4)
+            if pal.shape[0] < ncol:
+                return None
+            idx = arr[:, :w]
+            if int(idx.max(initial=0)) >= ncol:
+                return None
+            rgb = pal[idx][:, :, [2, 1, 0]]  # BGRX entries
+        elif bpp == 24:
+            rgb = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        else:
+            rgb = arr[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+        if not top_down:
+            rgb = rgb[::-1]  # bottom-up storage
+        return np.ascontiguousarray(rgb)
+    except Exception:
+        return None
+
+
+def encode_bmp_rgb(
+    img: np.ndarray, bpp: int = 24, top_down: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 → uncompressed BI_RGB BMP (24-bit BGR or 32-bit
+    BGRA), padded rows, bottom-up by default — the fixture inverse."""
+    if bpp not in (24, 32):
+        raise ValueError("bpp must be 24 or 32")
+    h, w, _ = img.shape
+    rows = img if top_down else img[::-1]
+    if bpp == 24:
+        px = rows[:, :, ::-1]
+    else:
+        px = np.concatenate(
+            [rows[:, :, ::-1], np.full((h, w, 1), 255, np.uint8)], axis=2
+        )
+    rowlen = (w * bpp // 8 + 3) & ~3
+    body = bytearray()
+    for y in range(h):
+        r = px[y].tobytes()
+        body += r + b"\x00" * (rowlen - len(r))
+    data_off = 14 + 40
+    size = data_off + len(body)
+    head = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, bpp, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return bytes(head + info + body)
+
+
 def decode_image_pixels(payload: bytes) -> np.ndarray | None:
-    """Format-dispatched full pixel decode → (h, w, 3) uint8 RGB. All three
+    """Format-dispatched full pixel decode → (h, w, 3) uint8 RGB. All four
     formats are REAL, stdlib + numpy: PNG (zlib inflate + scanline
-    unfilter), GIF (LZW), and baseline JPEG (Huffman + dequant + IDCT,
-    extraction/jpeg.py). Unrecognized or out-of-scope payloads → None."""
+    unfilter), GIF (LZW), baseline/progressive JPEG (Huffman + dequant +
+    IDCT, extraction/jpeg.py), and uncompressed BMP (BGR(A)/palette
+    DIBs). Unrecognized or out-of-scope payloads → None."""
     b = bytes(payload or b"")
     if b.startswith(PNG_MAGIC):
         return decode_png_pixels(b)
@@ -736,4 +825,6 @@ def decode_image_pixels(payload: bytes) -> np.ndarray | None:
         from deepseek_ocr_api_rs_spark.extraction.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(b)
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
     return None

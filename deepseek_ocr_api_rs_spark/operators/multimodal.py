@@ -58,10 +58,11 @@ _JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 def decode_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
     """REAL image header decode, stdlib only. Returns (width, height, format)
-    for PNG / JPEG / GIF payloads, None when the magic is unrecognized or the
-    header is truncated. Header fields per the public specs: PNG IHDR
+    for PNG / JPEG / GIF / BMP payloads, None when the magic is unrecognized
+    or the header is truncated. Header fields per the public specs: PNG IHDR
     big-endian dims at bytes 16-24; JPEG dims in the first SOFn segment; GIF
-    little-endian logical-screen dims at bytes 6-10."""
+    little-endian logical-screen dims at bytes 6-10; BMP signed
+    little-endian dims in the BITMAPINFOHEADER (strictly validated)."""
     if payload is None or len(payload) < 10:
         return None
     b = bytes(payload)
@@ -75,6 +76,23 @@ def decode_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
         w = int.from_bytes(b[6:8], "little")
         h = int.from_bytes(b[8:10], "little")
         return (w, h, "GIF")
+    if b[:2] == b"BM" and len(b) >= 34:
+        # same strict gates as raster.decode_bmp_pixels so text payloads
+        # that merely start with "BM" can never parse as an image
+        hsize = int.from_bytes(b[14:18], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if (
+            hsize in (40, 52, 56, 108, 124)
+            and comp == 0
+            and bpp in (8, 24, 32)
+            and 0 < w <= 1 << 20
+            and 0 < h <= 1 << 20
+        ):
+            return (w, h, "BMP")
+        return None
     if b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         n = len(b)

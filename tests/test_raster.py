@@ -363,3 +363,41 @@ def test_sub_byte_depths_palette_and_grayscale():
     )
     blob[blob.index(b"IHDR") + 4 + 8] = 4
     assert decode_png_pixels(bytes(blob)) is None
+
+
+def test_bmp_decode_roundtrip_and_guards():
+    """Uncompressed BI_RGB BMPs (screenshots/legacy-tooling family):
+    24/32-bit, bottom-up and top-down, all round-trip exactly through
+    the dispatcher; 8-bit palette decodes; text starting 'BM' can never
+    parse (strict header gates)."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        decode_bmp_pixels,
+        decode_image_pixels,
+        encode_bmp_rgb,
+    )
+
+    rng = np.random.RandomState(4)
+    for h, w in [(1, 1), (3, 5), (13, 23)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for bpp in (24, 32):
+            for td in (False, True):
+                blob = encode_bmp_rgb(img, bpp=bpp, top_down=td)
+                assert np.array_equal(decode_bmp_pixels(blob), img)
+                assert np.array_equal(decode_image_pixels(blob), img)
+    # 8-bit palette form (hand-assembled: 40-byte header + BGRX palette)
+    import struct as _s
+
+    pal = bytes(
+        b for i in range(4) for b in (i * 80, 255 - i * 80, i * 10, 0)
+    )
+    idx_rows = bytes([0, 1, 2, 3]) + bytes([3, 2, 1, 0])  # 4 wide, 2 rows
+    head = b"BM" + _s.pack("<IHHI", 14 + 40 + len(pal) + 8, 0, 0, 14 + 40 + len(pal))
+    info = _s.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, 8, 0, 0, 4, 0)
+    got = decode_bmp_pixels(head + info + pal + idx_rows)
+    assert got is not None and got.shape == (2, 4, 3)
+    # bottom-up: file row 0 is image row 1
+    assert got[1, 0, 0] == 0 and got[1, 0, 1] == 255  # palette entry 0 BGR→RGB... R=third byte
+    # strictness: text payloads never parse
+    assert decode_bmp_pixels(b"BMarker text long enough to cover a header" * 3) is None
+    truncated = encode_bmp_rgb(rng.randint(0, 256, (8, 8, 3), dtype=np.uint8))[:30]
+    assert decode_bmp_pixels(truncated) is None
