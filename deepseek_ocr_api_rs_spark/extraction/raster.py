@@ -811,11 +811,13 @@ def encode_bmp_rgb(
 
 
 def decode_image_pixels(payload: bytes) -> np.ndarray | None:
-    """Format-dispatched full pixel decode → (h, w, 3) uint8 RGB. All four
+    """Format-dispatched full pixel decode → (h, w, 3) uint8 RGB. All five
     formats are REAL, stdlib + numpy: PNG (zlib inflate + scanline
     unfilter), GIF (LZW), baseline/progressive JPEG (Huffman + dequant +
-    IDCT, extraction/jpeg.py), and uncompressed BMP (BGR(A)/palette
-    DIBs). Unrecognized or out-of-scope payloads → None."""
+    IDCT, extraction/jpeg.py), uncompressed BMP (BGR(A)/palette DIBs),
+    and baseline strip TIFF (none/LZW/PackBits + predictor,
+    extraction/tiff.py). Unrecognized or out-of-scope payloads →
+    None."""
     b = bytes(payload or b"")
     if b.startswith(PNG_MAGIC):
         return decode_png_pixels(b)
@@ -827,4 +829,10 @@ def decode_image_pixels(payload: bytes) -> np.ndarray | None:
         return decode_jpeg_pixels(b)
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from deepseek_ocr_api_rs_spark.extraction.tiff import (
+            decode_tiff_pixels,
+        )
+
+        return decode_tiff_pixels(b)
     return None

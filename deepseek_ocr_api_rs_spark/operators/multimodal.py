@@ -58,7 +58,7 @@ _JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 def decode_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
     """REAL image header decode, stdlib only. Returns (width, height, format)
-    for PNG / JPEG / GIF / BMP payloads, None when the magic is unrecognized
+    for PNG / JPEG / GIF / BMP / TIFF payloads, None when the magic is unrecognized
     or the header is truncated. Header fields per the public specs: PNG IHDR
     big-endian dims at bytes 16-24; JPEG dims in the first SOFn segment; GIF
     little-endian logical-screen dims at bytes 6-10; BMP signed
@@ -92,6 +92,17 @@ def decode_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
             and 0 < h <= 1 << 20
         ):
             return (w, h, "BMP")
+        return None
+    if b[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF
+        from deepseek_ocr_api_rs_spark.extraction.tiff import _read_ifd
+
+        e = "<" if b[:2] == b"II" else ">"
+        (ifd,) = struct.unpack_from(e + "I", b, 4)
+        tags = _read_ifd(b, ifd, e)
+        if tags and tags.get(256) and tags.get(257):
+            w, h = tags[256][0], tags[257][0]
+            if 0 < w <= 1 << 20 and 0 < h <= 1 << 20:
+                return (w, h, "TIFF")
         return None
     if b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2

@@ -1,0 +1,124 @@
+"""Baseline TIFF decode (extraction/tiff.py): strip storage, both byte
+orders, none/LZW/PackBits compression (the PDF filter coders reused),
+horizontal predictor, grayscale/palette photometrics. Mirrors the
+reference accepting real raster inputs (crates/cli/src/app.rs:116-122)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from deepseek_ocr_api_rs_spark.extraction.tiff import (
+    decode_tiff_pixels,
+    encode_tiff_rgb,
+)
+
+
+def test_rgb_roundtrip_all_combos():
+    rng = np.random.RandomState(12)
+    for h, w in [(1, 1), (3, 5), (13, 23)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for be in (False, True):
+                    for rps in (None, 4):
+                        blob = encode_tiff_rgb(
+                            img, compression=comp, predictor=pred,
+                            big_endian=be, rows_per_strip=rps,
+                        )
+                        got = decode_tiff_pixels(blob)
+                        assert got is not None and np.array_equal(got, img), (
+                            h, w, comp, pred, be, rps,
+                        )
+
+
+def _gray_tiff(g: np.ndarray, photo: int) -> bytes:
+    """Hand-assembled single-strip 8-bit grayscale/palette TIFF (II)."""
+    h, w = g.shape
+    n_tags = 8
+    data_start = 8 + 2 + 12 * n_tags + 4
+    strip = g.tobytes()
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, photo),
+        (273, 4, 1, data_start), (277, 3, 1, 1),
+        (279, 4, 1, len(strip)),
+    ]
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", n_tags)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<HH", val, 0) if typ == 3 else struct.pack("<I", val)
+    out += struct.pack("<I", 0)
+    out += strip
+    return bytes(out)
+
+
+def test_grayscale_both_polarities():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8) * 4
+    black_is_zero = decode_tiff_pixels(_gray_tiff(g, photo=1))
+    assert np.array_equal(black_is_zero, np.repeat(g[:, :, None], 3, axis=2))
+    white_is_zero = decode_tiff_pixels(_gray_tiff(g, photo=0))
+    assert np.array_equal(
+        white_is_zero, np.repeat((255 - g)[:, :, None], 3, axis=2)
+    )
+
+
+def test_palette_colormap_16bit_channels():
+    """Photometric 3: ColorMap carries 16-bit channels (v*257); decode
+    takes the high byte."""
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    h, w = idx.shape
+    cmap = []
+    for ch in range(3):
+        col = [0] * 256
+        for i in range(4):
+            col[i] = (i * 60 + ch * 10) * 257
+        cmap += col
+    n_tags = 9
+    ifd_head = 8 + 2 + 12 * n_tags + 4
+    cmap_bytes = struct.pack("<" + "H" * 768, *cmap)
+    strip_off = ifd_head + len(cmap_bytes)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 3), (273, 4, 1, strip_off), (277, 3, 1, 1),
+        (279, 4, 1, h * w), (320, 3, 768, ifd_head),
+    ]
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", n_tags)
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<HH", val, 0) if (typ == 3 and cnt == 1) else struct.pack("<I", val)
+    out += struct.pack("<I", 0)
+    out += cmap_bytes + idx.tobytes()
+    got = decode_tiff_pixels(bytes(out))
+    assert got is not None
+    for i in range(4):
+        y, x = divmod(i, 2)
+        assert list(got[y, x]) == [i * 60, i * 60 + 10, i * 60 + 20]
+
+
+def test_out_of_scope_and_malformed_return_none():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = encode_tiff_rgb(img)
+    assert decode_tiff_pixels(blob[:20]) is None
+    assert decode_tiff_pixels(b"II*\x00" + b"\xff" * 30) is None
+    # unsupported compression id → None (flip COMP tag value to 7 = JPEG)
+    i = blob.index(struct.pack("<HHI", 259, 3, 1))
+    bad = blob[: i + 8] + struct.pack("<HH", 7, 0) + blob[i + 12 :]
+    assert decode_tiff_pixels(bad) is None
+    with pytest.raises(ValueError):
+        encode_tiff_rgb(img, compression=7)
+
+
+def test_dispatch_and_dims():
+    from deepseek_ocr_api_rs_spark.extraction.raster import decode_image_pixels
+    from deepseek_ocr_api_rs_spark.operators.multimodal import decode_image_dims
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    for be in (False, True):
+        blob = encode_tiff_rgb(img, big_endian=be, compression=32773)
+        assert np.array_equal(decode_image_pixels(blob), img)
+        assert decode_image_dims(blob) == (7, 5, "TIFF")
