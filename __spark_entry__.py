@@ -1663,13 +1663,14 @@ order by user_id, click_id, purchase_id
 
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal roundtrip: synthesize REAL image payloads (PNG/JPEG/GIF,
-    format by doc_id % 3, dims by doc_id arithmetic) in one Arrow stage, then
-    REAL-header-decode them back (stdlib struct: PNG IHDR, JPEG SOF scan, GIF
-    screen descriptor — crates/server/src/generation.rs:276-305's real-image
-    contract) in a second. The oracle reproduces the dims arithmetic; the
-    bytes in between are genuine image files (the JPEGs carry real entropy
-    data now), so a decode bug breaks the hash."""
+    """Multimodal roundtrip: synthesize REAL image payloads
+    (PNG/JPEG/GIF/BMP/TIFF, format by doc_id % 5, dims by doc_id
+    arithmetic) in one Arrow stage, then REAL-header-decode them back
+    (stdlib struct: PNG IHDR, JPEG SOF scan, GIF screen descriptor, BMP
+    BITMAPINFOHEADER, TIFF IFD — crates/server/src/generation.rs:276-305's
+    real-image contract) in a second. The oracle reproduces the dims
+    arithmetic; the bytes in between are genuine image files, so a decode
+    bug in any of the five formats breaks the hash."""
     from deepseek_ocr_api_rs_spark.operators.multimodal import (
         image_metadata,
         synthesize_image_payloads,
@@ -1692,7 +1693,8 @@ _Q_IMAGE_SQL = """
 select doc_id,
   cast(doc_id % 64 + 1 as int) as width,
   cast(doc_id % 48 + 1 as int) as height,
-  case cast(doc_id % 3 as int) when 0 then 'PNG' when 1 then 'JPEG' else 'GIF' end as mode
+  case cast(doc_id % 5 as int) when 0 then 'PNG' when 1 then 'JPEG'
+       when 2 then 'GIF' when 3 then 'BMP' else 'TIFF' end as mode
 from documents order by doc_id
 """
 

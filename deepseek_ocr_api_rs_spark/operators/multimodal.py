@@ -244,10 +244,11 @@ def make_gif_bytes(width: int, height: int) -> bytes:
 def synthesize_image_payloads(
     docs: DataFrame, id_col: str = "doc_id", max_w: int = 64, max_h: int = 48
 ) -> DataFrame:
-    """doc_id → deterministic real image payload (format cycles PNG/JPEG/GIF
-    by doc_id % 3; dims doc_id % max_w + 1 × doc_id % max_h + 1). Used by the
-    roundtrip query q_image_meta: the arithmetic is SQL-expressible, the
-    bytes in between are real image files."""
+    """doc_id → deterministic real image payload (format cycles
+    PNG/JPEG/GIF/BMP/TIFF by doc_id % 5; dims doc_id % max_w + 1 ×
+    doc_id % max_h + 1). Used by the roundtrip query q_image_meta: the
+    arithmetic is SQL-expressible, the bytes in between are real image
+    files."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -255,18 +256,48 @@ def synthesize_image_payloads(
             payloads = []
             for d in ids:
                 w, h = int(d % max_w + 1), int(d % max_h + 1)
-                k = int(d % 3)
+                k = int(d % 5)
                 if k == 0:
                     payloads.append(make_png_bytes(w, h))
                 elif k == 1:
                     payloads.append(make_jpeg_bytes(w, h))
-                else:
+                elif k == 2:
                     payloads.append(make_gif_bytes(w, h))
+                elif k == 3:
+                    payloads.append(make_bmp_bytes(w, h))
+                else:
+                    payloads.append(make_tiff_bytes(w, h))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         process, schema="doc_id long, payload binary"
     )
+
+
+@_lru_cache(maxsize=65536)
+def make_bmp_bytes(width: int, height: int) -> bytes:
+    """REAL uncompressed BMP (extraction/raster.py encoder): deterministic
+    gradient pixels, dim-keyed cache (pure function of dims)."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import encode_bmp_rgb
+
+    y, x = np.mgrid[0:height, 0:width]
+    img = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, (x + y) % 256], axis=2
+    ).astype(np.uint8)
+    return encode_bmp_rgb(img)
+
+
+@_lru_cache(maxsize=65536)
+def make_tiff_bytes(width: int, height: int) -> bytes:
+    """REAL LZW+predictor strip TIFF (extraction/tiff.py encoder):
+    deterministic gradient pixels, dim-keyed cache."""
+    from deepseek_ocr_api_rs_spark.extraction.tiff import encode_tiff_rgb
+
+    y, x = np.mgrid[0:height, 0:width]
+    img = np.stack(
+        [(x * 7) % 256, (y * 3) % 256, (x * 2 + y) % 256], axis=2
+    ).astype(np.uint8)
+    return encode_tiff_rgb(img, compression=5, predictor=2)
 
 
 RESIZED_SCHEMA = StructType(
