@@ -96,7 +96,7 @@ def test_image_metadata_real_decode_via_spark(spark):
     for d, r in rows.items():
         assert r.width == d % 64 + 1
         assert r.height == d % 48 + 1
-        assert r.mode == ["PNG", "JPEG", "GIF"][d % 3]
+        assert r.mode == ["PNG", "JPEG", "GIF", "BMP", "TIFF"][d % 5]
 
 
 def test_fallback_for_text_payloads(spark):
