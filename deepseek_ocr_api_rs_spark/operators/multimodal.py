@@ -5,12 +5,14 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
 The image HEADER decode is REAL (stdlib struct/zlib — PNG IHDR, JPEG SOF
-marker scan, GIF logical screen descriptor), mirroring the reference's real
-image loads (crates/server/src/generation.rs:276-305). Every format also
-gets a REAL PIXEL path (extraction.raster.decode_image_pixels): PNG — zlib
-inflate + scanline unfilter; GIF — a genuine LZW decoder; JPEG — a full
-baseline codec (Huffman + dequant + IDCT + 4:2:0 upsampling,
-extraction/jpeg.py). ``resize_png_payloads`` runs the reference's 22-bit
+marker scan, GIF logical screen descriptor, BMP BITMAPINFOHEADER, TIFF
+IFD), mirroring the reference's real image loads
+(crates/server/src/generation.rs:276-305). Every format also gets a REAL
+PIXEL path (extraction.raster.decode_image_pixels): PNG — zlib inflate +
+scanline unfilter (all depths/Adam7); GIF — a genuine LZW decoder; JPEG —
+a full baseline+progressive codec (extraction/jpeg.py); BMP — BGR(A)/
+palette DIB rows; TIFF — strip LZW/PackBits + predictor
+(extraction/tiff.py). ``resize_png_payloads`` runs the reference's 22-bit
 fixed-point bicubic resize (crates/infer-deepseek/src/vision/resample.rs)
 on the decoded rasters; real audio (RIFF/WAVE + numpy FFT) lives in
 operators/audio.py. Nothing in the image path is stubbed anymore — the

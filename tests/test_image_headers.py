@@ -1,9 +1,11 @@
 """Real image-header decode tests (operators/multimodal.py).
 
 The decode is stdlib-only header parsing (PNG IHDR / JPEG SOF marker scan /
-GIF logical screen descriptor) — the real-input contract of the reference's
-image loads (crates/server/src/generation.rs:276-305). Pixel decode stays
-behind real_decode_stub.
+GIF logical screen descriptor / BMP BITMAPINFOHEADER / TIFF IFD) — the
+real-input contract of the reference's image loads
+(crates/server/src/generation.rs:276-305). Pixel decode is REAL for all
+five formats too (extraction/raster.py + jpeg.py + tiff.py); the resize
+tests below assert byte parity against the scalar chain.
 """
 
 from __future__ import annotations
