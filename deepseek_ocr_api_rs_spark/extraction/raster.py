@@ -729,29 +729,50 @@ GIF_PALETTE = np.stack(
 # bottom-up unless the height is negative (top-down).
 
 
+def parse_bmp_header(payload: bytes) -> dict | None:
+    """Strictly-validated BMP header parse (ONE source of truth for the
+    pixel decoder and the header-dims path): header size, BI_RGB only,
+    bpp ∈ {8,24,32}, sane dims, and data_off pointing PAST the header
+    (a corrupt offset would otherwise decode the header bytes as
+    pixels). Returns {w, h, bpp, hsize, data_off, top_down} or None —
+    arbitrary text starting 'BM' can never parse."""
+    b = bytes(payload or b"")
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    hsize = int.from_bytes(b[14:18], "little")
+    if hsize not in (40, 52, 56, 108, 124):
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    top_down = h < 0
+    h = abs(h)
+    if comp != 0 or bpp not in (8, 24, 32):
+        return None
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+        return None
+    if not (14 + hsize <= data_off <= len(b)):
+        return None
+    return {
+        "w": w, "h": h, "bpp": bpp, "hsize": hsize,
+        "data_off": data_off, "top_down": top_down,
+    }
+
+
 def decode_bmp_pixels(payload: bytes) -> np.ndarray | None:
     """Uncompressed BI_RGB BMP → (h, w, 3) uint8 RGB: 8-bit palette,
-    24-bit BGR, 32-bit BGRA (alpha dropped). Strictly validated (header
-    size, bpp, BI_RGB, sane dims) so arbitrary text starting 'BM' can
-    never parse as an image; anything else → None, never raises."""
+    24-bit BGR, 32-bit BGRA (alpha dropped). Header gates live in
+    ``parse_bmp_header``; anything invalid → None, never raises."""
     try:
         b = bytes(payload or b"")
-        if b[:2] != b"BM" or len(b) < 54:
+        hd = parse_bmp_header(b)
+        if hd is None:
             return None
-        data_off = int.from_bytes(b[10:14], "little")
-        hsize = int.from_bytes(b[14:18], "little")
-        if hsize not in (40, 52, 56, 108, 124):
-            return None
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        h = int.from_bytes(b[22:26], "little", signed=True)
-        bpp = int.from_bytes(b[28:30], "little")
-        comp = int.from_bytes(b[30:34], "little")
-        top_down = h < 0
-        h = abs(h)
-        if comp != 0 or bpp not in (8, 24, 32):
-            return None
-        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
-            return None
+        w, h = hd["w"], hd["h"]
+        bpp, hsize = hd["bpp"], hd["hsize"]
+        data_off, top_down = hd["data_off"], hd["top_down"]
         rowlen = (w * bpp // 8 + 3) & ~3
         px = b[data_off : data_off + rowlen * h]
         if len(px) < rowlen * h:

@@ -4,7 +4,10 @@ family (TIFF 6.0, public Adobe spec).
 Scope: both byte orders (II/MM), single-image (first IFD), strip-based
 storage, compression 1 (none), 5 (LZW — the SAME MSB-first variable-width
 coder as PDF's LZWDecode, reused from extraction/pdf_real) and 32773
-(PackBits — byte-identical to PDF's RunLengthDecode, also reused),
+(PackBits — PDF's RunLengthDecode except 0x80, which PackBits defines as
+a no-op rather than end-of-data, so the decoder is local; the PDF
+RunLength ENCODER minus its EOD byte is still a valid PackBits stream
+and serves as the fixture writer),
 horizontal-differencing predictor (tag 317 = 2), photometric 0/1
 (grayscale, incl. WhiteIsZero inversion), 2 (RGB, 3 or 4
 samples/pixel — extra alpha dropped) and 3 (palette via ColorMap's
@@ -72,6 +75,29 @@ def _undo_horizontal_predictor(rows: np.ndarray, spp: int) -> np.ndarray:
     return out.reshape(h, rowlen).astype(np.uint8)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (TIFF 6.0 §9). Same algorithm as PDF's
+    RunLengthDecode EXCEPT the 0x80 control byte: PackBits defines it as
+    a NO-OP (some writers emit it as padding), while the PDF filter
+    treats it as end-of-data — so reusing the PDF decoder dropped
+    spec-valid strips short (code-review r5 pass 2)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i < n:
+                out += data[i : i + 1] * (257 - c)
+                i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
 def decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
     """Baseline strip TIFF → (h, w, 3) uint8 RGB, or None out of scope."""
     try:
@@ -128,11 +154,7 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray | None:
 
                 dec = lzw_decode(strip, 1)
             elif comp == 32773:
-                from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
-                    runlength_decode,
-                )
-
-                dec = runlength_decode(strip + b"\x80")  # EOD for the PDF form
+                dec = _packbits_decode(strip)
             else:
                 dec = strip
             if dec is None:

@@ -78,23 +78,13 @@ def decode_image_dims(payload: bytes | None) -> tuple[int, int, str] | None:
         w = int.from_bytes(b[6:8], "little")
         h = int.from_bytes(b[8:10], "little")
         return (w, h, "GIF")
-    if b[:2] == b"BM" and len(b) >= 34:
-        # same strict gates as raster.decode_bmp_pixels so text payloads
-        # that merely start with "BM" can never parse as an image
-        hsize = int.from_bytes(b[14:18], "little")
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        h = abs(int.from_bytes(b[22:26], "little", signed=True))
-        bpp = int.from_bytes(b[28:30], "little")
-        comp = int.from_bytes(b[30:34], "little")
-        if (
-            hsize in (40, 52, 56, 108, 124)
-            and comp == 0
-            and bpp in (8, 24, 32)
-            and 0 < w <= 1 << 20
-            and 0 < h <= 1 << 20
-        ):
-            return (w, h, "BMP")
-        return None
+    if b[:2] == b"BM":
+        from deepseek_ocr_api_rs_spark.extraction.raster import (
+            parse_bmp_header,
+        )
+
+        hd = parse_bmp_header(b)
+        return (hd["w"], hd["h"], "BMP") if hd is not None else None
     if b[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF
         from deepseek_ocr_api_rs_spark.extraction.tiff import _read_ifd
 

@@ -44,17 +44,32 @@ class CommitConflict(RuntimeError):
 
 def _stat_repr(v):
     """JSON-safe, ORDER-PRESERVING representation for manifest column
-    stats: numbers/bools pass through, datetimes become ISO strings
-    (lexicographic == chronological at fixed format), everything else
-    str()s. Predicate bounds go through the same function, so prune
-    comparisons are representation-consistent."""
+    stats: numbers/bools pass through, datetimes/dates become ISO strings
+    (lexicographic == chronological at fixed format), strings pass
+    through. Any OTHER type maps to None — "no usable stat" — because a
+    str() fallback is NOT order-preserving (Decimal '9' > '15'
+    lexicographically) and a wrong ordering silently DROPS matching
+    files, violating the pruning-is-advisory contract (code-review r5
+    pass 2). Predicate bounds go through the same function."""
     import datetime as _dt
 
-    if v is None or isinstance(v, (int, float, bool)):
+    if v is None or isinstance(v, (bool, int, float, str)):
         return v
-    if isinstance(v, _dt.datetime):
+    if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
-    return str(v)
+    return None
+
+
+def _stats_comparable(a, b) -> bool:
+    """Prune comparisons only between same-family representations — a
+    numeric stat against a string bound (or vice versa) keeps the file
+    instead of raising."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -110,6 +125,14 @@ def _publish(
     retrying would silently erase that writer's rows, so the publish
     raises ``CommitConflict`` instead (Iceberg's validate-then-commit)."""
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    # every retry derives from the CALLER's manifest, never the previous
+    # iteration's merged one — reusing the merged dict made the second
+    # iteration see its own carried stream_max_epoch and skip re-carrying
+    # from the NEW parent, publishing a regressed dedup marker after a
+    # lost race (code-review r5 pass 2)
+    base = dict(manifest)
+    base_metrics = dict(base.get("metrics", {}))
+    base_stats = dict(base.get("file_stats", {}))
     for _ in range(max_retries):
         cur = current_version(table_dir)
         if require_parent is not None and cur != require_parent:
@@ -118,19 +141,19 @@ def _publish(
                 "re-run the rewrite against the current version"
             )
         version = (cur or 0) + 1
+        attempt = dict(base)
         if append_files is not None:
             prev_files: list[str] = []
             prev_rows = 0
             prev_metrics: dict = {}
+            prev_stats: dict = {}
             if cur is not None:
                 prev = read_manifest(table_dir, cur)
                 prev_files = prev["files"]
                 prev_rows = prev["n_rows"]
                 prev_metrics = prev.get("metrics", {})
-            prev_stats: dict = {}
-            if cur is not None:
                 prev_stats = prev.get("file_stats", {})
-            metrics = dict(manifest.get("metrics", {}))
+            metrics = dict(base_metrics)
             # an append that does not itself advance the stream-epoch
             # marker must CARRY the parent's forward (falling back to the
             # pre-r5 per-commit epoch_id form): otherwise a batch append
@@ -149,22 +172,19 @@ def _publish(
                 ]
                 if cands:
                     metrics["stream_max_epoch"] = max(cands)
-            manifest = dict(
-                manifest,
+            attempt = dict(
+                attempt,
                 files=prev_files + append_files,
                 n_rows=prev_rows + append_rows,
                 metrics=metrics,
-                file_stats={
-                    **prev_stats,
-                    **manifest.get("file_stats", {}),
-                },
+                file_stats={**prev_stats, **base_stats},
             )
-        manifest = dict(manifest, version=version, parent=cur)
+        attempt = dict(attempt, version=version, parent=cur)
         tmp = os.path.join(
             _snap_dir(table_dir), f".tmp-{uuid.uuid4().hex}.json"
         )
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(attempt, f)
         try:
             os.link(tmp, _manifest_file(table_dir, version))
             return version
@@ -275,6 +295,8 @@ def read_snapshot(
                 s is not None
                 and s[0] is not None
                 and s[1] is not None
+                and (hi_r is None or _stats_comparable(s[0], hi_r))
+                and (lo_r is None or _stats_comparable(s[1], lo_r))
                 and (
                     (hi_r is not None and s[0] > hi_r)
                     or (lo_r is not None and s[1] < lo_r)
@@ -301,6 +323,9 @@ def rollback(table_dir: str, to_version: int) -> int:
         "committed_ts": time.time(),
         "operation": f"rollback(v{to_version})",
         "metrics": old.get("metrics", {}),
+        # keep the target's column stats: dropping them permanently
+        # disabled manifest pruning for every rolled-back file
+        "file_stats": old.get("file_stats", {}),
     }
     return _publish(table_dir, manifest)
 

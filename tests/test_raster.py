@@ -401,3 +401,24 @@ def test_bmp_decode_roundtrip_and_guards():
     assert decode_bmp_pixels(b"BMarker text long enough to cover a header" * 3) is None
     truncated = encode_bmp_rgb(rng.randint(0, 256, (8, 8, 3), dtype=np.uint8))[:30]
     assert decode_bmp_pixels(truncated) is None
+
+
+def test_bmp_bad_data_offset_rejected():
+    """A corrupt bfOffBits pointing inside the header must reject — the
+    header bytes would otherwise decode as pixel rows (code-review r5
+    pass 2); the dims path shares the same parser."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        decode_bmp_pixels,
+        encode_bmp_rgb,
+        parse_bmp_header,
+    )
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        decode_image_dims,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp_rgb(img))
+    blob[10:14] = (0).to_bytes(4, "little")  # bfOffBits = 0
+    assert parse_bmp_header(bytes(blob)) is None
+    assert decode_bmp_pixels(bytes(blob)) is None
+    assert decode_image_dims(bytes(blob)) is None

@@ -362,3 +362,80 @@ def test_file_stats_timestamp_pruning(spark, tmp_path):
     )
     assert len(got.inputFiles()) == 1
     assert got.count() == 5
+
+
+def test_retry_race_recarries_marker_from_new_parent(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review r5 pass 2: a batch append losing the version race must
+    re-derive the stream marker from the NEW parent, not reuse the
+    previous attempt's merged metrics — otherwise the winner's higher
+    epoch is overwritten by a stale marker and a crash-replay of that
+    epoch would duplicate rows."""
+    import deepseek_ocr_api_rs_spark.sources.snapshots as snap
+    from deepseek_ocr_api_rs_spark.sources.snapshots import last_stream_epoch
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5), t, metrics={"stream_max_epoch": 5})
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if not state["fired"] and dst.endswith("v2.json"):
+            state["fired"] = True
+            # the winner: a stream commit of epoch 6
+            write_snapshot(
+                _df(spark, 100, 103), t, mode="append",
+                metrics={"epoch_id": 6, "stream_max_epoch": 6},
+            )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", racing_link)
+    # the loser: a plain batch append with no marker of its own
+    write_snapshot(_df(spark, 200, 204), t, mode="append",
+                   metrics={"run_id": "batch"})
+    assert read_snapshot(spark, t).count() == 12  # nothing lost
+    assert last_stream_epoch(t) == 6  # NOT regressed to 5
+
+
+def test_stat_repr_unknown_types_and_mixed_bounds_never_prune(
+    spark, tmp_path
+):
+    """Unknown stat types record None (str() of a Decimal is not
+    order-preserving) and mixed-type bounds keep the file instead of
+    raising — pruning stays advisory in every case."""
+    from decimal import Decimal
+
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        _stat_repr,
+        _stats_comparable,
+    )
+
+    assert _stat_repr(Decimal("9")) is None
+    assert _stat_repr(b"bytes") is None
+    assert _stat_repr("s") == "s" and _stat_repr(3) == 3
+    assert not _stats_comparable(3, "3") and not _stats_comparable(True, 1)
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        _df(spark, 0, 10).coalesce(1), t, stats_cols=["id"]
+    )
+    # string bound against int stats: file kept, read correct, no raise
+    got = read_snapshot(spark, t, where=("id", "0", "5"))
+    assert got.count() == 10
+
+
+def test_rollback_keeps_file_stats(spark, tmp_path):
+    from deepseek_ocr_api_rs_spark.sources.snapshots import rollback
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10).coalesce(1), t, stats_cols=["id"])
+    write_snapshot(
+        _df(spark, 10, 20).coalesce(1), t, mode="append", stats_cols=["id"]
+    )
+    rollback(t, 1)
+    m = read_manifest(t)
+    assert m["operation"] == "rollback(v1)"
+    assert m["file_stats"] and all("id" in v for v in m["file_stats"].values())
+    # pruning still works across the rollback boundary
+    assert len(read_snapshot(spark, t, where=("id", 100, 200)).inputFiles()) <= 1

@@ -122,3 +122,26 @@ def test_dispatch_and_dims():
         blob = encode_tiff_rgb(img, big_endian=be, compression=32773)
         assert np.array_equal(decode_image_pixels(blob), img)
         assert decode_image_dims(blob) == (7, 5, "TIFF")
+
+
+def test_packbits_noop_byte_is_tolerated():
+    """TIFF 6.0 §9: 0x80 in a PackBits stream is a NO-OP (not PDF
+    RunLength's EOD) — strips padded with it must still decode."""
+    from deepseek_ocr_api_rs_spark.extraction.tiff import _packbits_decode
+
+    # literal(3 bytes) + noop + repeat(4x 0xAB) + noop
+    data = bytes([0x02, 1, 2, 3, 0x80, 0xFD, 0xAB, 0x80])
+    assert _packbits_decode(data) == bytes([1, 2, 3]) + b"\xab" * 4
+
+    img = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    blob = encode_tiff_rgb(img, compression=32773)
+    # inject a no-op 0x80 at the start of the strip data and fix the count
+    strip_count_pos = blob.index(struct.pack("<HHI", 279, 4, 1)) + 8
+    (old_count,) = struct.unpack_from("<I", blob, strip_count_pos)
+    strip_off_pos = blob.index(struct.pack("<HHI", 273, 4, 1)) + 8
+    (strip_off,) = struct.unpack_from("<I", blob, strip_off_pos)
+    mutated = bytearray(blob)
+    mutated[strip_off:strip_off] = b"\x80"
+    struct.pack_into("<I", mutated, strip_count_pos, old_count + 1)
+    got = decode_tiff_pixels(bytes(mutated))
+    assert got is not None and np.array_equal(got, img)
