@@ -56,7 +56,10 @@ def main() -> None:
     try:
         runs: dict[str, list[dict]] = {"base": [], "head": []}
         for r in range(repeats):
-            for side, cwd in (("base", wt), ("head", REPO)):
+            order = (("base", wt), ("head", REPO))
+            if r % 2:  # alternate: always-second is systematically
+                order = order[::-1]  # disadvantaged on this shared box
+            for side, cwd in order:
                 res = run_bench(cwd, cpus, n_docs, compat)
                 runs[side].append(res)
                 print(
