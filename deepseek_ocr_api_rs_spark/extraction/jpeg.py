@@ -1272,8 +1272,16 @@ def _quantized_comp_blocks(
     for plane, q in planes:
         bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
         blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
-        coef = np.einsum("ij,xyjk,kl->xyil", _DCT_M, blocks, _DCT_M.T)
-        qz = np.rint(coef / q.reshape(8, 8)).astype(np.int32)
+        qt = q.reshape(8, 8)
+        # Per-block _dct2, NOT a whole-plane einsum: the two reassociate
+        # float sums differently, and np.rint then flips quantized
+        # coefficients that land within 1 ulp of a .5 boundary (seen at
+        # q=96/4:2:0/partial-MCU). The baseline _encode_block path and
+        # this one must share one summation order bit-for-bit.
+        qz = np.empty((bh, bw, 8, 8), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                qz[by, bx] = np.rint(_dct2(blocks[by, bx]) / qt)
         out.append(qz.reshape(bh, bw, 64)[:, :, ZIGZAG])
     comps = [(1, sub, sub, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     return comps, out, [qy, qc]

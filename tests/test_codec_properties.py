@@ -73,12 +73,58 @@ _img = st.builds(
 
 
 @given(_img, st.integers(12, 96), st.sampled_from(["444", "420"]))
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=80, deadline=None)
 def test_progressive_equals_baseline_on_random_images(img, quality, subsampling):
     base = decode_jpeg_pixels(encode_jpeg_rgb(img, quality, subsampling))
     prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality, subsampling))
     assert base is not None and prog is not None
     assert np.array_equal(base, prog), (img.shape, quality, subsampling)
+
+
+def _formula_img(h: int, w: int, seed: int) -> np.ndarray:
+    """The same deterministic pixel formula the hypothesis strategy uses."""
+    return np.clip(
+        np.stack(
+            [
+                (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 3 + seed) % 256,
+                (np.arange(h)[:, None] * 2 + np.arange(w)[None, :] * 11 + seed * 5) % 256,
+                (np.arange(h)[:, None] * 13 + np.arange(w)[None, :] * 5 + seed * 9) % 256,
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+
+def test_progressive_equals_baseline_pinned_tie_flip_counterexample():
+    """Pinned regression: 16x8, seed=3, quality=96, 4:2:0 (partial-MCU
+    chroma). With a whole-plane einsum DCT in _quantized_comp_blocks,
+    one chroma coefficient (comp 1, block (0,0), zigzag 14) lands within
+    1 ulp of -0.5 and np.rint flips it 0/-1 versus the baseline
+    per-block _dct2 path, so decoded pixels differ by +/-2. Both
+    encoders must share one float summation order bit-for-bit."""
+    img = _formula_img(16, 8, 3)
+    base = decode_jpeg_pixels(encode_jpeg_rgb(img, 96, "420"))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, 96, "420"))
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog)
+
+
+@given(
+    st.integers(8, 40), st.integers(8, 48), st.integers(0, 10_000),
+    st.integers(95, 96),
+)
+@settings(max_examples=60, deadline=None)
+def test_progressive_equals_baseline_high_quality_420_corner(h, w, seed, quality):
+    """Focused sweep of the corner the general property under-samples:
+    quality >= 95 (quantizers near 1 keep sub-ulp DCT differences alive)
+    x 4:2:0 x dims that are not multiples of 16 (partial-MCU chroma)."""
+    img = _formula_img(h, w, seed)
+    base = decode_jpeg_pixels(encode_jpeg_rgb(img, quality, "420"))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality, "420"))
+    assert base is not None and prog is not None
+    assert np.array_equal(base, prog), (h, w, seed, quality)
 
 
 @given(
