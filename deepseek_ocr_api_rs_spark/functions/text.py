@@ -250,11 +250,17 @@ IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 # number tables cannot chain into one match.
 # every alternative ends with an unbounded digit run so an over-long
 # number is consumed WHOLE — a bounded tail ({4} / {7,15}) redacted only
-# a prefix and leaked the remaining digits (code-review r5)
+# a prefix and leaked the remaining digits (code-review r5). The bare
+# alternative is \b-anchored (ADVICE r5): it must START at a word
+# boundary so it never redacts the digit tail of a longer alphanumeric
+# token (serials like SN12345678); greediness means the match always
+# runs to the last digit, so no trailing anchor is needed and no
+# partial-redaction leak is possible. \b is ASCII-word-boundary in both
+# Java regex (Spark) and RE2 (DuckDB oracle).
 PHONE_RE = (
     r"\+[0-9]{1,3}(?:[ \-]?\(?[0-9]{1,4}\)?){1,4}[0-9]*"
     r"|\(?[0-9]{3}\)?[ \-]?[0-9]{3}[ \-][0-9]{4,}"
-    r"|[0-9]{7,}"
+    r"|\b[0-9]{7,}"
 )
 
 _PII_CHAIN = (

@@ -308,6 +308,12 @@ def test_url_canonicalize_engines_agree_on_repeated_lead_utm(spark):
         # leave a tail ('<PHONE>678' leaked the last digits)
         ("acct 123456789012345678 end", "acct <PHONE> end", (0, 0, 1)),
         ("card 5555444433332222 on file", "card <PHONE> on file", (0, 0, 1)),
+        # ADVICE r5: the bare digit-run alternative is \b-anchored — a
+        # digit tail embedded in an alphanumeric token is NOT a phone
+        # and must never be partially redacted
+        ("serial SN12345678 shipped", "serial SN12345678 shipped", (0, 0, 0)),
+        ("order AB99887766554 ok", "order AB99887766554 ok", (0, 0, 0)),
+        ("bare 5551234567 dial", "bare <PHONE> dial", (0, 0, 1)),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, (t, _, _) in enumerate(cases)], "i int, t string"
