@@ -184,7 +184,11 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
             texts[i] = normalize_text(assemble_pdf_text(spans, width))
             branch[i] = "pdf"
             n_total[i] = len(spans)
-            n_acc[i] = len(spans)
+            # spans flagged undecodable (Type0 font with a predefined
+            # non-Unicode CMap and no /ToUnicode) count toward the total
+            # but not accepted — pdf block_accept_rate < 1 is the per-doc
+            # undecodable_font metric
+            n_acc[i] = sum(1 for s in spans if not s.get("undecodable"))
         else:
             data, trunc = FT.truncate_payload(data)
             try:

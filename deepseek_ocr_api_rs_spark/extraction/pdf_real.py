@@ -87,6 +87,8 @@ _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9\-]+)")
 
 _WHITESPACE = b" \t\r\n\f\x00"
 _DELIMS = b"()<>[]{}/%"
@@ -547,9 +549,9 @@ def _std_encryption_key(
     key_bytes: int,
     encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2 with the empty user password (incl. the R4 step
-    appending FFFFFFFF when /EncryptMetadata false — omitted, such
-    documents derive a wrong key and are wrongly rejected)."""
+    """Algorithm 2 with the empty user password, including the R4+ step
+    appending FFFFFFFF to the MD5 input when /EncryptMetadata is false
+    (PDF 32000-1 §7.6.3.3 step f) — implemented below."""
     import hashlib
     import struct as _struct
 
@@ -1112,6 +1114,24 @@ class _CMap:
         return chr(code) if code < 0x110000 else "�"
 
 
+class _UndecodableFont:
+    """Type0 (CID-keyed) font whose /Encoding is a predefined non-Unicode
+    CMap (90ms-RKSJ-H, GBK-EUC-H, … from the Adobe-Japan1/GB1/CNS1/Korea1
+    orderings) and which carries no /ToUnicode stream: decoding needs the
+    published code→CID→Unicode tables this parser does not ship, so shown
+    strings are FLAGGED instead of emitted as mojibake — the span carries
+    ``undecodable: True`` with empty text, and the pdf branch surfaces it
+    as ``n_blocks_accepted < n_blocks_total`` (block_accept_rate < 1 is
+    the per-doc undecodable-font metric). Reference contract: accept any
+    fetched document, never garble (crates/server/src/generation.rs:276-305)."""
+
+    __slots__ = ()
+    code_len = 2
+
+    def lookup(self, code: int) -> str:
+        return ""
+
+
 class _SimpleEncoding:
     """Single-byte font decoder (Annex D base encoding + /Differences).
 
@@ -1200,9 +1220,11 @@ def _page_fonts(
 ) -> dict[str, _CMap | _SimpleEncoding]:
     """Resolve the page's /Resources /Font dict (direct or indirect) →
     {resource name: decoder}. Priority per font: /ToUnicode CMap (the
-    authoritative text mapping) → /Encoding simple-font table (Annex D
-    base name and/or /Differences) → absent, which decodes as latin-1
-    (the classic-writer path)."""
+    authoritative text mapping) → Type0 predefined-CMap handling
+    (identity/UCS2/UTF16 families decode as 2-byte codes; other CID
+    orderings are flagged undecodable, never mojibake) → /Encoding
+    simple-font table (Annex D base name and/or /Differences) → absent,
+    which decodes as latin-1 (the classic-writer path)."""
     res = page_head
     rm = _RESOURCES_REF_RE.search(page_head)
     if rm is not None:
@@ -1236,6 +1258,28 @@ def _page_fonts(
                     if cmap is not None:
                         fonts[name.decode("latin-1")] = cmap
                         continue
+        if _TYPE0_RE.search(fobj[0]):
+            # CID-keyed font without /ToUnicode (PDF 32000 §9.7.4): the
+            # /Encoding names a predefined CMap. Identity-H/V map 2-byte
+            # codes straight through (code == CID; writers that use this
+            # form with Unicode-ordered CIDs decode correctly), and the
+            # UCS2/UTF16 families (UniJIS-UCS2-H, UniGB-UTF16-H, …) key
+            # the codespace BY Unicode value, so both decode as 2-byte
+            # codes with the identity fallback + surrogate recombine.
+            # Every other predefined CMap (Shift-JIS/EUC/Big5-coded
+            # orderings) needs Adobe's CID tables → flagged undecodable,
+            # never latin-1 mojibake.
+            em = _ENC_NAME_RE.search(fobj[0])
+            enc_name = em.group(1) if em is not None else b""
+            if (
+                enc_name in (b"Identity-H", b"Identity-V")
+                or b"UCS2" in enc_name
+                or b"UTF16" in enc_name
+            ):
+                fonts[name.decode("latin-1")] = _CMap(2, {}, [])
+            else:
+                fonts[name.decode("latin-1")] = _UndecodableFont()
+            continue
         table = _font_encoding_table(objs, fobj[0])
         if table is not None:
             fonts[name.decode("latin-1")] = _SimpleEncoding(table)
@@ -1312,6 +1356,29 @@ def _page_spans(
         )
         cur_x += w
 
+    def emit_undecodable(n_codes: int) -> None:
+        # a show operator under an _UndecodableFont: the glyphs exist on
+        # the page but cannot be mapped to text — emit an empty-text span
+        # flagged undecodable (counted total-but-not-accepted upstream)
+        # and advance the cursor past the suppressed glyph run
+        nonlocal cur_x
+        if n_codes <= 0:
+            return
+        w = CHAR_WIDTH_EM * font_size * n_codes
+        y_top = page_height - cur_y
+        spans.append(
+            {
+                "page": page,
+                "x0": round(cur_x, 2),
+                "y0": round(y_top - font_size, 2),
+                "x1": round(cur_x + w, 2),
+                "y1": round(y_top, 2),
+                "text": "",
+                "undecodable": True,
+            }
+        )
+        cur_x += w
+
     def newline() -> None:
         nonlocal line_y, cur_x, cur_y
         line_y -= leading
@@ -1363,17 +1430,24 @@ def _page_spans(
                 newline()
             raws = [v for t, v in stack if t == "str"]
             if raws:
-                emit(_decode_text(raws[-1], cur_cmap))
+                if isinstance(cur_cmap, _UndecodableFont):
+                    emit_undecodable((len(raws[-1]) + 1) // 2)
+                else:
+                    emit(_decode_text(raws[-1], cur_cmap))
         elif op == "TJ":
             arrs = [v for t, v in stack if t == "arr"]
             if arrs:
-                text = "".join(
-                    _decode_text(v, cur_cmap) for t, v in arrs[-1] if t == "str"
-                )
-                kern = sum(
-                    -v / 1000.0 * font_size for t, v in arrs[-1] if t == "num"
-                )
-                emit(text, kern_advance=kern)
+                if isinstance(cur_cmap, _UndecodableFont):
+                    n_bytes = sum(len(v) for t, v in arrs[-1] if t == "str")
+                    emit_undecodable((n_bytes + 1) // 2)
+                else:
+                    text = "".join(
+                        _decode_text(v, cur_cmap) for t, v in arrs[-1] if t == "str"
+                    )
+                    kern = sum(
+                        -v / 1000.0 * font_size for t, v in arrs[-1] if t == "num"
+                    )
+                    emit(text, kern_advance=kern)
         stack.clear()
     return spans
 
@@ -1798,6 +1872,7 @@ def make_pdf_bytes_modern(
     height: float = DEFAULT_PAGE_HEIGHT,
     predictor_columns: int = 24,
     decoy: bool = True,
+    tounicode: bool = True,
 ) -> bytes:
     """Assemble the PDF 1.5+ dialect a modern third-party writer emits —
     every feature the classic writer does NOT use:
@@ -1844,7 +1919,9 @@ def make_pdf_bytes_modern(
             3,
             (
                 f"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
-                f"/Encoding /Identity-H /ToUnicode {obj_u} 0 R >>"
+                f"/Encoding /Identity-H"
+                + (f" /ToUnicode {obj_u} 0 R" if tounicode else "")
+                + " >>"
             ).encode("latin-1"),
         ),
     ]
@@ -1863,15 +1940,23 @@ def make_pdf_bytes_modern(
     out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
 
-    # ToUnicode CMap stream (plain Flate, direct length)
-    cmap_z = zlib.compress(_TOUNICODE_CMAP, 9)
+    # ToUnicode CMap stream (plain Flate, direct length). tounicode=False
+    # (r6, the CJK-generator family): the font relies on its predefined
+    # /Identity-H CMap alone — the obj_u slot becomes a null object so
+    # the numbering/xref layout is identical either way, and extracted
+    # text is unchanged by construction (identity decode == the CMap's
+    # identity bfrange).
     offsets[obj_u] = len(out)
-    out += (
-        f"{obj_u} 0 obj\n<< /Length {len(cmap_z)} /Filter /FlateDecode >>"
-        f"\nstream\n".encode()
-        + cmap_z
-        + b"\nendstream\nendobj\n"
-    )
+    if tounicode:
+        cmap_z = zlib.compress(_TOUNICODE_CMAP, 9)
+        out += (
+            f"{obj_u} 0 obj\n<< /Length {len(cmap_z)} /Filter /FlateDecode >>"
+            f"\nstream\n".encode()
+            + cmap_z
+            + b"\nendstream\nendobj\n"
+        )
+    else:
+        out += f"{obj_u} 0 obj\nnull\nendobj\n".encode()
 
     # content streams: predictor-12 Flate, indirect /Length
     for p in range(n_pages):

@@ -30,8 +30,10 @@ SEED = 42
 # (extracted-text goldens unchanged by construction in all — the container
 # dialect must not leak into output); v8: +2% slice of simple-font
 # /Encoding PDFs (WinAnsi with curly-quote/accent text, /Differences
-# overrides) and AES-256 (/V 5 /R 6) encrypted classic PDFs
-CORPUS_VERSION = 8
+# overrides) and AES-256 (/V 5 /R 6) encrypted classic PDFs; v9: +1%
+# slice of modern Type0/Identity-H PDFs WITHOUT /ToUnicode (the
+# CJK-generator family — decoded through the predefined-CMap path, r6)
+CORPUS_VERSION = 9
 
 
 def _compat_version() -> int:
@@ -200,6 +202,16 @@ def _pdf_doc(rng: random.Random) -> bytes:
         )
 
         return make_pdf_bytes_modern(spans, width=width)
+    if 0.58 <= roll < 0.59 and _compat_version() >= 9:
+        # v9: Type0/Identity-H WITHOUT /ToUnicode — the font decodes
+        # through the predefined-CMap path (pdf_real._page_fonts, r6);
+        # identity decode equals the CMap's identity bfrange, so the
+        # extracted-text goldens are unchanged by construction
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+            make_pdf_bytes_modern,
+        )
+
+        return make_pdf_bytes_modern(spans, width=width, tounicode=False)
     if 0.56 <= roll < 0.58 and _compat_version() >= 8:
         # v8: simple-font /Encoding dialects (the most common real-PDF
         # family) and PDF 2.0 AES-256 — span text gains WinAnsi-reachable
