@@ -281,15 +281,31 @@ def make_bmp_bytes(width: int, height: int) -> bytes:
 
 @_lru_cache(maxsize=65536)
 def make_tiff_bytes(width: int, height: int) -> bytes:
-    """REAL LZW+predictor strip TIFF (extraction/tiff.py encoder):
-    deterministic gradient pixels, dim-keyed cache."""
-    from deepseek_ocr_api_rs_spark.extraction.tiff import encode_tiff_rgb
+    """REAL TIFF (extraction/tiff.py encoder): deterministic gradient
+    pixels, dim-keyed cache, three dialects cycled as a pure function of
+    dims — strip LZW+predictor (the r4 baseline), tiled PackBits
+    big-endian (tags 322-325), and 16-bit-per-sample strip (r6) — so the
+    oracle-gated metadata decode exercises every supported storage
+    form."""
+    from deepseek_ocr_api_rs_spark.extraction.tiff import (
+        encode_tiff_rgb,
+        encode_tiff_rgb16,
+    )
 
     y, x = np.mgrid[0:height, 0:width]
     img = np.stack(
         [(x * 7) % 256, (y * 3) % 256, (x * 2 + y) % 256], axis=2
     ).astype(np.uint8)
-    return encode_tiff_rgb(img, compression=5, predictor=2)
+    variant = (width * 7 + height) % 3
+    if variant == 0:
+        return encode_tiff_rgb(img, compression=5, predictor=2)
+    if variant == 1:
+        return encode_tiff_rgb(
+            img, compression=32773, big_endian=True, tile=(16, 16)
+        )
+    return encode_tiff_rgb16(
+        img.astype(np.uint16) * 257, compression=5, predictor=2
+    )
 
 
 RESIZED_SCHEMA = StructType(
