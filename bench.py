@@ -105,6 +105,60 @@ def _settled_cum_task_seconds(spark) -> tuple[float, float]:
     return prev
 
 
+def _python_worker_cpu_seconds() -> float:
+    """Python-worker CPU seconds (the JVM-side executorCpuTime blind spot
+    — VERDICT r5 'What's wrong' #4): in local mode the pyspark.daemon
+    workers are descendants of the driver's java child process, so their
+    CPU is the sum of (a) utime+stime of every LIVE /proc descendant of
+    the JVM and (b) the JVM's cutime+cstime, which the kernel accumulates
+    for REAPED children (workers that exited or were replaced). Deltas of
+    this across a query window attribute Python-stage CPU per query.
+    Approximate by construction (a worker reaped mid-window moves from
+    (a) to (b), both inside the sum) — good to the jiffy."""
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        procs: dict[int, tuple[int, str, int, int, int, int]] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat", "rb") as fh:
+                    raw = fh.read().decode("latin-1")
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split at the LAST ')'
+            rp = raw.rindex(")")
+            comm = raw[raw.index("(") + 1 : rp]
+            fields = raw[rp + 2 :].split()
+            # fields[1]=ppid, [11]=utime [12]=stime [13]=cutime [14]=cstime
+            procs[int(entry)] = (
+                int(fields[1]), comm,
+                int(fields[11]), int(fields[12]),
+                int(fields[13]), int(fields[14]),
+            )
+        me = os.getpid()
+        jvms = [p for p, v in procs.items() if v[0] == me and v[1] == "java"]
+        if not jvms:
+            return 0.0
+        ticks = 0
+        # reaped-children rusage of the JVM(s)
+        for j in jvms:
+            ticks += procs[j][4] + procs[j][5]
+        # live descendants of the JVM(s): BFS over the ppid tree
+        children: dict[int, list[int]] = {}
+        for p, v in procs.items():
+            children.setdefault(v[0], []).append(p)
+        frontier = list(jvms)
+        while frontier:
+            cur = frontier.pop()
+            for ch in children.get(cur, []):
+                ticks += procs[ch][2] + procs[ch][3]
+                frontier.append(ch)
+        return ticks / hz
+    except Exception:
+        return 0.0
+
+
 def run_extraction_bench(spark, n_docs: int) -> tuple[float, int]:
     """Returns (seconds, docs) for the full extraction job: read parquet →
     salted url-hash repartition → mapInPandas extraction → write parquet."""
@@ -202,18 +256,23 @@ def main() -> None:
     # this box can't resolve <2× changes (VERDICT r3).
     _bench_corpus(spark, n_docs)  # generate OUTSIDE the cpu_sec window
     cum0 = _settled_cum_task_seconds(spark)
+    py0 = _python_worker_cpu_seconds()
     ext_sec, n = run_extraction_bench(spark, n_docs)
     cum1 = _settled_cum_task_seconds(spark)
+    py1 = _python_worker_cpu_seconds()
     ext_sec2, _ = run_extraction_bench(spark, n_docs)
     cum2 = _settled_cum_task_seconds(spark)
-    ext_cpu = (
-        cum1[0] - cum0[0] if ext_sec <= ext_sec2 else cum2[0] - cum1[0]
-    )
+    py2 = _python_worker_cpu_seconds()
+    if ext_sec <= ext_sec2:
+        ext_cpu, ext_pycpu = cum1[0] - cum0[0], py1 - py0
+    else:
+        ext_cpu, ext_pycpu = cum2[0] - cum1[0], py2 - py1
     ext_sec = min(ext_sec, ext_sec2)
     docs_per_sec = n / ext_sec
 
     queries: dict[str, float] = {"extraction_job": round(ext_sec, 3)}
     queries_cpu: dict[str, float] = {"extraction_job": round(ext_cpu, 3)}
+    queries_pycpu: dict[str, float] = {"extraction_job": round(ext_pycpu, 3)}
     if not extraction_only:
         import __spark_entry__ as entrymod
 
@@ -222,11 +281,15 @@ def main() -> None:
         qmap = entrymod.queries()
         for name in _HEADLINE_QUERIES:
             cpu_before = _settled_cum_task_seconds(spark)[0]
+            pycpu_before = _python_worker_cpu_seconds()
             t0 = time.time()
             qmap[name](spark, sf_dir).collect()
             queries[name] = round(time.time() - t0, 3)
             queries_cpu[name] = round(
                 max(0.0, _settled_cum_task_seconds(spark)[0] - cpu_before), 3
+            )
+            queries_pycpu[name] = round(
+                max(0.0, _python_worker_cpu_seconds() - pycpu_before), 3
             )
             release_persisted()  # free operator-persisted intermediates
 
@@ -237,9 +300,17 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         # executor task-CPU seconds per query (same best run) — the
-        # load-noise-immune metric for round-over-round comparison
+        # load-noise-immune metric for round-over-round comparison.
+        # NOTE (VERDICT r5): executorCpuTime is JVM-side ONLY — Python
+        # worker CPU (pandas/Arrow UDF stages) is invisible here, so
+        # Python-heavy queries report wall >> cpu. queries_python_cpu_sec
+        # (below, /proc-sampled pyspark.daemon descendants of the JVM)
+        # closes that gap; interleaved WALL remains the arbiter for
+        # Python-stage changes.
         "queries_cpu_sec": queries_cpu,
         "cpu_sec_total": round(sum(queries_cpu.values()), 3),
+        "queries_python_cpu_sec": queries_pycpu,
+        "python_cpu_sec_total": round(sum(queries_pycpu.values()), 3),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         # headline throughput metric per BASELINE.json:
         "extraction_docs_per_sec": round(docs_per_sec, 1),
