@@ -225,3 +225,76 @@ def test_encode_decode_table_inverse(text):
     enc = encode_with_table(text, _WINANSI)
     assert len(enc) == len(text)
     assert "".join(_WINANSI[b] for b in enc) == text
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40), st.integers(0, 10_000),
+    st.sampled_from([1, 5, 32773]), st.sampled_from([1, 2]),
+    st.booleans(),
+    st.sampled_from([None, (8, 8), (16, 16), (16, 8)]),
+    st.sampled_from([8, 16]),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_any_combination(h, w, seed, comp, pred, be, tile, bits):
+    """Property sweep over the full TIFF encode space: strip/tiled x
+    none/LZW/PackBits x predictor x byte order x 8/16-bit must
+    round-trip exactly (16-bit → high byte)."""
+    from deepseek_ocr_api_rs_spark.extraction.tiff import (
+        decode_tiff_pixels,
+        encode_tiff_rgb,
+        encode_tiff_rgb16,
+    )
+
+    img = _formula_img(h, w, seed)
+    if bits == 8:
+        blob = encode_tiff_rgb(
+            img, compression=comp, predictor=pred, big_endian=be, tile=tile
+        )
+        want = img
+    else:
+        img16 = img.astype(np.uint16) * 257
+        blob = encode_tiff_rgb16(
+            img16, compression=comp, predictor=pred, big_endian=be, tile=tile
+        )
+        want = img
+    got = decode_tiff_pixels(blob)
+    assert got is not None and np.array_equal(got, want), (
+        h, w, comp, pred, be, tile, bits,
+    )
+
+
+@given(
+    st.integers(1, 4096), st.integers(1, 4096), st.integers(0, 10_000_000),
+    st.sampled_from([600, 1000, 90000]),
+    st.sampled_from([b"avc1", b"hev1", b"mp4v", b"av01"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_meta_roundtrip_any_fields(w, h, dur, ts, codec):
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        make_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    m = parse_mp4_meta(make_mp4_meta(w, h, dur, timescale=ts, codec=codec))
+    assert m is not None
+    assert (m["width"], m["height"], m["timescale"]) == (w, h, ts)
+    assert m["codec"] == codec.decode()
+    assert m["duration_ms"] == (dur * ts // 1000) * 1000 // ts
+
+
+@given(st.binary(max_size=200), st.integers(0, 120))
+@settings(max_examples=120, deadline=None)
+def test_mp4_and_tiff_parsers_never_raise_on_garbage(junk, cut):
+    """Truncation/garbage fuzz: tolerant parsers return None, never
+    raise (error-branch discipline)."""
+    from deepseek_ocr_api_rs_spark.extraction.tiff import decode_tiff_pixels
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        make_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    blob = make_mp4_meta(64, 48, 2500)
+    parse_mp4_meta(blob[: min(cut, len(blob))] + junk)
+    parse_mp4_meta(junk)
+    decode_tiff_pixels(b"II*\x00" + junk)
+    decode_tiff_pixels(junk)

@@ -277,3 +277,19 @@ def test_dup_passages_single_shingle_projection(spark):
     plan = physical_plan(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
     release_persisted()
+
+
+def test_mp4_meta_roundtrip_no_exchange(spark):
+    """synthesize → box-walk is two chained Arrow stages over the same
+    partitioning: zero exchanges, pure map pipeline (the q_image_meta
+    plan shape for the MP4 modality)."""
+    import pyspark.sql.functions as F
+
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        mp4_metadata,
+        synthesize_mp4s,
+    )
+
+    base = spark.range(100).select(F.col("id").alias("doc_id"))
+    meta = mp4_metadata(synthesize_mp4s(base))
+    assert count_exchanges(meta) == 0, physical_plan(meta)[:2000]
