@@ -89,6 +89,10 @@ _FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
 _FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z0-9\-]+)")
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_XOBJ_REF_RE = re.compile(rb"/XObject\s+(\d+)\s+\d+\s+R")
+_FORM_TYPE_RE = re.compile(rb"/Subtype\s*/Form\b")
+_MATRIX_RE = re.compile(rb"/Matrix\s*\[([^\]]*)\]")
 
 _WHITESPACE = b" \t\r\n\f\x00"
 _DELIMS = b"()<>[]{}/%"
@@ -1052,7 +1056,25 @@ def _tokenize(content: bytes):
             j = i + 1
             while j < n and content[j : j + 1] not in _WHITESPACE + _DELIMS:
                 j += 1
-            yield ("op", content[i:j].decode("latin-1", "replace"))
+            op = content[i:j].decode("latin-1", "replace")
+            if op == "BI":
+                # inline image (PDF 32000 §8.9.7): BI <dict> ID <binary> EI.
+                # The binary payload is NOT PDF syntax — unbalanced parens
+                # or stray '<' inside it would corrupt the token stream —
+                # so skip the whole object: find the ID operator, then the
+                # first whitespace-EI-delimiter sequence after the data.
+                m = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\x0c\r ]").search(
+                    content, j
+                )
+                if m is None:
+                    i = n
+                    continue
+                t = re.compile(
+                    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(){}%]|$)"
+                ).search(content, m.end())
+                i = n if t is None else t.end()
+                continue
+            yield ("op", op)
             i = j
 
 
@@ -1286,6 +1308,34 @@ def _page_fonts(
     return fonts
 
 
+def _page_xobjects(
+    objs: dict[int, tuple[bytes, bytes | None]], page_head: bytes
+) -> dict[str, int]:
+    """Resolve the page's (or a form's) /Resources /XObject dict —
+    direct or indirect — to {resource name: object number}."""
+    res = page_head
+    rm = _RESOURCES_REF_RE.search(page_head)
+    if rm is not None:
+        ref = objs.get(int(rm.group(1)))
+        if ref is not None:
+            res = ref[0]
+    xm = _XOBJ_DICT_RE.search(res)
+    if xm is not None:
+        body = xm.group(1)
+    else:
+        rm2 = _XOBJ_REF_RE.search(res)
+        if rm2 is None:
+            return {}
+        ref2 = objs.get(int(rm2.group(1)))
+        if ref2 is None:
+            return {}
+        body = ref2[0]
+    return {
+        name.decode("latin-1"): int(ref)
+        for name, ref in _FONT_ENTRY_RE.findall(body)
+    }
+
+
 def _decode_text(
     raw: bytes, cmap: _CMap | _SimpleEncoding | None = None
 ) -> str:
@@ -1316,6 +1366,9 @@ def _page_spans(
     page: int,
     page_height: float,
     fonts: dict[str, _CMap | _SimpleEncoding] | None = None,
+    objs: dict[int, tuple[bytes, bytes | None]] | None = None,
+    xobjects: dict[str, int] | None = None,
+    depth: int = 0,
 ) -> list[dict]:
     """Interpret one page's content stream(s) → positioned span dicts.
 
@@ -1324,7 +1377,14 @@ def _page_spans(
     line land on the same quantized visual line with increasing x. Shown
     strings are decoded through the current font's ToUnicode CMap when one
     exists, latin-1 otherwise.
-    """
+
+    ``Do`` on a /Subtype /Form XObject (§8.10) recurses into the form's
+    content with the form's own fonts/xobjects layered over the page's
+    (writers routinely rely on page-resource fallback), applying the
+    /Matrix TRANSLATION (e, f) to the nested spans — scale/rotation form
+    matrices are out of scope (translation-only covers the stamped
+    letterhead/overlay family that dominates real documents). Recursion
+    is depth-capped so a self-referencing form cannot loop."""
     spans: list[dict] = []
     stack: list[tuple] = []
     arr: list[tuple] | None = None
@@ -1425,6 +1485,40 @@ def _page_spans(
                 cur_x, cur_y = line_x, line_y
         elif op == "T*":
             newline()
+        elif op == "Do" and xobjects and objs is not None and depth < 8:
+            names = [v2 for t2, v2 in stack if t2 == "name"]
+            xnum = xobjects.get(names[-1]) if names else None
+            xobj = objs.get(xnum) if xnum is not None else None
+            if (
+                xobj is not None
+                and xobj[1] is not None
+                and _FORM_TYPE_RE.search(xobj[0])
+            ):
+                decoded = _decode_stream(xobj[0], xobj[1])
+                if decoded is not None:
+                    e_off = f_off = 0.0
+                    mm = _MATRIX_RE.search(xobj[0])
+                    if mm is not None:
+                        try:
+                            vals = [float(x) for x in mm.group(1).split()]
+                            if len(vals) == 6:
+                                e_off, f_off = vals[4], vals[5]
+                        except ValueError:
+                            pass
+                    sub_fonts = dict(fonts or {})
+                    sub_fonts.update(_page_fonts(objs, xobj[0]))
+                    sub_x = dict(xobjects)
+                    sub_x.update(_page_xobjects(objs, xobj[0]))
+                    for s in _page_spans(
+                        decoded, page, page_height, sub_fonts,
+                        objs=objs, xobjects=sub_x, depth=depth + 1,
+                    ):
+                        s["x0"] = round(s["x0"] + e_off, 2)
+                        s["x1"] = round(s["x1"] + e_off, 2)
+                        # device y = inner y + f  ⇒  top-down y shifts by −f
+                        s["y0"] = round(s["y0"] - f_off, 2)
+                        s["y1"] = round(s["y1"] - f_off, 2)
+                        spans.append(s)
         elif op in ("Tj", "'", '"'):
             if op in ("'", '"'):
                 newline()
@@ -1520,7 +1614,12 @@ def parse_real_pdf(data: bytes) -> tuple[float, list[dict]] | None:
             decoded = _decode_stream(chead, cstream)
             if decoded is not None:
                 content += decoded + b"\n"
-        spans.extend(_page_spans(content, page_idx, h, fonts))
+        spans.extend(
+            _page_spans(
+                content, page_idx, h, fonts,
+                objs=objs, xobjects=_page_xobjects(objs, head),
+            )
+        )
     if not spans:
         return None
     return (page_width or DEFAULT_PAGE_WIDTH, spans)
@@ -1573,6 +1672,8 @@ def make_pdf_bytes(
     differences: dict[int, str] | None = None,
     keylen_after_cf: bool = False,
     encrypt_metadata: bool = True,
+    use_form: bool = False,
+    inline_image: bool = False,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
@@ -1594,9 +1695,18 @@ def make_pdf_bytes(
     V4 encrypt dict so the crypt-filter's /Length 16 precedes the
     top-level /Length 128 (real-writer ordering); ``encrypt_metadata=
     False`` emits /EncryptMetadata false (R4 key derivation appends
-    FFFFFFFF).
+    FFFFFFFF). ``use_form`` routes each page's LAST span through a
+    /Subtype /Form XObject with an identity /Matrix invoked by ``Do``
+    (the stamped-overlay family — extracted text identical by
+    construction; plain streams, so incompatible with ``encrypt``).
+    ``inline_image`` plants a BI/ID/EI inline image whose binary payload
+    contains unbalanced parens and a fake Tj before each page's text —
+    a tokenizer that does not skip it whole garbles the page.
     """
     import hashlib
+
+    if use_form and encrypt:
+        raise ValueError("use_form writes plain form streams; no encrypt")
 
     if stream_filter is None and compress:
         stream_filter = "flate"
@@ -1676,37 +1786,68 @@ def make_pdf_bytes(
         by_page.setdefault(int(s["page"]), []).append(s)
     n_pages = (max(by_page) + 1) if by_page else 1
 
-    def content_for(page: int) -> bytes:
-        lines = ["BT"]
-        for i, s in enumerate(by_page.get(page, [])):
-            text = str(s["text"])
-            if not text:
-                continue
-            if enc_table is not None:
-                from deepseek_ocr_api_rs_spark.extraction import (
-                    pdf_encodings as _pe,
-                )
+    # the decoy's binary payload: unbalanced parens, a fake Tj, control
+    # and high bytes — anything short of a whole-object skip garbles it
+    _II_DECOY = (
+        "BI /W 2 /H 2 /BPC 8 /CS /RGB ID ((<( (fake) Tj \xfe\x00\x89ab EI"
+    )
 
-                # bytes-as-latin1 so the literal-string escape/encode
-                # path below is byte-transparent (len is preserved: one
-                # char → one code, so span geometry round-trips too)
-                text = _pe.encode_with_table(text, enc_table).decode(
-                    "latin-1"
-                )
-                s = dict(s, text=text)
-            ops = _span_ops(s, height)
-            if use_tj_every and i % use_tj_every == 0 and len(text) > 2:
-                cut = len(text) // 2
-                a, b = _escape_literal(text[:cut]), _escape_literal(text[cut:])
-                ops[-1] = f"[({a}) 0 ({b})] TJ"
-            lines.extend(ops)
+    def span_ops_for(s: dict, idx: int) -> list[str]:
+        text = str(s["text"])
+        if enc_table is not None:
+            from deepseek_ocr_api_rs_spark.extraction import (
+                pdf_encodings as _pe,
+            )
+
+            text = _pe.encode_with_table(text, enc_table).decode("latin-1")
+            s = dict(s, text=text)
+        ops = _span_ops(s, height)
+        if use_tj_every and idx % use_tj_every == 0 and len(text) > 2:
+            cut = len(text) // 2
+            a, b = _escape_literal(text[:cut]), _escape_literal(text[cut:])
+            ops[-1] = f"[({a}) 0 ({b})] TJ"
+        return ops
+
+    def page_spans_split(page: int) -> tuple[list[dict], list[dict]]:
+        """(page-stream spans, form-stream spans) — the last nonempty
+        span moves into the form when use_form is set."""
+        ss = [s for s in by_page.get(page, []) if str(s["text"])]
+        if use_form and ss:
+            return ss[:-1], ss[-1:]
+        return ss, []
+
+    def content_for(page: int) -> bytes:
+        body, form_part = page_spans_split(page)
+        lines = []
+        if inline_image:
+            lines.append(_II_DECOY)
+        lines.append("BT")
+        for i, s in enumerate(body):
+            # bytes-as-latin1 so the literal-string escape/encode path
+            # below is byte-transparent (len is preserved: one char →
+            # one code, so span geometry round-trips too)
+            lines.extend(span_ops_for(s, i))
+        lines.append("ET")
+        if form_part:
+            lines.append("/Fm1 Do")
+        return "\n".join(lines).encode("latin-1")
+
+    def form_content_for(page: int) -> bytes:
+        _, form_part = page_spans_split(page)
+        lines = ["BT"]
+        for i, s in enumerate(form_part):
+            lines.extend(span_ops_for(s, i))
         lines.append("ET")
         return "\n".join(lines).encode("latin-1")
 
     # object numbering: 1 catalog, 2 pages, 3 font,
-    # 4..3+n pages, 4+n..3+2n content streams
+    # 4..3+n pages, 4+n..3+2n content streams, then (use_form) one form
+    # stream per page that has spans
     first_page = 4
     first_content = first_page + n_pages
+    form_pages = [p for p in range(n_pages) if page_spans_split(p)[1]]
+    first_form = first_content + n_pages
+    form_num = {p: first_form + i for i, p in enumerate(form_pages)}
     objects: dict[int, bytes] = {}
     kids = " ".join(f"{first_page + p} 0 R" for p in range(n_pages))
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -1719,9 +1860,12 @@ def make_pdf_bytes(
         f"{font_extra} >>"
     ).encode("latin-1")
     for p in range(n_pages):
+        xres = (
+            f" /XObject << /Fm1 {form_num[p]} 0 R >>" if p in form_num else ""
+        )
         objects[first_page + p] = (
             f"<< /Type /Page /Parent 2 0 R /Contents {first_content + p} 0 R "
-            f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            f"/Resources << /Font << /F1 3 0 R >>{xres} >> >>"
         ).encode("latin-1")
 
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
@@ -1776,7 +1920,19 @@ def make_pdf_bytes(
             + payload
             + b"\nendstream\nendobj\n"
         )
-    n_objs = first_content + n_pages
+    for p in form_pages:
+        num = form_num[p]
+        raw = form_content_for(p)
+        offsets[num] = len(out)
+        out += (
+            f"{num} 0 obj\n<< /Type /XObject /Subtype /Form "
+            f"/Matrix [1 0 0 1 0 0] /BBox [0 0 {width:g} {height:g}] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Length {len(raw)} >>\nstream\n".encode()
+            + raw
+            + b"\nendstream\nendobj\n"
+        )
+    n_objs = first_form + len(form_pages)
     trailer_extra = ""
     if enc_key is not None:
         enc_num = n_objs

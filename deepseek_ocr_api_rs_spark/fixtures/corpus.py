@@ -32,8 +32,10 @@ SEED = 42
 # /Encoding PDFs (WinAnsi with curly-quote/accent text, /Differences
 # overrides) and AES-256 (/V 5 /R 6) encrypted classic PDFs; v9: +1%
 # slice of modern Type0/Identity-H PDFs WITHOUT /ToUnicode (the
-# CJK-generator family — decoded through the predefined-CMap path, r6)
-CORPUS_VERSION = 9
+# CJK-generator family — decoded through the predefined-CMap path, r6);
+# v10: +1% slice of classic PDFs with a Form-XObject span (Do) and a
+# BI/ID/EI inline-image decoy (the stamped/scanned family, r6)
+CORPUS_VERSION = 10
 
 
 def _compat_version() -> int:
@@ -202,6 +204,17 @@ def _pdf_doc(rng: random.Random) -> bytes:
         )
 
         return make_pdf_bytes_modern(spans, width=width)
+    if 0.59 <= roll < 0.60 and _compat_version() >= 10:
+        # v10: a Form-XObject span (identity /Matrix, Do) plus a BI/ID/EI
+        # inline-image decoy whose binary payload contains unbalanced
+        # parens and a fake Tj — extraction is invariant by construction
+        # (the form shows the same span ops; the decoy must be skipped
+        # whole)
+        from deepseek_ocr_api_rs_spark.extraction.pdf_real import make_pdf_bytes
+
+        return make_pdf_bytes(
+            spans, width=width, use_form=True, inline_image=True
+        )
     if 0.58 <= roll < 0.59 and _compat_version() >= 9:
         # v9: Type0/Identity-H WITHOUT /ToUnicode — the font decodes
         # through the predefined-CMap path (pdf_real._page_fonts, r6);

@@ -891,3 +891,161 @@ def test_type0_tounicode_still_preferred_over_predefined_name():
     parsed = parse_real_pdf(blob)
     assert parsed is not None
     assert [s["text"] for s in parsed[1]] == ["tounicode wins"]
+
+
+# ---------------------------------------------------------------------------
+# Inline images (BI/ID/EI) + Form XObjects (r6) — the two content-stream
+# constructs real scanned/stamped PDFs use that are NOT text operators.
+
+
+def test_inline_image_binary_does_not_corrupt_token_stream():
+    """A BI..ID <binary> EI object whose payload contains unbalanced
+    parens, stray '<' and a fake 'Tj' must be skipped whole — the text
+    before AND after it extracts normally (PDF 32000 §8.9.7)."""
+    junk = b"\x00\xff(((<<)\x89 (fake) Tj \xfe"
+    content = (
+        b"BT\n/F1 12 Tf\n72 720 Td\n(before image) Tj\nET\n"
+        b"BI /W 4 /H 2 /BPC 8 /CS /G ID " + junk + b" EI\n"
+        b"BT\n/F1 12 Tf\n72 700 Td\n(after image) Tj\nET\n"
+    )
+    parsed = parse_real_pdf(_minimal_pdf(content))
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == ["before image", "after image"]
+
+
+def test_inline_image_truncated_never_raises():
+    content = b"BT\n(ok) Tj\nET\nBI /W 1 /H 1 ID \x00\x01\x02"  # no EI
+    parsed = parse_real_pdf(_minimal_pdf(content))
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == ["ok"]
+
+
+def _form_pdf(
+    page_content: bytes,
+    form_content: bytes,
+    form_extra: bytes = b"",
+    form2: bytes | None = None,
+) -> bytes:
+    """One-page PDF with font obj 5 and form XObject obj 6 (optional 7)."""
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (
+            2,
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+            None,
+        ),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R"
+            + (b" /Fm2 7 0 R" if form2 is not None else b"")
+            + b" >> >> >>",
+            None,
+        ),
+        (
+            4,
+            f"<< /Length {len(page_content)} >>".encode(),
+            page_content,
+        ),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", None),
+        (
+            6,
+            b"<< /Type /XObject /Subtype /Form "
+            + form_extra
+            + f" /Length {len(form_content)} >>".encode(),
+            form_content,
+        ),
+    ]
+    if form2 is not None:
+        objs.append(
+            (
+                7,
+                b"<< /Type /XObject /Subtype /Form "
+                + f"/Length {len(form2)} >>".encode(),
+                form2,
+            )
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for num, h, stream in objs:
+        offs[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + h
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    n = len(objs) + 1
+    xref = len(out)
+    out += f"xref\n0 {n}\n0000000000 65535 f \n".encode()
+    for num, _, _ in objs:
+        out += f"{offs[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def test_form_xobject_text_extracted_with_translation():
+    """Text inside a /Subtype /Form invoked by Do is extracted; the form
+    /Matrix translation (e, f) shifts its spans on the page."""
+    page = b"BT\n/F1 12 Tf\n72 720 Td\n(page text) Tj\nET\n/Fm1 Do\n"
+    form = b"BT\n/F1 12 Tf\n10 20 Td\n(form text) Tj\nET\n"
+    blob = _form_pdf(page, form, form_extra=b"/Matrix [1 0 0 1 100 50] ")
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    texts = {s["text"]: s for s in parsed[1]}
+    assert set(texts) == {"page text", "form text"}
+    # inner Td(10,20) + Matrix e=100 -> x0 = 110; f=50 shifts y up
+    assert texts["form text"]["x0"] == 110.0
+    inner_only = parse_real_pdf(_form_pdf(b"/Fm1 Do\n", form))[1][0]
+    assert texts["form text"]["y0"] == round(inner_only["y0"] - 50.0, 2)
+
+
+def test_form_xobject_inherits_page_fonts_and_nests():
+    """A form with no own /Font falls back to the page's fonts, and a
+    form invoking another form (one nesting level) both extract."""
+    page = b"/Fm1 Do\n"
+    form1 = b"BT\n/F1 12 Tf\n72 700 Td\n(outer form) Tj\nET\n/Fm2 Do\n"
+    form2 = b"BT\n/F1 12 Tf\n72 680 Td\n(inner form) Tj\nET\n"
+    blob = _form_pdf(page, form1, form2=form2)
+    # Fm2 is in the PAGE's XObject dict: the nested call layers page
+    # xobjects under the form's own (empty) dict
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    assert {s["text"] for s in parsed[1]} == {"outer form", "inner form"}
+
+
+def test_self_referencing_form_is_depth_capped():
+    """A form whose content invokes ITSELF must terminate (depth cap),
+    still extracting the text it shows."""
+    page = b"/Fm1 Do\n"
+    form = b"BT\n/F1 12 Tf\n72 700 Td\n(looping form) Tj\nET\n/Fm1 Do\n"
+    blob = _form_pdf(page, form)
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    texts = [s["text"] for s in parsed[1]]
+    assert set(texts) == {"looping form"}
+    assert 1 <= len(texts) <= 8  # capped, not unbounded
+
+
+def test_writer_form_and_inline_image_are_output_invariant():
+    """use_form routes the last span of each page through a Do-invoked
+    identity-matrix form, inline_image plants a BI/ID/EI decoy; both are
+    container-dialect features — parsed spans identical to the plain
+    writer (the corpus v10 invariance contract)."""
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 190.0, "y1": 112.0,
+         "text": "first span"},
+        {"page": 0, "x0": 40.0, "y0": 130.0, "x1": 160.0, "y1": 142.0,
+         "text": "second"},
+        {"page": 1, "x0": 320.0, "y0": 60.0, "x1": 560.0, "y1": 72.0,
+         "text": "page two right"},
+    ]
+    plain = parse_real_pdf(make_pdf_bytes(spans))
+    for uf in (False, True):
+        for ii in (False, True):
+            got = parse_real_pdf(
+                make_pdf_bytes(spans, use_form=uf, inline_image=ii)
+            )
+            assert got == plain, (uf, ii)
+    with pytest.raises(ValueError):
+        make_pdf_bytes(spans, use_form=True, encrypt=True)
