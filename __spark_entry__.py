@@ -1931,7 +1931,10 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mp4_metadata(synthesize_mp4s(docs))
-        .select("doc_id", "width", "height", "duration_ms", "timescale", "codec")
+        .select(
+            "doc_id", "width", "height", "duration_ms", "timescale",
+            "codec", "n_samples",
+        )
         .orderBy("doc_id")
     )
 
@@ -1942,8 +1945,82 @@ select doc_id,
   cast(doc_id % 480 + 16 as int) as height,
   cast(doc_id % 9000 + 1000 as int) as duration_ms,
   cast(1000 as int) as timescale,
-  case when doc_id % 2 = 0 then 'avc1' else 'hev1' end as codec
+  case when doc_id % 2 = 0 then 'avc1' else 'hev1' end as codec,
+  cast(doc_id % 240 + 1 as int) as n_samples
 from documents order by doc_id
+"""
+
+
+def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF link-annotation extraction (r6): the link graph of a crawled
+    PDF is pipeline-relevant the same way <a href> is for HTML. Per doc,
+    a REAL two-page classic PDF is assembled with two /Subtype /Link
+    /Annots (URI action, /Rect from doc_id arithmetic, alternating
+    Flate), then the production extractor walks the object tree back
+    (pdf_real.extract_pdf_links — PDF 32000 §12.5.6.5). The oracle
+    reproduces the uri/rect arithmetic, so the hash proves the
+    writer→parser annotation roundtrip incl. the bottom-up→top-down
+    /Rect flip. Two Arrow map stages, no shuffle after the spread."""
+    import pandas as pd
+
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        extract_pdf_links,
+        make_pdf_bytes,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "page": [], "uri": [], "x0": [], "y0": [],
+                   "x1": [], "y1": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                spans = [
+                    {"page": p, "x0": 40.0, "y0": 90.0 + p, "x1": 200.0,
+                     "y1": 102.0 + p, "text": f"doc {d} page {p}"}
+                    for p in range(2)
+                ]
+                links = [
+                    {"page": k, "x0": float(40 + k * 10 + d % 13),
+                     "y0": float(100 + d % 17), "x1": float(140 + k * 10),
+                     "y1": float(112 + d % 17),
+                     "uri": f"https://ex{d % 7}.example.org/d/{d}/{k}"}
+                    for k in range(2)
+                ]
+                blob = make_pdf_bytes(spans, links=links, compress=d % 2 == 0)
+                for ln in extract_pdf_links(blob) or []:
+                    out["doc_id"].append(d)
+                    out["page"].append(ln["page"])
+                    out["uri"].append(ln["uri"])
+                    out["x0"].append(ln["x0"])
+                    out["y0"].append(ln["y0"])
+                    out["x1"].append(ln["x1"])
+                    out["y1"].append(ln["y1"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, page int, uri string, x0 double, y0 double, "
+            "x1 double, y1 double"
+        ),
+    ).orderBy("doc_id", "page")
+
+
+_Q_PDF_LINKS_SQL = """
+select d.doc_id, cast(k.k as int) as page,
+  'https://ex' || (d.doc_id % 7) || '.example.org/d/' || d.doc_id || '/' || k.k as uri,
+  cast(40 + k.k * 10 + d.doc_id % 13 as double) as x0,
+  cast(100 + d.doc_id % 17 as double) as y0,
+  cast(140 + k.k * 10 as double) as x1,
+  cast(112 + d.doc_id % 17 as double) as y1
+from documents d, (values (0), (1)) k(k)
+order by d.doc_id, page
 """
 
 
@@ -2513,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6 (this round's new/changed queries first — the driver's
         # 50-row CORRECTNESS window checks registration order)
         "q_mp4_meta": q_mp4_meta,
+        "q_pdf_links": q_pdf_links,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -2653,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_prune": _Q_SNAPSHOT_PRUNE_SQL,
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,
+        "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

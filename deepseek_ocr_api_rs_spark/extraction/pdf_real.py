@@ -1625,6 +1625,109 @@ def parse_real_pdf(data: bytes) -> tuple[float, list[dict]] | None:
     return (page_width or DEFAULT_PAGE_WIDTH, spans)
 
 
+_ANNOTS_ARR_RE = re.compile(rb"/Annots\s*\[([^\]]*)\]")
+_ANNOTS_REF_RE = re.compile(rb"/Annots\s+(\d+)\s+\d+\s+R")
+_LINK_TYPE_RE = re.compile(rb"/Subtype\s*/Link\b")
+_RECT_RE = re.compile(rb"/Rect\s*\[([^\]]*)\]")
+_URI_LIT_RE = re.compile(rb"/URI\s*\(")
+_URI_HEX_RE = re.compile(rb"/URI\s*<([0-9A-Fa-f\s]+)>")
+
+
+def extract_pdf_links(data: bytes) -> list[dict] | None:
+    """Real PDF bytes → link annotations: [{page, x0, y0, x1, y1, uri}]
+    in TOP-DOWN page coords (PDF 32000 §12.5.6.5: /Subtype /Link with a
+    /A << /S /URI >> action). The link graph of a crawled PDF is
+    pipeline-relevant the same way <a href> is for HTML. Pages resolve
+    through the same xref-overlaid object scan as parse_real_pdf;
+    annotations referenced via /Annots arrays (direct or indirect).
+    Returns [] for a PDF without links, None if no page structure."""
+    int_objs = _scan_int_objects(data)
+    objs = _extract_objects(data, int_objs)
+    xobjs, objstm_members = _xref_objects(data, int_objs)
+    objs.update(xobjs)
+    if not objs:
+        return None
+    if not _decrypt_objects(data, objs):
+        return None
+    _expand_object_streams(objs, authoritative=objstm_members)
+    pages_nodes = sorted(
+        n for n, (h, _) in objs.items() if _PAGES_TYPE_RE.search(h)
+    )
+    kid_order: list[int] = []
+    root_wh = (DEFAULT_PAGE_WIDTH, DEFAULT_PAGE_HEIGHT)
+    for n in pages_nodes:
+        head = objs[n][0]
+        root_wh = _mediabox(head, root_wh)
+        km = _KIDS_RE.search(head)
+        if km:
+            kid_order += [int(x) for x in _REF_RE.findall(km.group(1))]
+    page_objs = {n for n, (h, _) in objs.items() if _PAGE_TYPE_RE.search(h)}
+    ordered = [n for n in kid_order if n in page_objs]
+    ordered += sorted(page_objs - set(ordered))
+    if not ordered:
+        return None
+    links: list[dict] = []
+    for page_idx, pnum in enumerate(ordered):
+        head = objs[pnum][0]
+        _, h = _mediabox(head, root_wh)
+        am = _ANNOTS_ARR_RE.search(head)
+        if am is not None:
+            refs = [int(x) for x in _REF_RE.findall(am.group(1))]
+        else:
+            rm = _ANNOTS_REF_RE.search(head)
+            if rm is None:
+                continue
+            arr = objs.get(int(rm.group(1)))
+            if arr is None:
+                continue
+            refs = [int(x) for x in _REF_RE.findall(arr[0])]
+        for ref in refs:
+            aobj = objs.get(ref)
+            if aobj is None or not _LINK_TYPE_RE.search(aobj[0]):
+                continue
+            ahead = aobj[0]
+            rm2 = _RECT_RE.search(ahead)
+            if rm2 is None:
+                continue
+            try:
+                a, b, c, d = [float(x) for x in rm2.group(1).split()[:4]]
+            except (ValueError, IndexError):
+                continue
+            uri: str | None = None
+            lm = _URI_LIT_RE.search(ahead)
+            if lm is not None:
+                raw, _end = _parse_literal_string(ahead, lm.end() - 1)
+                uri = raw.decode("utf-8", "replace")
+            else:
+                hm = _URI_HEX_RE.search(ahead)
+                if hm is not None:
+                    hx = re.sub(rb"\s", b"", hm.group(1))
+                    if len(hx) % 2:
+                        hx += b"0"
+                    try:
+                        uri = bytes.fromhex(hx.decode()).decode(
+                            "utf-8", "replace"
+                        )
+                    except ValueError:
+                        uri = None
+            if uri is None:
+                continue
+            # /Rect is bottom-up [llx lly urx ury] → top-down spans
+            x0, x1 = min(a, c), max(a, c)
+            lly, ury = min(b, d), max(b, d)
+            links.append(
+                {
+                    "page": page_idx,
+                    "x0": round(x0, 2),
+                    "y0": round(h - ury, 2),
+                    "x1": round(x1, 2),
+                    "y1": round(h - lly, 2),
+                    "uri": uri,
+                }
+            )
+    return links
+
+
 # ---------------------------------------------------------------------------
 # writers — fixtures/tests assemble real PDFs from the same span dicts
 
@@ -1674,6 +1777,7 @@ def make_pdf_bytes(
     encrypt_metadata: bool = True,
     use_form: bool = False,
     inline_image: bool = False,
+    links: list[dict] | None = None,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
@@ -1701,12 +1805,17 @@ def make_pdf_bytes(
     construction; plain streams, so incompatible with ``encrypt``).
     ``inline_image`` plants a BI/ID/EI inline image whose binary payload
     contains unbalanced parens and a fake Tj before each page's text —
-    a tokenizer that does not skip it whole garbles the page.
+    a tokenizer that does not skip it whole garbles the page. ``links``
+    ({page, x0, y0, x1, y1, uri} dicts, top-down coords) writes /Annots
+    link annotations (/Subtype /Link /A << /S /URI >>, §12.5.6.5) on
+    their pages.
     """
     import hashlib
 
     if use_form and encrypt:
         raise ValueError("use_form writes plain form streams; no encrypt")
+    if links and encrypt:
+        raise ValueError("links write plain URI strings; no encrypt")
 
     if stream_filter is None and compress:
         stream_filter = "flate"
@@ -1848,6 +1957,16 @@ def make_pdf_bytes(
     form_pages = [p for p in range(n_pages) if page_spans_split(p)[1]]
     first_form = first_content + n_pages
     form_num = {p: first_form + i for i, p in enumerate(form_pages)}
+    links_by_page: dict[int, list[dict]] = {}
+    for ln in links or []:
+        links_by_page.setdefault(int(ln["page"]), []).append(ln)
+    first_annot = first_form + len(form_pages)
+    annot_num: dict[int, list[int]] = {}
+    nxt = first_annot
+    for p in sorted(links_by_page):
+        annot_num[p] = list(range(nxt, nxt + len(links_by_page[p])))
+        nxt += len(links_by_page[p])
+    n_annots = nxt - first_annot
     objects: dict[int, bytes] = {}
     kids = " ".join(f"{first_page + p} 0 R" for p in range(n_pages))
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -1863,11 +1982,26 @@ def make_pdf_bytes(
         xres = (
             f" /XObject << /Fm1 {form_num[p]} 0 R >>" if p in form_num else ""
         )
+        annots = ""
+        if p in annot_num:
+            refs = " ".join(f"{a} 0 R" for a in annot_num[p])
+            annots = f" /Annots [{refs}]"
         objects[first_page + p] = (
             f"<< /Type /Page /Parent 2 0 R /Contents {first_content + p} 0 R "
-            f"/Resources << /Font << /F1 3 0 R >>{xres} >> >>"
+            f"/Resources << /Font << /F1 3 0 R >>{xres} >>{annots} >>"
         ).encode("latin-1")
 
+    for p, nums in annot_num.items():
+        for ln, num in zip(links_by_page[p], nums):
+            # /Rect is bottom-up device coords: flip the top-down span box
+            ry0 = height - float(ln["y1"])
+            ry1 = height - float(ln["y0"])
+            uri = _escape_literal(str(ln["uri"]))
+            objects[num] = (
+                f"<< /Type /Annot /Subtype /Link /Rect "
+                f"[{float(ln['x0']):g} {ry0:g} {float(ln['x1']):g} {ry1:g}] "
+                f"/Border [0 0 0] /A << /S /URI /URI ({uri}) >> >>"
+            ).encode("latin-1")
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -1932,7 +2066,7 @@ def make_pdf_bytes(
             + raw
             + b"\nendstream\nendobj\n"
         )
-    n_objs = first_form + len(form_pages)
+    n_objs = first_form + len(form_pages) + n_annots
     trailer_extra = ""
     if enc_key is not None:
         enc_num = n_objs

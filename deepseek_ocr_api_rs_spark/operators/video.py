@@ -243,10 +243,14 @@ def make_mp4_meta(
     duration_ms: int,
     timescale: int = 1000,
     codec: bytes = b"avc1",
+    n_samples: int = 0,
 ) -> bytes:
     """Minimal spec-shaped MP4: ftyp + moov(mvhd + trak(tkhd +
     mdia(mdhd + hdlr + minf(vmhd + stbl(stsd(VisualSampleEntry)))))) +
-    an empty mdat. Carries real duration/dims/codec fields; no samples
+    an empty mdat. Carries real duration/dims/codec fields; with
+    ``n_samples`` > 0 the stbl also carries the sample tables (stts one
+    uniform-delta run, stsz uniform-size, stsc/stco single-chunk — ISO
+    14496-12 §8.6/8.7) so frame count round-trips. No sample DATA
     (metadata fixture writer, the parse side's inverse)."""
     dur = duration_ms * timescale // 1000
     ftyp = _mp4_box(
@@ -296,7 +300,25 @@ def make_mp4_meta(
     )
     stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
     vmhd = _mp4_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
-    stbl = _mp4_box(b"stbl", stsd)
+    tables = stsd
+    if n_samples > 0:
+        delta = max(dur // n_samples, 1)
+        tables += _mp4_box(
+            b"stts",
+            b"\x00\x00\x00\x00" + struct.pack(">III", 1, n_samples, delta),
+        )
+        tables += _mp4_box(
+            b"stsz",
+            b"\x00\x00\x00\x00" + struct.pack(">II", 256, n_samples),
+        )
+        tables += _mp4_box(
+            b"stsc",
+            b"\x00\x00\x00\x00" + struct.pack(">IIII", 1, 1, n_samples, 1),
+        )
+        tables += _mp4_box(
+            b"stco", b"\x00\x00\x00\x00" + struct.pack(">II", 1, 0)
+        )
+    stbl = _mp4_box(b"stbl", tables)
     minf = _mp4_box(b"minf", vmhd + stbl)
     mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
     trak = _mp4_box(b"trak", tkhd + mdia)
@@ -307,8 +329,9 @@ def make_mp4_meta(
 
 def parse_mp4_meta(payload: bytes) -> dict | None:
     """MP4/ISO-BMFF bytes → {width, height, duration_ms, timescale,
-    codec} via a tolerant box-tree walk (mvhd v0/v1 times, tkhd 16.16
-    dims, first stsd entry fourcc as codec id). None for anything that
+    codec, n_samples} via a tolerant box-tree walk (mvhd v0/v1 times,
+    tkhd 16.16 dims, first stsd entry fourcc as codec id, stsz
+    sample_count — stts run-length sum as the fallback). None for anything that
     is not a parseable BMFF with a video track. Never raises; no sample
     data is touched (metadata-only branch)."""
     try:
@@ -322,7 +345,7 @@ def parse_mp4_meta(payload: bytes) -> dict | None:
         if b[4:8] not in (b"ftyp", b"styp", b"moov"):
             return None
         meta = {"width": 0, "height": 0, "duration_ms": 0, "timescale": 0,
-                "codec": ""}
+                "codec": "", "n_samples": 0}
         seen_moov = False
 
         def walk(lo: int, hi: int) -> None:
@@ -378,6 +401,27 @@ def parse_mp4_meta(payload: bytes) -> dict | None:
                         fourcc = b[body_lo + 12 : body_lo + 16]
                         if not meta["codec"] and fourcc.isalnum():
                             meta["codec"] = fourcc.decode("latin-1")
+                elif typ == b"stsz" and body_lo + 12 <= body_hi:
+                    # FullBox: flags(4) sample_size(4) sample_count(4)
+                    if not meta["n_samples"]:
+                        meta["n_samples"] = struct.unpack(
+                            ">I", b[body_lo + 8 : body_lo + 12]
+                        )[0]
+                elif typ == b"stts" and body_lo + 8 <= body_hi:
+                    # cross-check source when stsz is absent: sum of the
+                    # (sample_count, delta) run-length entries
+                    if not meta["n_samples"]:
+                        n_ent = struct.unpack(
+                            ">I", b[body_lo + 4 : body_lo + 8]
+                        )[0]
+                        tot = 0
+                        p = body_lo + 8
+                        for _ in range(min(n_ent, 4096)):
+                            if p + 8 > body_hi:
+                                break
+                            tot += struct.unpack(">I", b[p : p + 4])[0]
+                            p += 8
+                        meta["n_samples"] = tot
                 pos = body_hi
 
         walk(0, n)
@@ -390,9 +434,9 @@ def parse_mp4_meta(payload: bytes) -> dict | None:
 
 @lru_cache(maxsize=4096)
 def synthesize_mp4_for_dims(
-    w: int, h: int, duration_ms: int, codec: bytes
+    w: int, h: int, duration_ms: int, codec: bytes, n_samples: int = 0
 ) -> bytes:
-    return make_mp4_meta(w, h, duration_ms, codec=codec)
+    return make_mp4_meta(w, h, duration_ms, codec=codec, n_samples=n_samples)
 
 
 def synthesize_mp4s(
@@ -410,6 +454,7 @@ def synthesize_mp4s(
                     int(d % max_h + 16),
                     int(d % 9000 + 1000),
                     b"avc1" if d % 2 == 0 else b"hev1",
+                    int(d % 240 + 1),
                 )
                 for d in ids
             ]
@@ -429,7 +474,7 @@ def mp4_metadata(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ws, hs, durs, tss, codecs = [], [], [], [], [], []
+            ids, ws, hs, durs, tss, codecs, nss = [], [], [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
                 m = parse_mp4_meta(bytes(payload) if payload is not None else b"")
                 if m is None:
@@ -440,10 +485,12 @@ def mp4_metadata(
                 durs.append(m["duration_ms"])
                 tss.append(m["timescale"])
                 codecs.append(m["codec"])
+                nss.append(m["n_samples"])
             yield pd.DataFrame(
                 {
                     "doc_id": ids, "width": ws, "height": hs,
                     "duration_ms": durs, "timescale": tss, "codec": codecs,
+                    "n_samples": nss,
                 }
             )
 
@@ -451,6 +498,6 @@ def mp4_metadata(
         process,
         schema=(
             "doc_id long, width int, height int, duration_ms int, "
-            "timescale int, codec string"
+            "timescale int, codec string, n_samples int"
         ),
     )

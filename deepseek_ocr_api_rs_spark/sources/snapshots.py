@@ -456,6 +456,13 @@ def compact(
     n_rows = spark.read.parquet(
         *(os.path.join(table_dir, f) for f in all_files)
     ).count()
+    # invariant: compaction rewrites bytes, never rows. A count drift here
+    # means the basename→bin join dropped or duplicated rows (e.g. a
+    # basename collision) — fail the commit, never publish a lossy rewrite.
+    if n_rows != base["n_rows"]:
+        raise RuntimeError(
+            f"compaction row-count drift: {base['n_rows']} -> {n_rows}"
+        )
     # resolve the marker via the full pre-rewrite walk, not just the base
     # manifest's metrics: a pre-r5 chain carries only per-commit epoch_id
     # entries deeper in the lineage (code-review r5)

@@ -1049,3 +1049,70 @@ def test_writer_form_and_inline_image_are_output_invariant():
             assert got == plain, (uf, ii)
     with pytest.raises(ValueError):
         make_pdf_bytes(spans, use_form=True, encrypt=True)
+
+
+def test_pdf_links_variants_hex_indirect_and_nonlink():
+    """Link extraction handles hex-string URIs, /Annots as an indirect
+    array object, and ignores non-link annotation subtypes."""
+    import re as _re
+
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        extract_pdf_links,
+    )
+
+    spans = [{"page": 0, "x0": 40.0, "y0": 100.0, "x1": 190.0,
+              "y1": 112.0, "text": "t"}]
+    links = [{"page": 0, "x0": 40.0, "y0": 100.0, "x1": 190.0,
+              "y1": 112.0, "uri": "https://example.org/hex"}]
+    blob = make_pdf_bytes(spans, links=links)
+
+    # 1. literal URI → hex string form
+    m = _re.search(rb"/URI \(([^)]*)\)", blob)
+    assert m is not None
+    hexed = blob.replace(
+        b"/URI (" + m.group(1) + b")", b"/URI <" + m.group(1).hex().encode() + b">"
+    )
+    assert extract_pdf_links(hexed) == links
+
+    # 2. non-link subtype is ignored
+    squared = blob.replace(b"/Subtype /Link", b"/Subtype /Square")
+    assert extract_pdf_links(squared) == []
+
+    # 3. /Annots as an indirect reference to an array object: rewrite the
+    # inline array into a new object 90
+    am = _re.search(rb"/Annots \[([^\]]*)\]", blob)
+    assert am is not None
+    indirect = blob.replace(
+        b"/Annots [" + am.group(1) + b"]", b"/Annots 90 0 R"
+    )
+    indirect += (
+        b"90 0 obj\n[" + am.group(1) + b"]\nendobj\n"
+    )
+    assert extract_pdf_links(indirect) == links
+
+    # 4. no-link and no-page cases
+    assert extract_pdf_links(make_pdf_bytes(spans)) == []
+    assert extract_pdf_links(b"%PDF-1.4\ngarbage") is None
+
+
+def test_pdf_links_rect_flip_and_multipage():
+    """/Rect is bottom-up [llx lly urx ury]; extraction returns top-down
+    coords per page index."""
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        extract_pdf_links,
+    )
+
+    spans = [
+        {"page": 0, "x0": 40.0, "y0": 100.0, "x1": 190.0, "y1": 112.0,
+         "text": "p0"},
+        {"page": 1, "x0": 40.0, "y0": 100.0, "x1": 190.0, "y1": 112.0,
+         "text": "p1"},
+    ]
+    links = [
+        {"page": 0, "x0": 10.0, "y0": 20.0, "x1": 110.0, "y1": 40.0,
+         "uri": "https://a.example/0"},
+        {"page": 1, "x0": 5.0, "y0": 700.0, "x1": 600.0, "y1": 790.0,
+         "uri": "https://b.example/1"},
+    ]
+    got = extract_pdf_links(make_pdf_bytes(spans, links=links))
+    assert got == links

@@ -111,12 +111,13 @@ def test_mp4_meta_roundtrip():
         (1920, 1080, 60000, 90000, b"hev1"),
         (16, 16, 1000, 600, b"mp4v"),
     ]:
-        blob = make_mp4_meta(w, h, dur, timescale=ts, codec=codec)
+        blob = make_mp4_meta(w, h, dur, timescale=ts, codec=codec, n_samples=60)
         m = parse_mp4_meta(blob)
         assert m is not None
         assert (m["width"], m["height"]) == (w, h)
         assert m["timescale"] == ts
         assert m["codec"] == codec.decode()
+        assert m["n_samples"] == 60
         # duration round-trips through the timescale conversion
         assert abs(m["duration_ms"] - dur) <= 1000 // min(ts, 1000)
 
@@ -176,3 +177,29 @@ def test_mp4_metadata_operator(spark):
         assert rows[d].height == d % 480 + 16
         assert rows[d].duration_ms == d % 9000 + 1000
         assert rows[d].codec == ("avc1" if d % 2 == 0 else "hev1")
+        assert rows[d].n_samples == d % 240 + 1
+
+
+def test_mp4_stts_fallback_when_stsz_absent():
+    """n_samples falls back to summing stts run-length entries when no
+    stsz box is present (some writers omit it for uniform streams)."""
+    import struct as _s
+
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        make_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    blob = make_mp4_meta(64, 48, 4000, n_samples=77)
+    # excise the stsz box: size+type scan
+    i = blob.find(b"stsz") - 4
+    size = _s.unpack(">I", blob[i : i + 4])[0]
+    cut = blob[:i] + blob[i + size :]
+    # fix the enclosing box sizes (stbl, minf, mdia, trak, moov shrink)
+    out = bytearray(cut)
+    for typ in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = out.find(typ) - 4
+        old = _s.unpack(">I", bytes(out[j : j + 4]))[0]
+        out[j : j + 4] = _s.pack(">I", old - size)
+    m = parse_mp4_meta(bytes(out))
+    assert m is not None and m["n_samples"] == 77
