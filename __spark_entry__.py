@@ -2024,6 +2024,81 @@ order by d.doc_id, page
 """
 
 
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
+    — entirely JVM-side: the page html is assembled with concat, hrefs
+    come out of one codegen-compiled regexp_extract_all (both quote
+    styles, javascript:/mailto: pseudo-links filtered), and RFC 3986
+    resolution (absolute / protocol-relative / root-relative /
+    document-relative) is a when-chain — no Python UDF anywhere in the
+    plan. The DuckDB oracle runs the identical RE2-safe patterns, so
+    the hash proves extraction AND resolution."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_links
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = F.concat(
+        F.lit("https://site"), (d % 5).cast("string"),
+        F.lit(".example.org/a/b/"), ds, F.lit(".html"),
+    )
+    dq, sq = chr(34), chr(39)
+    html = F.concat(
+        F.lit("<html><body><nav><a href=" + dq + "/home" + dq + ">home</a> "
+              + "<a href=" + sq + "mailto:x@example.org" + sq
+              + ">mail</a></nav><main><p>see "
+              + "<a class=" + sq + "x" + sq + " href=" + sq + "https://ex"),
+        (d % 7).cast("string"),
+        F.lit(".example.org/p/"), ds, F.lit(sq + ">abs</a> and "
+              + "<A href=" + dq + "//cdn"),
+        (d % 3).cast("string"),
+        F.lit(".example.net/lib.js" + dq + ">cdn</A> plus "
+              + "<a href=" + sq + "rel/"),
+        ds,
+        F.lit(".html" + sq + ">rel</a></p></main></body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", base)
+        .withColumn("html", html)
+    )
+    return (
+        extract_links(docs)
+        .select("doc_id", "href", "resolved")
+        .orderBy("doc_id", "href")
+    )
+
+
+_Q_HTML_LINKS_SQL = r"""
+with pages as (
+  select doc_id,
+    'https://site' || (doc_id % 5) || '.example.org/a/b/' || doc_id || '.html' as url,
+    '<html><body><nav><a href="/home">home</a> ' ||
+    '<a href=''mailto:x@example.org''>mail</a></nav><main><p>see ' ||
+    '<a class=''x'' href=''https://ex' || (doc_id % 7) || '.example.org/p/' || doc_id || '''>abs</a> and ' ||
+    '<A href="//cdn' || (doc_id % 3) || '.example.net/lib.js">cdn</A> plus ' ||
+    '<a href=''rel/' || doc_id || '.html''>rel</a></p></main></body></html>' as html
+  from documents
+), exploded as (
+  select doc_id, url,
+    unnest(list_filter(
+      regexp_extract_all(html, '<[aA][^>]*[\s]href[\s]*=[\s]*["'']([^"''<>]+)["'']', 1),
+      h -> not regexp_matches(h, '^(javascript:|mailto:|tel:|data:|#)')
+    )) as href
+  from pages
+)
+select doc_id, href,
+  case
+    when regexp_matches(href, '^https?://') then href
+    when href like '//%' then regexp_extract(url, '^(https?):', 1) || ':' || href
+    when href like '/%' then regexp_extract(url, '^(https?://[^/?#]+)', 1) || href
+    else regexp_replace(regexp_replace(url, '[?#].*$', ''), '/[^/]*$', '/') || href
+  end as resolved
+from exploded
+order by doc_id, href
+"""
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video as a first-class multimodal column, REAL end to end: doc-dim-
     seeded MJPEG-in-AVI clips (RIFF container + our baseline-JPEG frames)
@@ -2591,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row CORRECTNESS window checks registration order)
         "q_mp4_meta": q_mp4_meta,
         "q_pdf_links": q_pdf_links,
+        "q_html_links": q_html_links,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -2732,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,
         "q_pdf_links": _Q_PDF_LINKS_SQL,
+        "q_html_links": _Q_HTML_LINKS_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

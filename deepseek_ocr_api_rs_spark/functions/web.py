@@ -80,3 +80,73 @@ def url_host(col: str | Column) -> Column:
 
 def url_host_duckdb(expr: str) -> str:
     return f"regexp_extract({expr}, '{HOST_RE}', 1)"
+
+
+# ---------------------------------------------------------------------------
+# HTML link extraction (r6) — the <a href> side of link-graph mining
+# (extract_pdf_links is the PDF side). Everything stays JVM-side /
+# codegen: regexp_extract_all over the html string, explode, and a
+# when-chain resolver; the identical RE2-safe patterns run on the DuckDB
+# oracle. Resolution covers the four forms that dominate crawled HTML —
+# absolute http(s), protocol-relative //host, root-relative /path, and
+# document-relative path — per RFC 3986 §5 merge rules (dot-segment
+# normalization is a documented non-goal, same policy as canonicalize_url).
+
+HREF_RE = r"""<[aA][^>]*[\s]href[\s]*=[\s]*["']([^"'<>]+)["']"""
+_NONLINK_RE = r"^(javascript:|mailto:|tel:|data:|#)"
+_SCHEME_HOST_RE = r"^(https?://[^/?#]+)"
+
+
+def extract_hrefs(html: str | Column) -> Column:
+    """html string → array of raw href values (both quote styles),
+    excluding javascript:/mailto:/tel:/data:/fragment pseudo-links."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(HREF_RE), F.lit(1)),
+        lambda h: ~h.rlike(_NONLINK_RE),
+    )
+
+
+def absolutize_href(base: str | Column, href: str | Column) -> Column:
+    """Resolve one href against the page's base url (RFC 3986 §5 merge,
+    scheme-relative and root-relative forms included)."""
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.col(href) if isinstance(href, str) else href
+    scheme = F.regexp_extract(b, r"^(https?):", 1)
+    scheme_host = F.regexp_extract(b, _SCHEME_HOST_RE, 1)
+    base_dir = F.regexp_replace(b, r"[?#].*$", "")
+    base_dir = F.regexp_replace(base_dir, r"/[^/]*$", "/")
+    return (
+        F.when(h.rlike("^https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme_host, h))
+        .otherwise(F.concat(base_dir, h))
+    )
+
+
+def extract_links(
+    df, html_col: str = "html", base_col: str = "url"
+) -> "DataFrame":  # noqa: F821 - DataFrame only for typing
+    """(base url, html) rows → one row per link with (href, resolved).
+    Explode after a codegen'd extract; no Python anywhere."""
+    return df.withColumn("href", F.explode(extract_hrefs(html_col))).withColumn(
+        "resolved", absolutize_href(base_col, "href")
+    )
+
+
+def extract_hrefs_duckdb(html_expr: str) -> str:
+    """DuckDB mirror of extract_hrefs (RE2; same patterns)."""
+    pat = HREF_RE.replace("'", "''")
+    return (
+        f"list_filter(regexp_extract_all({html_expr}, '{pat}', 1), "
+        f"h -> not regexp_matches(h, '{_NONLINK_RE}'))"
+    )
+
+
+def absolutize_href_duckdb(base_expr: str, href_expr: str) -> str:
+    return f"""case
+  when regexp_matches({href_expr}, '^https?://') then {href_expr}
+  when {href_expr} like '//%' then regexp_extract({base_expr}, '^(https?):', 1) || ':' || {href_expr}
+  when {href_expr} like '/%' then regexp_extract({base_expr}, '{_SCHEME_HOST_RE}', 1) || {href_expr}
+  else regexp_replace(regexp_replace({base_expr}, '[?#].*$', ''), '/[^/]*$', '/') || {href_expr}
+end"""

@@ -293,3 +293,17 @@ def test_mp4_meta_roundtrip_no_exchange(spark):
     base = spark.range(100).select(F.col("id").alias("doc_id"))
     meta = mp4_metadata(synthesize_mp4s(base))
     assert count_exchanges(meta) == 0, physical_plan(meta)[:2000]
+
+
+def test_html_links_plan_is_pure_jvm(spark):
+    """q_html_links' claim, executed: no Python evaluation operator of
+    any kind in the plan — the regex extract, filter, explode and
+    RFC 3986 resolution all run in codegen."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_html_links"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert "Generate explode" in plan or "Generate" in plan  # the explode

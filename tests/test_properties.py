@@ -330,3 +330,56 @@ def test_url_canonicalize_engines_agree_on_repeated_lead_utm(spark):
     for i, (src, want, (ne, ni, nph)) in enumerate(cases):
         assert got[i].red == want, (src, got[i].red)
         assert (got[i].e, got[i].p, got[i].ph) == (ne, ni, nph), src
+
+
+def test_html_link_extraction_and_resolution(spark):
+    """extract_hrefs/absolutize_href: both quote styles, uppercase <A>,
+    pseudo-link filtering, and the four RFC 3986 resolution forms —
+    cross-checked against the DuckDB mirror expression."""
+    import duckdb
+
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        absolutize_href_duckdb,
+        extract_hrefs_duckdb,
+        extract_links,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://h.example.org/a/b/page.html?q=1",
+         "<p><a href=\"/root\">r</a> <A HREF=ignored href='x/y.html'>rel</A> "
+         "<a href='//cdn.example.net/l.js'>p</a> "
+         "<a href=\"https://abs.example.com/z\">a</a> "
+         "<a href='mailto:a@b.c'>m</a> <a href='#frag'>f</a> "
+         "<a href='javascript:void(0)'>j</a></p>"),
+        ("http://plain.example.org/top.html", "<a href='/only'>o</a>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(
+        (r.url, r.href, r.resolved)
+        for r in extract_links(df).select("url", "href", "resolved").collect()
+    )
+    want = sorted([
+        ("https://h.example.org/a/b/page.html?q=1", "/root",
+         "https://h.example.org/root"),
+        ("https://h.example.org/a/b/page.html?q=1", "x/y.html",
+         "https://h.example.org/a/b/x/y.html"),
+        ("https://h.example.org/a/b/page.html?q=1", "//cdn.example.net/l.js",
+         "https://cdn.example.net/l.js"),
+        ("https://h.example.org/a/b/page.html?q=1", "https://abs.example.com/z",
+         "https://abs.example.com/z"),
+        ("http://plain.example.org/top.html", "/only",
+         "http://plain.example.org/only"),
+    ])
+    assert got == want
+    # cross-engine: the DuckDB mirror produces the same pairs
+    con = duckdb.connect()
+    con.execute("create table t(url varchar, html varchar)")
+    con.executemany("insert into t values (?, ?)", rows)
+    duck = sorted(
+        tuple(r) for r in con.execute(
+            f"""select url, href, {absolutize_href_duckdb('url', 'href')} as resolved
+                from (select url, unnest({extract_hrefs_duckdb('html')}) as href from t)"""
+        ).fetchall()
+    )
+    assert duck == want
