@@ -2024,6 +2024,83 @@ order by d.doc_id, page
 """
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (r6): per-host robots bodies (two
+    User-agent groups incl. a shared trainingbot/otherbot group, mixed-
+    case keys, comments, crawl-delay, sitemap) are assembled JVM-side,
+    parsed by the window-based group segmenter (operators/robots), and a
+    per-doc request path is evaluated for agent ``trainingbot`` — whose
+    group OVERRIDES the * group, so /private paths blocked for everyone
+    else are allowed here while /train-block is not (longest-match,
+    allow-wins-ties: /train-block/ok stays allowed). crawl_delay comes
+    from the * group (agent ``randombot``), sitemap from the group-
+    independent line. The oracle reproduces the whole decision table
+    arithmetically. No Python operator in the plan."""
+    from deepseek_ocr_api_rs_spark.operators.robots import (
+        crawl_delays,
+        parse_robots,
+        robots_allowed,
+        sitemaps,
+    )
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 20).cast("string"), F.lit(".example.org"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "host", host
+    )
+    hid = F.regexp_extract("host", r"^h(\d+)\.", 1).cast("long")
+    robots = docs.select("host").distinct().withColumn(
+        "robots_txt",
+        F.concat(
+            F.lit("# synthetic robots for "), F.col("host"), F.lit("\n"),
+            F.lit("User-Agent: *\n"),
+            F.lit("DisAllow: /private   # members only\n"),
+            F.lit("Allow: /private/open\n"),
+            F.lit("Crawl-delay: "), (hid % 7 + 1).cast("string"), F.lit("\n"),
+            F.lit("\nUser-agent: trainingbot\nuser-agent: otherbot\n"),
+            F.lit("Disallow: /train-block\n"),
+            F.lit("Allow: /train-block/ok\n"),
+            F.lit("\nSitemap: https://"), F.col("host"),
+            F.lit("/sitemap.xml\n"),
+        ),
+    )
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/private/x"), d.cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("/private/open/"), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("/train-block/"), d.cast("string")))
+        .when(d % 5 == 3, F.concat(F.lit("/train-block/ok/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/public/"), d.cast("string")))
+    )
+    requests = docs.withColumn("path", path)
+    rules = parse_robots(robots)
+    verdicts = robots_allowed(rules, requests.select("host", "path"), "trainingbot")
+    delays = crawl_delays(rules, "randombot")
+    maps = sitemaps(rules)
+    return (
+        requests.join(verdicts, ["host", "path"])
+        .join(F.broadcast(delays), "host")
+        .join(F.broadcast(maps), "host")
+        .select("doc_id", "host", "path", "allowed", "crawl_delay", "sitemap")
+        .orderBy("doc_id")
+    )
+
+
+_Q_ROBOTS_SQL = """
+select doc_id,
+  'h' || (doc_id % 20) || '.example.org' as host,
+  case cast(doc_id % 5 as int)
+    when 0 then '/private/x' || doc_id
+    when 1 then '/private/open/' || doc_id
+    when 2 then '/train-block/' || doc_id
+    when 3 then '/train-block/ok/' || doc_id
+    else '/public/' || doc_id end as path,
+  cast(doc_id % 5 as int) <> 2 as allowed,
+  cast((doc_id % 20) % 7 + 1 as double) as crawl_delay,
+  'https://h' || (doc_id % 20) || '.example.org/sitemap.xml' as sitemap
+from documents order by doc_id
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
     — entirely JVM-side: the page html is assembled with concat, hrefs
@@ -2667,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mp4_meta": q_mp4_meta,
         "q_pdf_links": q_pdf_links,
         "q_html_links": q_html_links,
+        "q_robots": q_robots,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -2809,6 +2887,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mp4_meta": _Q_MP4_META_SQL,
         "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_html_links": _Q_HTML_LINKS_SQL,
+        "q_robots": _Q_ROBOTS_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -1,0 +1,170 @@
+"""robots.txt parsing + URL permission evaluation — crawl politeness.
+
+Every Common-Crawl-style pipeline that re-fetches or filters by origin
+policy needs the Robots Exclusion Protocol (RFC 9309): which user-agent
+group applies, and the longest-match allow/disallow verdict per path.
+Everything here is JVM-side DataFrame code — line explode, window-based
+group segmentation, broadcast-joinable rule tables — no Python UDFs, so
+it runs at fetch-log scale (one robots.txt per HOST: the rules frame is
+tiny next to the URL frame and broadcasts).
+
+Scope per RFC 9309 §2.2: groups start at one-or-more consecutive
+``User-agent`` lines and run to the next such run; ``Allow``/
+``Disallow`` use PREFIX matching with longest-match precedence and
+allow-wins-ties (the Google REP tie rule); an empty Disallow value
+allows everything; agent matching is case-insensitive exact-token with
+``*`` fallback. ``$``/``*`` wildcard patterns are a documented non-goal
+(same policy as canonicalize_url's non-goals — the prefix core is the
+deterministic, oracle-exact part).
+
+Reference parity: the reference fetches any URL it is handed
+(crates/server/src/generation.rs:276-305); a corpus pipeline in front of
+it needs exactly this gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KEYS = ("user-agent", "allow", "disallow", "crawl-delay", "sitemap")
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) rows → one row per directive:
+    (host, group_id, line_no, key, value).
+
+    group_id segments User-agent groups: a new group starts at a
+    ``User-agent`` line whose previous directive is NOT a ``User-agent``
+    line (consecutive UA lines share a group, RFC 9309 §2.2.1).
+    ``Sitemap`` is group-independent per spec but keeps the group_id of
+    where it appeared (callers that care select it separately).
+    Comments (#…) and unknown keys are dropped."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("line_no", "line"),
+    )
+    stripped = F.trim(F.regexp_replace(F.col("line"), r"#.*$", ""))
+    kv = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract(stripped, r"^([A-Za-z-]+)\s*:", 1))
+                ).alias("key"),
+        F.trim(F.regexp_extract(stripped, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(F.col("key").isin(*_KEYS))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    prev_is_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    new_group = ((is_ua == 1) & (prev_is_ua == 0)).cast("int")
+    return kv.withColumn(
+        "group_id",
+        F.sum(new_group).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select("host", "group_id", "line_no", "key", "value")
+
+
+def _chosen_group(rules: DataFrame, agent: str) -> DataFrame:
+    """(host, group_id) of the group that governs ``agent``: the first
+    group naming the agent exactly (case-insensitive), else the first
+    ``*`` group."""
+    uas = rules.filter(F.col("key") == "user-agent").select(
+        "host", "group_id", F.lower(F.col("value")).alias("ua")
+    )
+    exact = (
+        uas.filter(F.col("ua") == agent.lower())
+        .groupBy("host")
+        .agg(F.min("group_id").alias("exact_gid"))
+    )
+    star = (
+        uas.filter(F.col("ua") == "*")
+        .groupBy("host")
+        .agg(F.min("group_id").alias("star_gid"))
+    )
+    return (
+        exact.join(star, "host", "full")
+        .select(
+            "host",
+            F.coalesce(F.col("exact_gid"), F.col("star_gid")).alias("group_id"),
+        )
+        .filter(F.col("group_id").isNotNull())
+    )
+
+
+def robots_allowed(
+    rules: DataFrame,
+    requests: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """requests (host, path) × parsed rules → requests + ``allowed``
+    boolean for ``agent``.
+
+    Longest-match precedence with allow-wins-ties; hosts with no
+    robots.txt / no applicable group / no matching rule → allowed. The
+    rules side is per-host-tiny and broadcast, so the big requests frame
+    never shuffles (plan-assertable)."""
+    chosen = _chosen_group(rules, agent)
+    pats = (
+        rules.filter(F.col("key").isin("allow", "disallow"))
+        .filter(F.col("value") != "")
+        .join(chosen, ["host", "group_id"])
+        .select("host", "key", F.col("value").alias("pattern"))
+    )
+    req = requests.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    )
+    joined = req.join(
+        F.broadcast(pats),
+        (req["host"] == pats["host"])
+        & req["path"].startswith(pats["pattern"]),
+        "left",
+    ).select(
+        req["host"],
+        req["path"],
+        pats["key"].alias("_rk"),
+        F.length(pats["pattern"]).alias("_plen"),
+    )
+    # winner per request: longest pattern; allow beats disallow on ties
+    verdict = F.max(
+        F.when(
+            F.col("_rk").isNotNull(),
+            F.struct(
+                F.col("_plen").alias("l"),
+                (F.col("_rk") == "allow").cast("int").alias("a"),
+            ),
+        )
+    )
+    grouped = joined.groupBy("host", "path").agg(verdict.alias("_win"))
+    return grouped.select(
+        "host",
+        "path",
+        F.coalesce(F.col("_win.a") == 1, F.lit(True)).alias("allowed"),
+    )
+
+
+def crawl_delays(rules: DataFrame, agent: str) -> DataFrame:
+    """(host, crawl_delay double) for ``agent``'s governing group —
+    the politeness-shard sizing input. Hosts without a delay are absent."""
+    chosen = _chosen_group(rules, agent)
+    return (
+        rules.filter(F.col("key") == "crawl-delay")
+        .join(chosen, ["host", "group_id"])
+        .select("host", F.col("value").cast("double").alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull())
+    )
+
+
+def sitemaps(rules: DataFrame) -> DataFrame:
+    """(host, sitemap url) — Sitemap lines are group-independent
+    (RFC 9309 §2.3: can appear anywhere)."""
+    return (
+        rules.filter(F.col("key") == "sitemap")
+        .select("host", F.col("value").alias("sitemap"))
+        .filter(F.col("sitemap") != "")
+    )

@@ -1,0 +1,128 @@
+"""robots.txt parsing + permission evaluation (operators/robots.py):
+RFC 9309 group segmentation, longest-match precedence, allow-wins-ties,
+agent fallback — the crawl-politeness gate, JVM-only."""
+
+from __future__ import annotations
+
+from deepseek_ocr_api_rs_spark.operators.robots import (
+    crawl_delays,
+    parse_robots,
+    robots_allowed,
+    sitemaps,
+)
+
+BODY_A = """# cosmetics
+User-Agent: *
+Disallow: /private   # trailing comment
+Allow: /private/open
+Crawl-delay: 3
+Unknown-key: ignored
+
+User-agent: trainingbot
+user-agent: otherbot
+Disallow: /train-block
+Allow: /train-block/ok
+
+Sitemap: https://a.example/sitemap.xml
+"""
+
+BODY_B = """User-agent: *
+Disallow:
+"""
+
+
+def _rules(spark, rows):
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    return parse_robots(df)
+
+
+def test_group_segmentation_and_keys(spark):
+    rules = _rules(spark, [("a.example", BODY_A)]).collect()
+    by_key = {}
+    for r in rules:
+        by_key.setdefault(r.key, []).append(r)
+    # unknown key dropped; comments stripped out of values
+    assert set(by_key) == {"user-agent", "allow", "disallow", "crawl-delay",
+                           "sitemap"}
+    assert {r.value for r in by_key["disallow"]} == {"/private", "/train-block"}
+    # consecutive UA lines share ONE group
+    uas = {(r.group_id, r.value.lower()) for r in by_key["user-agent"]}
+    gids = {g for g, _ in uas}
+    assert len(gids) == 2
+    g2 = max(gids)
+    assert {v for g, v in uas if g == g2} == {"trainingbot", "otherbot"}
+
+
+def test_verdicts_exact_group_overrides_star(spark):
+    rules = _rules(spark, [("a.example", BODY_A)])
+    reqs = [
+        ("a.example", "/private/x"),
+        ("a.example", "/private/open/y"),
+        ("a.example", "/train-block/z"),
+        ("a.example", "/train-block/ok/w"),
+        ("a.example", "/free"),
+        ("nobots.example", "/anything"),  # host without robots → allowed
+    ]
+    df = spark.createDataFrame(reqs, "host string, path string")
+    for agent, want in [
+        # trainingbot's group has no /private rule → allowed there,
+        # blocked under /train-block except the longer allow
+        ("trainingbot", {"/private/x": True, "/private/open/y": True,
+                         "/train-block/z": False, "/train-block/ok/w": True,
+                         "/free": True, "/anything": True}),
+        # otherbot shares the same group (consecutive UA lines)
+        ("OTHERBOT", {"/private/x": True, "/train-block/z": False,
+                      "/train-block/ok/w": True, "/private/open/y": True,
+                      "/free": True, "/anything": True}),
+        # unnamed agent falls back to * : /private blocked, longer allow
+        # /private/open wins its tie-free longest match
+        ("randombot", {"/private/x": False, "/private/open/y": True,
+                       "/train-block/z": True, "/train-block/ok/w": True,
+                       "/free": True, "/anything": True}),
+    ]:
+        got = {r.path: r.allowed
+               for r in robots_allowed(rules, df, agent).collect()}
+        assert got == want, (agent, got)
+
+
+def test_empty_disallow_allows_everything(spark):
+    rules = _rules(spark, [("b.example", BODY_B)])
+    df = spark.createDataFrame(
+        [("b.example", "/private/x")], "host string, path string"
+    )
+    got = robots_allowed(rules, df, "anybot").collect()
+    assert got[0].allowed is True
+
+
+def test_allow_wins_equal_length_tie(spark):
+    body = "User-agent: *\nDisallow: /dir\nAllow: /dir\n"
+    rules = _rules(spark, [("t.example", body)])
+    df = spark.createDataFrame(
+        [("t.example", "/dir/page")], "host string, path string"
+    )
+    assert robots_allowed(rules, df, "x").collect()[0].allowed is True
+
+
+def test_crawl_delays_and_sitemaps(spark):
+    rules = _rules(spark, [("a.example", BODY_A), ("b.example", BODY_B)])
+    # randombot → * group of a.example (delay 3); trainingbot's group has
+    # no delay; b.example has none at all
+    d = {r.host: r.crawl_delay for r in crawl_delays(rules, "randombot").collect()}
+    assert d == {"a.example": 3.0}
+    assert crawl_delays(rules, "trainingbot").count() == 0
+    s = {r.host: r.sitemap for r in sitemaps(rules).collect()}
+    assert s == {"a.example": "https://a.example/sitemap.xml"}
+
+
+def test_robots_plan_is_jvm_and_broadcast(spark):
+    """No Python operator; the rules side reaches the requests join as a
+    broadcast (the requests frame never shuffles for the verdict join)."""
+    rules = _rules(spark, [("a.example", BODY_A)])
+    df = spark.createDataFrame(
+        [("a.example", "/private/x")], "host string, path string"
+    )
+    out = robots_allowed(rules, df, "trainingbot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
