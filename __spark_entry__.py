@@ -2101,6 +2101,54 @@ from documents order by doc_id
 """
 
 
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml URL discovery (r6): per-doc urlset XML (three <url>
+    entries, lastmod present on even entries only, multi-line layout)
+    assembled JVM-side and parsed back by the codegen-only block/field
+    regex chain (functions/web.parse_sitemap — no XML lib, no Python).
+    The oracle reproduces the loc/lastmod arithmetic."""
+    from deepseek_ocr_api_rs_spark.functions.web import parse_sitemap
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+        F.lit("  <url>\n    <loc> https://s"), (d % 9).cast("string"),
+        F.lit(".example.org/p/"), ds,
+        F.lit("/0 </loc>\n    <lastmod>2024-0"), (d % 9 % 9 + 1).cast("string").substr(1, 1),
+        F.lit("-01</lastmod>\n  </url>\n"),
+        F.lit("  <url><loc>https://s"), (d % 9).cast("string"),
+        F.lit(".example.org/p/"), ds, F.lit("/1</loc></url>\n"),
+        F.lit("  <sitemap>\n<loc>https://s"), (d % 9).cast("string"),
+        F.lit(".example.org/sub/"), ds,
+        F.lit(".xml</loc>\n</sitemap>\n</urlset>\n"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("sitemap_xml", xml)
+    )
+    return (
+        parse_sitemap(docs)
+        .select("doc_id", "loc", "lastmod")
+        .orderBy("doc_id", "loc")
+    )
+
+
+_Q_SITEMAP_SQL = """
+with e as (
+  select doc_id, k from documents, (values (0), (1), (2)) t(k)
+)
+select doc_id,
+  case when k < 2
+    then 'https://s' || (doc_id % 9) || '.example.org/p/' || doc_id || '/' || k
+    else 'https://s' || (doc_id % 9) || '.example.org/sub/' || doc_id || '.xml'
+  end as loc,
+  case when k = 0 then '2024-0' || (doc_id % 9 % 9 + 1) || '-01' end as lastmod
+from e order by doc_id, loc
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
     — entirely JVM-side: the page html is assembled with concat, hrefs
@@ -2745,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pdf_links": q_pdf_links,
         "q_html_links": q_html_links,
         "q_robots": q_robots,
+        "q_sitemap": q_sitemap,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -2888,6 +2937,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_html_links": _Q_HTML_LINKS_SQL,
         "q_robots": _Q_ROBOTS_SQL,
+        "q_sitemap": _Q_SITEMAP_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -150,3 +150,51 @@ def absolutize_href_duckdb(base_expr: str, href_expr: str) -> str:
   when {href_expr} like '/%' then regexp_extract({base_expr}, '{_SCHEME_HOST_RE}', 1) || {href_expr}
   else regexp_replace(regexp_replace({base_expr}, '[?#].*$', ''), '/[^/]*$', '/') || {href_expr}
 end"""
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml parsing (r6) — the discovery side of crawl scheduling
+# (robots.txt's Sitemap lines point here). Codegen-only: <url> blocks out
+# of one non-greedy regexp_extract_all, then per-block <loc>/<lastmod>
+# field extraction via transform — no XML library, no Python. Handles
+# both urlset entries and sitemapindex <sitemap> blocks.
+
+_SITEMAP_BLOCK_RE = r"<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"
+_LOC_RE = r"<loc>\s*(.*?)\s*</loc>"
+_LASTMOD_RE = r"<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def parse_sitemap(df, xml_col: str = "sitemap_xml") -> "DataFrame":  # noqa: F821
+    """(…, sitemap_xml) rows → one row per <url>/<sitemap> entry with
+    (loc, lastmod) — lastmod NULL when absent. Input newlines must not
+    break entries: the block regex runs in DOTALL mode via (?s)."""
+    c = F.col(xml_col)
+    blocks = F.regexp_extract_all(
+        c, F.lit("(?s)" + _SITEMAP_BLOCK_RE), F.lit(1)
+    )
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, "(?s)" + _LOC_RE, 1).alias("loc"),
+            F.nullif(
+                F.regexp_extract(b, "(?s)" + _LASTMOD_RE, 1), F.lit("")
+            ).alias("lastmod"),
+        ),
+    )
+    return (
+        df.withColumn("_e", F.explode(entries))
+        .withColumn("loc", F.col("_e.loc"))
+        .withColumn("lastmod", F.col("_e.lastmod"))
+        .drop("_e")
+        .filter(F.col("loc") != "")
+    )
+
+
+def parse_sitemap_duckdb(xml_expr: str) -> str:
+    """DuckDB mirror: list of {loc, lastmod} structs (RE2 's' flag)."""
+    blk = _SITEMAP_BLOCK_RE.replace("'", "''")
+    return (
+        f"list_transform(regexp_extract_all({xml_expr}, '{blk}', 1, 's'), "
+        f"b -> {{'loc': regexp_extract(b, '{_LOC_RE}', 1, 's'), "
+        f"'lastmod': nullif(regexp_extract(b, '{_LASTMOD_RE}', 1, 's'), '')}})"
+    )

@@ -383,3 +383,43 @@ def test_html_link_extraction_and_resolution(spark):
         ).fetchall()
     )
     assert duck == want
+
+
+def test_sitemap_parsing_cross_engine(spark):
+    """parse_sitemap: multi-line entries, sitemapindex blocks, missing
+    lastmod → NULL, entries without <loc> dropped — same results from
+    the DuckDB mirror expression."""
+    import duckdb
+
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        parse_sitemap,
+        parse_sitemap_duckdb,
+    )
+
+    xml = (
+        "<?xml version=\"1.0\"?><urlset>"
+        "<url>\n  <loc>\n  https://a.example/1\n  </loc>\n"
+        "  <lastmod>2023-11-05</lastmod>\n</url>"
+        "<url><loc>https://a.example/2</loc></url>"
+        "<url><lastmod>2020-01-01</lastmod></url>"  # no loc → dropped
+        "<sitemap><loc>https://a.example/sub.xml</loc></sitemap>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "id long, sitemap_xml string")
+    got = sorted(
+        (r.loc, r.lastmod) for r in parse_sitemap(df).collect()
+    )
+    want = [
+        ("https://a.example/1", "2023-11-05"),
+        ("https://a.example/2", None),
+        ("https://a.example/sub.xml", None),
+    ]
+    assert got == want
+    con = duckdb.connect()
+    duck = con.execute(
+        f"select {parse_sitemap_duckdb('?')} as entries", [xml]
+    ).fetchone()[0]
+    duck_pairs = sorted(
+        (e["loc"], e["lastmod"]) for e in duck if e["loc"] != ""
+    )
+    assert duck_pairs == want
