@@ -2149,6 +2149,60 @@ from e order by doc_id, loc
 """
 
 
+def q_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness scheduling (r6): the full robots→schedule chain.
+    Per-host crawl delays come out of the SAME parsed robots bodies as
+    q_robots (* group via agent randombot), then politeness_schedule
+    orders each host's URLs deterministically, spaces them crawl_delay
+    seconds apart, and pins every host to one shard via the repo's
+    cross-engine polynomial hash — so the oracle reproduces seq/fetch_at
+    with a window and the shard with the identical hash arithmetic.
+    One window + broadcast joins; no Python operator."""
+    from deepseek_ocr_api_rs_spark.operators.robots import (
+        crawl_delays,
+        parse_robots,
+        politeness_schedule,
+    )
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 20).cast("string"), F.lit(".example.org"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "host", host
+    )
+    hid = F.regexp_extract("host", r"^h(\d+)\.", 1).cast("long")
+    robots = docs.select("host").distinct().withColumn(
+        "robots_txt",
+        F.concat(
+            F.lit("User-Agent: *\nDisallow: /private\nCrawl-delay: "),
+            (hid % 7 + 1).cast("string"),
+            F.lit("\n\nUser-agent: trainingbot\nDisallow: /train-block\n"),
+        ),
+    )
+    requests = docs.withColumn(
+        "url", F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"),
+                        d.cast("string"))
+    )
+    delays = crawl_delays(parse_robots(robots), "randombot")
+    return politeness_schedule(
+        requests.select("host", "url"), delays, n_shards=16
+    ).orderBy("host", "url")
+
+
+_Q_POLITENESS_SQL = """
+with req as (
+  select doc_id, 'h' || (doc_id % 20) || '.example.org' as host,
+         'https://h' || (doc_id % 20) || '.example.org/p/' || doc_id as url,
+         cast((doc_id % 20) % 7 + 1 as double) as delay
+  from documents
+)
+select host, url,
+  cast(row_number() over (partition by host order by url) - 1 as int) as seq,
+  (row_number() over (partition by host order by url) - 1) * delay as fetch_at,
+  cast(list_reduce(list_prepend(cast(7 as bigint), list_transform(range(1, length(host) + 1), i -> cast(ascii(substr(host, i, 1)) as bigint))), (a, b) -> (a * 31 + b) % 2147483647) % 16 as int) as shard
+from req order by host, url
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
     — entirely JVM-side: the page html is assembled with concat, hrefs
@@ -2794,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_links": q_html_links,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
+        "q_politeness": q_politeness,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -2938,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "q_html_links": _Q_HTML_LINKS_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
+        "q_politeness": _Q_POLITENESS_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -168,3 +168,46 @@ def sitemaps(rules: DataFrame) -> DataFrame:
         .select("host", F.col("value").alias("sitemap"))
         .filter(F.col("sitemap") != "")
     )
+
+
+def politeness_schedule(
+    requests: DataFrame,
+    delays: DataFrame,
+    default_delay: float = 1.0,
+    n_shards: int = 16,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """(host, url) requests + (host, crawl_delay) → per-request fetch
+    plan: (host, url, seq, fetch_at, shard).
+
+    Per host, URLs are ordered deterministically (by url) and spaced
+    ``crawl_delay`` seconds apart (``default_delay`` when the host
+    published none). Each host is pinned to ONE shard via the repo's
+    cross-engine polynomial string hash (functions/hashing.word_key) so
+    a shard can honor its hosts' delays with purely local state — the
+    politeness-shard design every crawl scheduler needs at 10^12-URL
+    scale. One window over the host partitioning plus a broadcast join;
+    no Python operator."""
+    from deepseek_ocr_api_rs_spark.functions.hashing import word_key_spark
+
+    req = requests.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    dl = delays.select(
+        "host", F.col("crawl_delay").alias("_delay")
+    )
+    return (
+        req.join(F.broadcast(dl), "host", "left")
+        .withColumn("seq", F.row_number().over(w) - 1)
+        .withColumn(
+            "fetch_at",
+            F.col("seq") * F.coalesce(F.col("_delay"), F.lit(default_delay)),
+        )
+        .withColumn(
+            "shard",
+            (F.expr(word_key_spark("host")) % n_shards).cast("int"),
+        )
+        .select("host", "url", "seq", "fetch_at", "shard")
+    )

@@ -126,3 +126,32 @@ def test_robots_plan_is_jvm_and_broadcast(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_politeness_schedule_spacing_and_sharding(spark):
+    """Per-host sequencing, delay spacing, default delay for silent
+    hosts, and stable host→shard pinning (same host always same shard)."""
+    from deepseek_ocr_api_rs_spark.operators.robots import politeness_schedule
+
+    reqs = spark.createDataFrame(
+        [("a.example", f"https://a.example/p/{i}") for i in range(4)]
+        + [("b.example", "https://b.example/only")],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 2.5)], "host string, crawl_delay double"
+    )
+    rows = politeness_schedule(reqs, delays, default_delay=1.0, n_shards=8)
+    got = {(r.host, r.url): r for r in rows.collect()}
+    for i in range(4):
+        r = got[("a.example", f"https://a.example/p/{i}")]
+        assert r.seq == i and r.fetch_at == i * 2.5
+    b = got[("b.example", "https://b.example/only")]
+    assert b.seq == 0 and b.fetch_at == 0.0
+    shards = {r.host: r.shard for r in got.values()}
+    assert all(0 <= s < 8 for s in shards.values())
+    # pinning is a pure function of host: a second run agrees
+    again = {r.host: r.shard for r in politeness_schedule(
+        reqs, delays, default_delay=1.0, n_shards=8
+    ).collect()}
+    assert again == shards
