@@ -2203,6 +2203,61 @@ from req order by host, url
 """
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivative roundtrip (r6): extraction output rows (url/ts
+    from doc arithmetic, text from the documents table) are written as
+    REAL ``.warc.wet.gz`` conversion segments by the distributed sink
+    (one gzip-member-per-record file per task, tmp+rename atomic —
+    sources/warc.write_wet), then read back through the binaryFile
+    fan-out (read_wet_documents). The oracle reproduces url/epoch/text,
+    so the hash proves the full container roundtrip byte-for-byte on the
+    text. The manifest collect before the returned frame is the staging
+    barrier (same harness role as q_warc_ingest's)."""
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        read_wet_documents,
+        write_wet,
+    )
+
+    _ensure_shipped(spark)
+    out = _staging_dir("wet_export_")
+    d = F.col("doc_id")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .select(
+            F.concat(
+                F.lit("https://w"), (d % 11).cast("string"),
+                F.lit(".example.org/page/"), d.cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + (d % 86400)).alias(
+                "warc_ts"
+            ),
+            F.col("text").alias("extracted_text"),
+        )
+    )
+    manifest = write_wet(rows, out).collect()  # staging barrier
+    assert sum(m.n_records for m in manifest) > 0
+    return (
+        read_wet_documents(spark, out)
+        .select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("epoch"),
+            "text",
+        )
+        .orderBy("url")
+    )
+
+
+_Q_WET_SQL = """
+select 'https://w' || (doc_id % 11) || '.example.org/page/' || doc_id as url,
+  1704067200 + doc_id % 86400 as epoch,
+  text
+from documents order by url
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
     — entirely JVM-side: the page html is assembled with concat, hrefs
@@ -2849,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
+        "q_wet_roundtrip": q_wet_roundtrip,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -2994,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,
+        "q_wet_roundtrip": _Q_WET_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -291,3 +291,67 @@ def test_warc_mislabeled_charset_keeps_original_bytes(spark, tmp_path):
     # mislabeled → original bytes preserved verbatim, no U+FFFD baked in
     assert bytes(got["http://bad.example/"].html) == bad_euc
     assert "�".encode() not in bytes(got["http://bad.example/"].html)
+
+
+# ---------------------------------------------------------------------------
+# WET derivative export (r6)
+
+
+def test_wet_writer_reader_roundtrip_scalar():
+    import datetime as dt
+
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        iter_warc_records,
+        make_wet_gz,
+    )
+
+    recs = [
+        {"url": "https://a.example/1",
+         "date": dt.datetime(2024, 3, 1, 12, 0, 5, tzinfo=dt.timezone.utc),
+         "text": "extracted body one\nwith a second line"},
+        {"url": "https://a.example/2",
+         "date": dt.datetime(2024, 3, 1, 12, 0, 6, 500000, tzinfo=dt.timezone.utc),
+         "text": "unicode — ß 你好"},
+    ]
+    blob = make_wet_gz(recs)
+    got = [r for r in iter_warc_records(blob) if r["type"] == "conversion"]
+    assert [r["url"] for r in got] == [r["url"] for r in recs]
+    assert [r["payload"].decode("utf-8") for r in got] == [r["text"] for r in recs]
+    # WARC 1.1 fractional date on the second record
+    assert got[1]["date"].startswith("2024-03-01T12:00:06.500")
+
+
+def test_wet_distributed_sink_and_read(spark, tmp_path):
+    """write_wet: one atomic .wet.gz per task + manifest rows; read back
+    equals the input including the timestamp second grain; empty
+    partitions produce no file."""
+    import os
+
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        read_wet_documents,
+        write_wet,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "wet")
+    rows = (
+        spark.range(0, 37)
+        .select(
+            F.concat(F.lit("https://w.example/"), F.col("id")).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("warc_ts"),
+            F.concat(F.lit("text-"), F.col("id")).alias("extracted_text"),
+        )
+        .repartition(8)
+    )
+    manifest = write_wet(rows, out).collect()
+    files = [f for f in os.listdir(out) if f.endswith(".warc.wet.gz")]
+    assert sorted(m.file for m in manifest) == sorted(files)
+    assert sum(m.n_records for m in manifest) == 37
+    assert not any(f.startswith(".") for f in os.listdir(out))  # no tmp left
+    back = read_wet_documents(spark, out)
+    got = {r.url: (r.text, r.warc_ts) for r in back.collect()}
+    assert len(got) == 37
+    for i in (0, 17, 36):
+        text, ts = got[f"https://w.example/{i}"]
+        assert text == f"text-{i}"
+        assert int(ts.timestamp()) == 1704067200 + i
