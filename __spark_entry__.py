@@ -2258,6 +2258,60 @@ from documents order by url
 """
 
 
+def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE under the oracle gate (r6): the documents
+    table is staged into a snapshot table as four ranged, stats-carrying
+    commits (the q_snapshot_prune layout), then delete_where removes a
+    doc_id range with a sound prune hint — only overlapping files are
+    rewritten, the rest pass through with their stats — and the
+    post-delete snapshot is read back. The oracle is the same table
+    minus the range, so the hash proves the rewrite lost nothing and
+    removed exactly the predicate. Driver actions: staging commits +
+    quartile agg + the delete's own counts (commit plumbing, same
+    rationale as q_snapshot_prune)."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    try:
+        mx = docs.agg(F.max("doc_id").alias("m")).first().m or 0
+        q = max((int(mx) + 1) // 4, 1)
+        table = _staging_dir("snap_delete_") + "/tbl"
+        for i in range(4):
+            hi_bound = (i + 1) * q if i < 3 else int(mx) + 1
+            part = docs.filter(
+                (F.col("doc_id") >= i * q) & (F.col("doc_id") < hi_bound)
+            )
+            write_snapshot(
+                part.repartition(2, "doc_id"), table,
+                mode="append", stats_cols=["doc_id"],
+            )
+    finally:
+        docs.unpersist()
+    lo, hi = q + q // 3, 2 * q + q // 2
+    delete_where(
+        spark, table, f"doc_id between {lo} and {hi}", prune=("doc_id", lo, hi)
+    )
+    return (
+        read_snapshot(spark, table)
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+_Q_SNAPSHOT_DELETE_SQL = """
+with m as (select greatest((max(doc_id) + 1) // 4, 1) as q from documents)
+select doc_id, length(text) as n_chars
+from documents, m
+where doc_id not between (q + q // 3) and (2 * q + q // 2)
+order by doc_id
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
     — entirely JVM-side: the page html is assembled with concat, hrefs
@@ -2905,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
         "q_wet_roundtrip": q_wet_roundtrip,
+        "q_snapshot_delete": q_snapshot_delete,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -3051,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,
         "q_wet_roundtrip": _Q_WET_SQL,
+        "q_snapshot_delete": _Q_SNAPSHOT_DELETE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

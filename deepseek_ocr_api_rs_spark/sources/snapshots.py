@@ -265,6 +265,33 @@ def write_snapshot(
     return _publish(table_dir, manifest)
 
 
+def _prune_files(
+    files: list[str], stats: dict, where: tuple
+) -> list[str]:
+    """Files whose [min,max] stats MAY overlap ``where=(col, lo, hi)``.
+    Files without stats for the column are always kept — pruning is an
+    optimization, never a filter."""
+    col, lo, hi = where
+    lo_r, hi_r = _stat_repr(lo), _stat_repr(hi)
+    kept = []
+    for f in files:
+        s = stats.get(f, {}).get(col)
+        if (
+            s is not None
+            and s[0] is not None
+            and s[1] is not None
+            and (hi_r is None or _stats_comparable(s[0], hi_r))
+            and (lo_r is None or _stats_comparable(s[1], lo_r))
+            and (
+                (hi_r is not None and s[0] > hi_r)
+                or (lo_r is not None and s[1] < lo_r)
+            )
+        ):
+            continue  # [min,max] disjoint from [lo,hi]: skip the file
+        kept.append(f)
+    return kept
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -286,25 +313,7 @@ def read_snapshot(
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
     files = m["files"]
     if where is not None:
-        col, lo, hi = where
-        lo_r, hi_r = _stat_repr(lo), _stat_repr(hi)
-        stats = m.get("file_stats", {})
-        kept = []
-        for f in files:
-            s = stats.get(f, {}).get(col)
-            if (
-                s is not None
-                and s[0] is not None
-                and s[1] is not None
-                and (hi_r is None or _stats_comparable(s[0], hi_r))
-                and (lo_r is None or _stats_comparable(s[1], lo_r))
-                and (
-                    (hi_r is not None and s[0] > hi_r)
-                    or (lo_r is not None and s[1] < lo_r)
-                )
-            ):
-                continue  # [min,max] disjoint from [lo,hi]: skip the file
-            kept.append(f)
+        kept = _prune_files(files, m.get("file_stats", {}), where)
         if not kept:
             one = spark.read.parquet(os.path.join(table_dir, files[0]))
             return one.limit(0)
@@ -488,6 +497,87 @@ def compact(
                 files_after=len(all_files),
                 files_rewritten=len(small),
                 files_passthrough=len(passthrough),
+            ),
+        ),
+    }
+    return _publish(table_dir, manifest, require_parent=base_version)
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    prune: tuple | None = None,
+    metrics: dict | None = None,
+) -> int:
+    """Copy-on-write ``DELETE … WHERE`` (Iceberg's copy-on-write delete
+    strategy): files that may contain matching rows are rewritten
+    WITHOUT them in ONE Spark job; every other file passes through
+    unrewritten. ``prune=(col, lo, hi)`` bounds the candidate set via
+    the manifest's per-file column stats and must be IMPLIED by
+    ``predicate`` (every matching row falls inside the range); files
+    without stats are always candidates, so a sound hint never loses a
+    delete. History stays time-travelable (pre-delete versions keep
+    their files until ``expire_snapshots``); a concurrent commit between
+    the read and the publish raises ``CommitConflict`` (CAS); a
+    predicate matching zero rows publishes nothing. The
+    ``stream_max_epoch`` marker is carried forward. Returns the
+    (possibly new) version."""
+    base_version = current_version(table_dir)
+    base = read_manifest(table_dir, base_version)
+    rels = base["files"]
+    if not rels:
+        return base_version
+    stats = base.get("file_stats", {})
+    candidates = _prune_files(rels, stats, prune) if prune else list(rels)
+    cand_set = set(candidates)
+    untouched = [f for f in rels if f not in cand_set]
+    if not candidates:
+        return base_version
+    src = spark.read.parquet(
+        *(os.path.join(table_dir, f) for f in candidates)
+    )
+    n_cand = src.count()
+    stamp = uuid.uuid4().hex
+    rel_dir = os.path.join("data", stamp)
+    out = os.path.join(table_dir, rel_dir)
+    src.filter(f"NOT ({predicate})").write.mode("error").parquet(out)
+    new_files = sorted(
+        os.path.join(rel_dir, name)
+        for name in os.listdir(out)
+        if name.endswith(".parquet")
+    )
+    n_kept = (
+        spark.read.parquet(
+            *(os.path.join(table_dir, f) for f in new_files)
+        ).count()
+        if new_files
+        else 0
+    )
+    n_deleted = n_cand - n_kept
+    if n_deleted == 0:
+        # nothing matched: the freshly-written dir is an invisible
+        # orphan (never manifested) — no useless version published
+        return base_version
+    marker = last_stream_epoch(table_dir)
+    carried = {} if marker is None else {"stream_max_epoch": marker}
+    manifest = {
+        "files": sorted(untouched + new_files),
+        "n_rows": base["n_rows"] - n_deleted,
+        "committed_ts": time.time(),
+        # untouched files keep their stats; rewritten files regain them
+        # on the next stats-carrying write (same policy as compact)
+        "file_stats": {f: stats[f] for f in untouched if f in stats},
+        "operation": (
+            f"delete({n_deleted} rows, {len(candidates)} files rewritten)"
+        ),
+        "metrics": dict(
+            carried,
+            **dict(
+                metrics or {},
+                rows_deleted=n_deleted,
+                files_rewritten=len(candidates),
+                files_passthrough=len(untouched),
             ),
         ),
     }

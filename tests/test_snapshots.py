@@ -491,3 +491,83 @@ def test_compact_many_bins_is_one_job(spark, tmp_path):
         _publish(t, {"files": m0["files"], "n_rows": m0["n_rows"],
                      "committed_ts": 0.0, "operation": "stale",
                      "metrics": {}}, require_parent=v - 2)
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """DELETE … WHERE: matching rows gone, non-matching preserved,
+    pre-delete version still time-travelable, metrics recorded."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import delete_where
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 100).coalesce(1), t, mode="append")
+    write_snapshot(_df(spark, 100, 200).coalesce(1), t, mode="append")
+    v0 = current_version(t)
+    v = delete_where(spark, t, "id % 10 = 3")
+    assert v == v0 + 1
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == {i for i in range(200) if i % 10 != 3}
+    m = read_manifest(t, v)
+    assert m["n_rows"] == 180
+    assert m["metrics"]["rows_deleted"] == 20
+    # time travel across the delete
+    assert read_snapshot(spark, t, version=v0).count() == 200
+    # deleting nothing publishes nothing
+    assert delete_where(spark, t, "id < 0") == v
+    assert current_version(t) == v
+
+
+def test_delete_where_stats_prune_rewrites_only_candidates(spark, tmp_path):
+    """With a sound prune hint, files whose stats are disjoint from the
+    range pass through UNREWRITTEN and keep their column stats."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import delete_where
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 400, 100):  # four files with disjoint id ranges
+        write_snapshot(
+            _df(spark, lo, lo + 100).coalesce(1), t,
+            mode="append", stats_cols=["id"],
+        )
+    m0 = read_manifest(t)
+    assert len(m0["files"]) == 4
+    v = delete_where(
+        spark, t, "id between 120 and 180", prune=("id", 120, 180)
+    )
+    m = read_manifest(t, v)
+    assert m["metrics"]["files_rewritten"] == 1
+    assert m["metrics"]["files_passthrough"] == 3
+    assert m["metrics"]["rows_deleted"] == 61
+    # passthrough files keep stats; three of the four originals survive
+    assert sum(1 for f in m["files"] if f in m0["files"]) == 3
+    kept_stats = [f for f in m["files"] if f in m["file_stats"]]
+    assert len(kept_stats) == 3
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == {i for i in range(400) if not (120 <= i <= 180)}
+
+
+def test_delete_where_conflicts_with_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """CAS: an append committed between delete's read and publish raises
+    CommitConflict instead of silently erasing the appended rows."""
+    import deepseek_ocr_api_rs_spark.sources.snapshots as snap
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        CommitConflict,
+        delete_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50).coalesce(1), t, mode="append")
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if not state["fired"] and dst.endswith("v2.json"):
+            state["fired"] = True
+            write_snapshot(_df(spark, 500, 510).coalesce(1), t, mode="append")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", racing_link)
+    with pytest.raises(CommitConflict):
+        delete_where(spark, t, "id < 10")
+    # the concurrent append survives
+    assert read_snapshot(spark, t).count() == 60
