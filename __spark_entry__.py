@@ -2312,6 +2312,83 @@ order by doc_id
 """
 
 
+def q_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed discovery (r6): per-doc feed XML alternating the
+    RSS 2.0 dialect (<item> with text <link>, CDATA titles) and the Atom
+    dialect (<entry> with <link href=…/>, <updated>) by doc parity, both
+    parsed by the ONE codegen-only expression (functions/web.parse_feed)
+    — no XML lib, no Python. The oracle reproduces the dialect-dependent
+    field arithmetic, proving both branches of the link fallback."""
+    from deepseek_ocr_api_rs_spark.functions.web import parse_feed
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    dq = chr(34)
+    rss = F.concat(
+        F.lit("<rss version=" + dq + "2.0" + dq + "><channel>\n<item>\n"
+              "<title><![CDATA[Post "), ds,
+        F.lit("]]></title>\n<link> https://r"), (d % 6).cast("string"),
+        F.lit(".example.org/post/"), ds,
+        F.lit(" </link>\n<pubDate>Mon, 0"), (d % 7 + 1).cast("string"),
+        F.lit(" Jan 2024 00:00:00 GMT</pubDate>\n</item>\n"
+              "<item><title>Second</title>"
+              "<link>https://r"), (d % 6).cast("string"),
+        F.lit(".example.org/second/"), ds,
+        F.lit("</link></item>\n</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed xmlns=" + dq + "http://www.w3.org/2005/Atom" + dq + ">\n"
+              "<entry>\n<title type=" + dq + "text" + dq + ">Entry "), ds,
+        F.lit("</title>\n<link rel=" + dq + "alternate" + dq + " href="
+              + dq + "https://a"), (d % 6).cast("string"),
+        F.lit(".example.org/e/"), ds,
+        F.lit(dq + "/>\n<updated>2024-02-0"), (d % 9 % 9 + 1).cast("string"),
+        F.lit("T00:00:00Z</updated>\n</entry>\n"
+              "<entry><link href=" + dq + "x" + dq
+              + "></entry>\n</feed>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("feed_xml", F.when(d % 2 == 0, rss).otherwise(atom))
+    )
+    return (
+        parse_feed(docs)
+        .select("doc_id", "title", "link", "published")
+        .orderBy("doc_id", "link")
+    )
+
+
+_Q_FEED_SQL = """
+with e as (
+  select doc_id, k from documents, (values (0), (1)) t(k)
+  where doc_id % 2 = 0
+  union all
+  select doc_id, k from documents, (values (0), (1)) t(k)
+  where doc_id % 2 = 1
+)
+select doc_id,
+  case when doc_id % 2 = 0 then
+    case when k = 0 then 'Post ' || doc_id else 'Second' end
+  else
+    case when k = 0 then 'Entry ' || doc_id end
+  end as title,
+  case when doc_id % 2 = 0 then
+    case when k = 0 then 'https://r' || (doc_id % 6) || '.example.org/post/' || doc_id
+         else 'https://r' || (doc_id % 6) || '.example.org/second/' || doc_id end
+  else
+    case when k = 0 then 'https://a' || (doc_id % 6) || '.example.org/e/' || doc_id
+         else 'x' end
+  end as link,
+  case when doc_id % 2 = 0 then
+    case when k = 0 then 'Mon, 0' || (doc_id % 7 + 1) || ' Jan 2024 00:00:00 GMT' end
+  else
+    case when k = 0 then '2024-02-0' || (doc_id % 9 % 9 + 1) || 'T00:00:00Z' end
+  end as published
+from e order by doc_id, link
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
     — entirely JVM-side: the page html is assembled with concat, hrefs
@@ -2960,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_politeness": q_politeness,
         "q_wet_roundtrip": q_wet_roundtrip,
         "q_snapshot_delete": q_snapshot_delete,
+        "q_feed": q_feed,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -3107,6 +3185,7 @@ def oracle_sql() -> dict[str, str]:
         "q_politeness": _Q_POLITENESS_SQL,
         "q_wet_roundtrip": _Q_WET_SQL,
         "q_snapshot_delete": _Q_SNAPSHOT_DELETE_SQL,
+        "q_feed": _Q_FEED_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

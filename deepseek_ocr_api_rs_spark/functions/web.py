@@ -198,3 +198,67 @@ def parse_sitemap_duckdb(xml_expr: str) -> str:
         f"b -> {{'loc': regexp_extract(b, '{_LOC_RE}', 1, 's'), "
         f"'lastmod': nullif(regexp_extract(b, '{_LASTMOD_RE}', 1, 's'), '')}})"
     )
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed parsing (r6) — the third discovery source next to
+# <a href> and sitemap.xml. Same codegen-only shape: item/entry blocks
+# from one DOTALL regexp_extract_all, then per-block field extraction.
+# RSS 2.0 <item><title/link/pubDate> and Atom <entry><title/link
+# href=…/updated> both land in one (title, link, published) schema.
+
+_FEED_BLOCK_RE = r"<(?:item|entry)[\s>](.*?)</(?:item|entry)>"
+_TITLE_RE = r"<title[^>]*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</title>"
+_RSS_LINK_RE = r"<link>\s*(.*?)\s*</link>"
+_ATOM_LINK_RE = r"""<link[^>]*href\s*=\s*["']([^"']+)["']"""
+_PUBDATE_RE = r"<(?:pubDate|updated|published)[^>]*>\s*(.*?)\s*</(?:pubDate|updated|published)>"
+
+
+def parse_feed(df, xml_col: str = "feed_xml") -> "DataFrame":  # noqa: F821
+    """(…, feed_xml) rows → one row per feed item with (title, link,
+    published). RSS <link>text</link> is preferred; an Atom
+    <link href="…"/> is the fallback — covering both dialects with one
+    expression. Items without either link are dropped; missing
+    title/published are NULL."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit("(?s)" + _FEED_BLOCK_RE), F.lit(1)
+    )
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.nullif(
+                F.regexp_extract(b, "(?s)" + _TITLE_RE, 1), F.lit("")
+            ).alias("title"),
+            F.coalesce(
+                F.nullif(F.regexp_extract(b, "(?s)" + _RSS_LINK_RE, 1), F.lit("")),
+                F.nullif(F.regexp_extract(b, _ATOM_LINK_RE, 1), F.lit("")),
+            ).alias("link"),
+            F.nullif(
+                F.regexp_extract(b, "(?s)" + _PUBDATE_RE, 1), F.lit("")
+            ).alias("published"),
+        ),
+    )
+    return (
+        df.withColumn("_e", F.explode(entries))
+        .withColumn("title", F.col("_e.title"))
+        .withColumn("link", F.col("_e.link"))
+        .withColumn("published", F.col("_e.published"))
+        .drop("_e")
+        .filter(F.col("link").isNotNull())
+    )
+
+
+def parse_feed_duckdb(xml_expr: str) -> str:
+    """DuckDB mirror: list of {title, link, published} structs."""
+    blk = _FEED_BLOCK_RE.replace("'", "''")
+    ttl = _TITLE_RE.replace("'", "''")
+    rl = _RSS_LINK_RE.replace("'", "''")
+    al = _ATOM_LINK_RE.replace("'", "''")
+    pd_ = _PUBDATE_RE.replace("'", "''")
+    return (
+        f"list_transform(regexp_extract_all({xml_expr}, '{blk}', 1, 's'), "
+        f"b -> {{'title': nullif(regexp_extract(b, '{ttl}', 1, 's'), ''), "
+        f"'link': coalesce(nullif(regexp_extract(b, '{rl}', 1, 's'), ''), "
+        f"nullif(regexp_extract(b, '{al}', 1), '')), "
+        f"'published': nullif(regexp_extract(b, '{pd_}', 1, 's'), '')}})"
+    )

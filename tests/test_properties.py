@@ -423,3 +423,46 @@ def test_sitemap_parsing_cross_engine(spark):
         (e["loc"], e["lastmod"]) for e in duck if e["loc"] != ""
     )
     assert duck_pairs == want
+
+
+def test_feed_parsing_cross_engine(spark):
+    """parse_feed: RSS text-links + CDATA titles, Atom href-links, items
+    without links dropped, missing fields NULL — same results from the
+    DuckDB mirror."""
+    import duckdb
+
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        parse_feed,
+        parse_feed_duckdb,
+    )
+
+    xml = (
+        "<rss><channel>"
+        "<item><title><![CDATA[A & B]]></title>"
+        "<link>\n https://r.example/1 \n</link>"
+        "<pubDate>Tue, 02 Jan 2024 03:04:05 GMT</pubDate></item>"
+        "<item><description>no link at all</description></item>"
+        "</channel></rss>"
+        "<feed><entry><title type=\"html\">T2</title>"
+        "<link rel=\"alternate\" type=\"text/html\" href='https://a.example/2'/>"
+        "<updated>2024-05-06T07:08:09Z</updated></entry></feed>"
+    )
+    df = spark.createDataFrame([(1, xml)], "id long, feed_xml string")
+    got = sorted(
+        (r.title, r.link, r.published) for r in parse_feed(df).collect()
+    )
+    want = sorted([
+        ("A & B", "https://r.example/1", "Tue, 02 Jan 2024 03:04:05 GMT"),
+        ("T2", "https://a.example/2", "2024-05-06T07:08:09Z"),
+    ])
+    assert got == want
+    con = duckdb.connect()
+    duck = con.execute(
+        f"select {parse_feed_duckdb('?')} as e", [xml]
+    ).fetchone()[0]
+    duck_rows = sorted(
+        (e["title"], e["link"], e["published"])
+        for e in duck
+        if e["link"] is not None
+    )
+    assert duck_rows == want
