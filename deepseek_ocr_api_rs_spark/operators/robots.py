@@ -10,12 +10,13 @@ tiny next to the URL frame and broadcasts).
 
 Scope per RFC 9309 §2.2: groups start at one-or-more consecutive
 ``User-agent`` lines and run to the next such run; ``Allow``/
-``Disallow`` use PREFIX matching with longest-match precedence and
-allow-wins-ties (the Google REP tie rule); an empty Disallow value
+``Disallow`` match with longest-match precedence (raw pattern octets)
+and allow-wins-ties (the Google REP tie rule); an empty Disallow value
 allows everything; agent matching is case-insensitive exact-token with
-``*`` fallback. ``$``/``*`` wildcard patterns are a documented non-goal
-(same policy as canonicalize_url's non-goals — the prefix core is the
-deterministic, oracle-exact part).
+``*`` fallback. Wildcard patterns are in scope (r6, §2.2.3): ``*``
+matches any character run and a trailing ``$`` anchors the end — each
+rule compiles to a LIKE pattern (LIKE-special chars escaped), so plain
+prefix rules behave exactly as the prefix core did.
 
 Reference parity: the reference fetches any URL it is handed
 (crates/server/src/generation.rs:276-305); a corpus pipeline in front of
@@ -105,30 +106,50 @@ def robots_allowed(
     """requests (host, path) × parsed rules → requests + ``allowed``
     boolean for ``agent``.
 
-    Longest-match precedence with allow-wins-ties; hosts with no
-    robots.txt / no applicable group / no matching rule → allowed. The
-    rules side is per-host-tiny and broadcast, so the big requests frame
-    never shuffles (plan-assertable)."""
+    Longest-match precedence (raw pattern octets) with allow-wins-ties;
+    ``*``/trailing-``$`` wildcards per §2.2.3; hosts with no robots.txt /
+    no applicable group / no matching rule → allowed. The rules side is
+    per-host-tiny and broadcast, so the big requests frame never
+    shuffles (plan-assertable)."""
     chosen = _chosen_group(rules, agent)
+    # RFC 9309 §2.2.3 wildcard patterns, compiled to LIKE: '*' matches
+    # any run, a TRAILING '$' anchors the end (mid-pattern '$' is
+    # literal). LIKE-special chars in the pattern are escaped with '!'
+    # first, so a plain prefix pattern behaves exactly as before.
+    raw = F.col("value")
+    anchored = raw.endswith("$")
+    body = F.when(anchored, F.expr("substring(value, 1, length(value) - 1)")
+                  ).otherwise(raw)
+    esc = F.regexp_replace(body, r"([!%_])", r"!$1")
+    wild = F.replace(esc, F.lit("*"), F.lit("%"))
+    like_pat = F.when(anchored, wild).otherwise(F.concat(wild, F.lit("%")))
     pats = (
         rules.filter(F.col("key").isin("allow", "disallow"))
         .filter(F.col("value") != "")
         .join(chosen, ["host", "group_id"])
-        .select("host", "key", F.col("value").alias("pattern"))
+        .select(
+            "host",
+            "key",
+            F.length(raw).alias("_plen"),  # precedence = raw pattern octets
+            like_pat.alias("_likepat"),
+        )
     )
     req = requests.select(
         F.col(host_col).alias("host"), F.col(path_col).alias("path")
     )
-    joined = req.join(
-        F.broadcast(pats),
-        (req["host"] == pats["host"])
-        & req["path"].startswith(pats["pattern"]),
-        "left",
-    ).select(
-        req["host"],
-        req["path"],
-        pats["key"].alias("_rk"),
-        F.length(pats["pattern"]).alias("_plen"),
+    joined = (
+        req.alias("r")
+        .join(
+            F.broadcast(pats).alias("p"),
+            F.expr("r.host = p.host and r.path like p._likepat escape '!'"),
+            "left",
+        )
+        .select(
+            F.col("r.host").alias("host"),
+            F.col("r.path").alias("path"),
+            F.col("p.key").alias("_rk"),
+            F.col("p._plen").alias("_plen"),
+        )
     )
     # winner per request: longest pattern; allow beats disallow on ties
     verdict = F.max(

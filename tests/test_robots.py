@@ -155,3 +155,35 @@ def test_politeness_schedule_spacing_and_sharding(spark):
         reqs, delays, default_delay=1.0, n_shards=8
     ).collect()}
     assert again == shards
+
+
+def test_wildcard_patterns_star_and_dollar(spark):
+    """RFC 9309 §2.2.3 wildcards: '*' spans any run, trailing '$'
+    anchors the end, mid-pattern '$' is literal, LIKE-special chars in
+    patterns are escaped, and precedence counts raw pattern octets."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.php$\n"
+        "Allow: /printable*.php$\n"
+        "Disallow: /fish*\n"
+        "Allow: /fish/co\n"
+        "Disallow: /money$\n"
+        "Disallow: /lit_eral%\n"
+    )
+    rules = _rules(spark, [("w.example", body)])
+    cases = {
+        "/index.php": False,          # *.php$ matches
+        "/index.php?x=1": True,       # $ anchor: query tail breaks match
+        "/printable-v2.php": True,    # longer allow wins
+        "/fishheads": False,          # /fish* prefix-with-star
+        "/fish/code": True,           # /fish/co allow (8 octets) beats /fish* (6)
+        "/money": False,              # exact via trailing $
+        "/moneymaker": True,          # $ anchor prevents prefix match
+        "/lit_eral%x": False,         # _ and % treated literally
+        "/litXeral%x": True,          # LIKE _ would match X if unescaped
+    }
+    df = spark.createDataFrame(
+        [("w.example", p) for p in cases], "host string, path string"
+    )
+    got = {r.path: r.allowed for r in robots_allowed(rules, df, "any").collect()}
+    assert got == cases, got
