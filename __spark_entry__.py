@@ -2389,6 +2389,80 @@ from e order by doc_id, link
 """
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE under the oracle gate (r6): the staged
+    documents snapshot (four ranged stats-carrying commits) receives an
+    upsert — one doc_id range replaced with marked text, five synthetic
+    rows inserted past the max key — via snapshots.merge_into (stats-
+    bounded candidates, one rewrite job, passthrough files keep stats).
+    The oracle is the same table with the update applied and the inserts
+    unioned, so the hash proves matched-replace + unmatched-insert +
+    untouched-preserve in one read-back."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        merge_into,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    try:
+        mx = int(docs.agg(F.max("doc_id").alias("m")).first().m or 0)
+        q = max((mx + 1) // 4, 1)
+        table = _staging_dir("snap_merge_") + "/tbl"
+        for i in range(4):
+            hi_bound = (i + 1) * q if i < 3 else mx + 1
+            part = docs.filter(
+                (F.col("doc_id") >= i * q) & (F.col("doc_id") < hi_bound)
+            )
+            write_snapshot(
+                part.repartition(2, "doc_id"), table,
+                mode="append", stats_cols=["doc_id"],
+            )
+        lo, hi = q, q + q // 2
+        upd = (
+            docs.filter(F.col("doc_id").between(lo, hi))
+            .select(
+                "doc_id",
+                F.concat(F.lit("UPDATED:"), F.col("doc_id").cast("string")
+                         ).alias("text"),
+            )
+            .unionByName(
+                spark.range(mx + 1, mx + 6).select(
+                    F.col("id").alias("doc_id"),
+                    F.concat(F.lit("NEW:"), F.col("id").cast("string")
+                             ).alias("text"),
+                )
+            )
+        )
+        merge_into(spark, table, upd, "doc_id")
+    finally:
+        docs.unpersist()
+    return (
+        read_snapshot(spark, table)
+        .select("doc_id", F.length("text").alias("n_chars"),
+                F.substring("text", 1, 8).alias("head8"))
+        .orderBy("doc_id")
+    )
+
+
+_Q_SNAPSHOT_MERGE_SQL = """
+with m as (
+  select max(doc_id) as mx, greatest((max(doc_id) + 1) // 4, 1) as q
+  from documents
+), merged as (
+  select doc_id,
+    case when doc_id between q and q + q // 2
+         then 'UPDATED:' || doc_id else text end as text
+  from documents, m
+  union all
+  select mx + k, 'NEW:' || (mx + k) from m, (values (1),(2),(3),(4),(5)) t(k)
+)
+select doc_id, length(text) as n_chars, substring(text, 1, 8) as head8
+from merged order by doc_id
+"""
+
+
 def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML link-graph extraction (r6, the <a href> pair of q_pdf_links)
     — entirely JVM-side: the page html is assembled with concat, hrefs
@@ -3038,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet_roundtrip": q_wet_roundtrip,
         "q_snapshot_delete": q_snapshot_delete,
         "q_feed": q_feed,
+        "q_snapshot_merge": q_snapshot_merge,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -3186,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wet_roundtrip": _Q_WET_SQL,
         "q_snapshot_delete": _Q_SNAPSHOT_DELETE_SQL,
         "q_feed": _Q_FEED_SQL,
+        "q_snapshot_merge": _Q_SNAPSHOT_MERGE_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

@@ -584,6 +584,97 @@ def delete_where(
     return _publish(table_dir, manifest, require_parent=base_version)
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_col: str,
+    metrics: dict | None = None,
+) -> int:
+    """Copy-on-write ``MERGE INTO`` keyed on ``key_col``: matched rows
+    are REPLACED by their update row, unmatched update rows are
+    INSERTED (the classic upsert). Candidate files are bounded by the
+    updates' key range against the manifest's per-file stats (files
+    without stats always qualify — a missing stat can never lose a
+    match); candidates are rewritten in ONE job as
+    (candidate ANTI-JOIN keys) UNION updates, while every other file
+    passes through unrewritten with its stats. Duplicate keys in
+    ``updates`` are the caller's contract to avoid (they insert as
+    duplicates, exactly like a blind append would). History stays
+    time-travelable; CAS on publish; the ``stream_max_epoch`` marker is
+    carried forward. Returns the new version."""
+    base_version = current_version(table_dir)
+    base = read_manifest(table_dir, base_version)
+    rels = base["files"]
+    stats = base.get("file_stats", {})
+    upd = updates.persist()
+    try:
+        n_upd = upd.count()
+        if n_upd == 0:
+            return base_version
+        bounds = upd.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        candidates = (
+            _prune_files(rels, stats, (key_col, bounds.lo, bounds.hi))
+            if rels
+            else []
+        )
+        cand_set = set(candidates)
+        untouched = [f for f in rels if f not in cand_set]
+        stamp = uuid.uuid4().hex
+        rel_dir = os.path.join("data", stamp)
+        out = os.path.join(table_dir, rel_dir)
+        if candidates:
+            src = spark.read.parquet(
+                *(os.path.join(table_dir, f) for f in candidates)
+            )
+            n_cand = src.count()
+            # no broadcast hint: small update sets broadcast via AQE on
+            # their own; a bulk upsert's key frame may exceed the limit
+            # and must be allowed to shuffle
+            kept = src.join(upd.select(key_col), key_col, "left_anti")
+            kept.select(*upd.columns).unionByName(upd).write.mode(
+                "error"
+            ).parquet(out)
+            n_matched = n_cand - (
+                spark.read.parquet(out).count() - n_upd
+            )
+        else:
+            upd.write.mode("error").parquet(out)
+            n_matched = 0
+        new_files = sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(out)
+            if name.endswith(".parquet")
+        )
+        marker = last_stream_epoch(table_dir)
+        carried = {} if marker is None else {"stream_max_epoch": marker}
+        manifest = {
+            "files": sorted(untouched + new_files),
+            "n_rows": base["n_rows"] - n_matched + n_upd,
+            "committed_ts": time.time(),
+            "file_stats": {f: stats[f] for f in untouched if f in stats},
+            "operation": (
+                f"merge({n_matched} updated, {n_upd - n_matched} inserted, "
+                f"{len(candidates)} files rewritten)"
+            ),
+            "metrics": dict(
+                carried,
+                **dict(
+                    metrics or {},
+                    rows_updated=n_matched,
+                    rows_inserted=n_upd - n_matched,
+                    files_rewritten=len(candidates),
+                    files_passthrough=len(untouched),
+                ),
+            ),
+        }
+        return _publish(table_dir, manifest, require_parent=base_version)
+    finally:
+        upd.unpersist()
+
+
 def last_stream_epoch(table_dir: str) -> int | None:
     """Newest committed stream-epoch marker, O(1) manifest reads on the
     steady path: the stream sink stamps ``stream_max_epoch`` into every

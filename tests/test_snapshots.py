@@ -571,3 +571,60 @@ def test_delete_where_conflicts_with_concurrent_append(
         delete_where(spark, t, "id < 10")
     # the concurrent append survives
     assert read_snapshot(spark, t).count() == 60
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """MERGE: matched keys replaced, unmatched inserted, stats-disjoint
+    files pass through with stats, history intact, counts in metrics."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 300, 100):  # three files, disjoint id ranges
+        write_snapshot(
+            _df(spark, lo, lo + 100).coalesce(1), t,
+            mode="append", stats_cols=["id"],
+        )
+    v0 = current_version(t)
+    # updates: replace ids 150..159 (v = 0), insert ids 1000..1004
+    upd = spark.createDataFrame(
+        [(i, 0) for i in range(150, 160)] + [(i, i) for i in range(1000, 1005)],
+        "id long, v long",
+    )
+    v = merge_into(spark, t, upd, "id")
+    assert v == v0 + 1
+    m = read_manifest(t, v)
+    assert m["metrics"]["rows_updated"] == 10
+    assert m["metrics"]["rows_inserted"] == 5
+    assert m["n_rows"] == 305
+    # only the middle file (100..199) and none other rewritten — but the
+    # inserted 1000s extend the key range, so candidates are files
+    # overlapping [150, 1004]: files 2 and 3
+    assert m["metrics"]["files_rewritten"] == 2
+    assert m["metrics"]["files_passthrough"] == 1
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 305
+    for i in range(150, 160):
+        assert got[i] == 0
+    for i in range(1000, 1005):
+        assert got[i] == i
+    assert got[50] == 100 and got[250] == 500  # untouched rows intact
+    assert read_snapshot(spark, t, version=v0).count() == 300  # time travel
+
+
+def test_merge_into_empty_table_and_empty_updates(spark, tmp_path):
+    from deepseek_ocr_api_rs_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5).coalesce(1), t, mode="append")
+    v0 = current_version(t)
+    empty = spark.createDataFrame([], "id long, v long")
+    assert merge_into(spark, t, empty, "id") == v0  # no-op
+    # insert-only merge (no key overlap)
+    ins = spark.createDataFrame([(99, 1)], "id long, v long")
+    v = merge_into(spark, t, ins, "id")
+    m = read_manifest(t, v)
+    # the base file has no stats → always a candidate, but id 99 matches
+    # nothing: pure insert
+    assert m["metrics"]["rows_updated"] == 0
+    assert m["metrics"]["rows_inserted"] == 1
+    assert read_snapshot(spark, t).count() == 6
