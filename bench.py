@@ -210,6 +210,12 @@ _HEADLINE_QUERIES = [
     "q_audio_spectrum",
     "q_sequence_packing",
     "q_url_canonical",
+    # round-6: crawl-side operators (links, politeness, WET export,
+    # MP4 metadata) — cheap JVM-dominated queries, wall budget ~1-3 s each
+    "q_html_links",
+    "q_robots",
+    "q_wet_roundtrip",
+    "q_mp4_meta",
 ]
 
 
