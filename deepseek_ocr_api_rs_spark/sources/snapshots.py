@@ -258,11 +258,31 @@ def write_snapshot(
         "operation": mode,
         "metrics": metrics or {},
         "file_stats": file_stats,
+        # schema evolution (r6, the Iceberg way): the manifest carries
+        # the CURRENT table schema — the latest writer's — and reads
+        # apply it explicitly, so an appended column surfaces as NULL in
+        # pre-evolution files without any footer-merge pass, and a
+        # dropped column disappears. Additive/drop evolution only;
+        # retyping a column is a caller error.
+        "schema": df.schema.json(),
     }
     if mode == "append":
         # merge with the parent INSIDE the optimistic-retry loop
         return _publish(table_dir, manifest, append_files=files, append_rows=n_rows)
     return _publish(table_dir, manifest)
+
+
+def _table_reader(spark: SparkSession, manifest: dict):
+    """DataFrameReader honoring the manifest's evolved table schema (when
+    present) — rewrite paths (compact/delete/merge) must read candidate
+    files under the SAME schema the table presents, or a pre-evolution
+    file breaks column resolution mid-rewrite."""
+    reader = spark.read
+    if manifest.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(manifest["schema"])))
+    return reader
 
 
 def _prune_files(
@@ -300,6 +320,9 @@ def read_snapshot(
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the files the (given or latest)
     manifest lists — orphans from uncommitted writers are invisible.
+    When the manifest carries a table schema (r6 evolution), the read
+    applies it EXPLICITLY: columns appended by a later writer surface as
+    NULL in pre-evolution files with zero footer-merge cost.
 
     ``where=(col, lo, hi)`` prunes files on the DRIVER using the
     manifest's per-file min/max stats (inclusive range; ``lo``/``hi``
@@ -311,15 +334,16 @@ def read_snapshot(
     m = read_manifest(table_dir, version)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} is empty")
+    reader = _table_reader(spark, m)
     files = m["files"]
     if where is not None:
         kept = _prune_files(files, m.get("file_stats", {}), where)
         if not kept:
-            one = spark.read.parquet(os.path.join(table_dir, files[0]))
+            one = reader.parquet(os.path.join(table_dir, files[0]))
             return one.limit(0)
         files = kept
     paths = [os.path.join(table_dir, f) for f in files]
-    return spark.read.parquet(*paths)
+    return reader.parquet(*paths)
 
 
 def rollback(table_dir: str, to_version: int) -> int:
@@ -336,6 +360,7 @@ def rollback(table_dir: str, to_version: int) -> int:
         # keep the target's column stats: dropping them permanently
         # disabled manifest pruning for every rolled-back file
         "file_stats": old.get("file_stats", {}),
+        "schema": old.get("schema"),
     }
     return _publish(table_dir, manifest)
 
@@ -438,7 +463,7 @@ def compact(
         for rel in group
     ]
     map_df = spark.createDataFrame(assignment, "_file_name string, _bin int")
-    src = spark.read.parquet(
+    src = _table_reader(spark, base).parquet(
         *(os.path.join(table_dir, r) for r in small)
     ).withColumn(
         "_file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -489,6 +514,7 @@ def compact(
             f: base_stats[f] for f in passthrough if f in base_stats
         },
         "operation": f"compact({len(rels)}->{len(all_files)})",
+        "schema": base.get("schema"),
         "metrics": dict(
             carried,
             **dict(
@@ -534,7 +560,7 @@ def delete_where(
     untouched = [f for f in rels if f not in cand_set]
     if not candidates:
         return base_version
-    src = spark.read.parquet(
+    src = _table_reader(spark, base).parquet(
         *(os.path.join(table_dir, f) for f in candidates)
     )
     n_cand = src.count()
@@ -571,6 +597,7 @@ def delete_where(
         "operation": (
             f"delete({n_deleted} rows, {len(candidates)} files rewritten)"
         ),
+        "schema": base.get("schema"),
         "metrics": dict(
             carried,
             **dict(
@@ -626,7 +653,7 @@ def merge_into(
         rel_dir = os.path.join("data", stamp)
         out = os.path.join(table_dir, rel_dir)
         if candidates:
-            src = spark.read.parquet(
+            src = _table_reader(spark, base).parquet(
                 *(os.path.join(table_dir, f) for f in candidates)
             )
             n_cand = src.count()
@@ -659,6 +686,7 @@ def merge_into(
                 f"merge({n_matched} updated, {n_upd - n_matched} inserted, "
                 f"{len(candidates)} files rewritten)"
             ),
+            "schema": upd.schema.json(),
             "metrics": dict(
                 carried,
                 **dict(

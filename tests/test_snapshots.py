@@ -628,3 +628,58 @@ def test_merge_into_empty_table_and_empty_updates(spark, tmp_path):
     assert m["metrics"]["rows_updated"] == 0
     assert m["metrics"]["rows_inserted"] == 1
     assert read_snapshot(spark, t).count() == 6
+
+
+def test_schema_evolution_add_and_drop_column(spark, tmp_path):
+    """Manifest-tracked schema (r6): a later writer's appended column
+    surfaces as NULL in pre-evolution files; a column the latest writer
+    dropped disappears; time travel reads each version under ITS schema."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5).coalesce(1), t, mode="append")  # id, v
+    v1 = current_version(t)
+    evolved = spark.range(5, 8).selectExpr(
+        "id", "id * 2 as v", "id * 10 as extra"
+    )
+    write_snapshot(evolved.coalesce(1), t, mode="append")
+    cur = read_snapshot(spark, t)
+    assert set(cur.columns) == {"id", "v", "extra"}
+    got = {r.id: (r.v, r.extra) for r in cur.collect()}
+    assert got[2] == (4, None)      # old file: new column is NULL
+    assert got[6] == (12, 60)       # new file: populated
+    # time travel: v1 still reads under the ORIGINAL two-column schema
+    old = read_snapshot(spark, t, version=v1)
+    assert set(old.columns) == {"id", "v"}
+    # a writer that drops a column: latest-writer-wins
+    write_snapshot(
+        spark.range(100, 102).selectExpr("id", "id * 2 as v").coalesce(1),
+        t, mode="append",
+    )
+    assert set(read_snapshot(spark, t).columns) == {"id", "v"}
+
+
+def test_schema_survives_compact_delete_merge(spark, tmp_path):
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        compact,
+        delete_where,
+        merge_into,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 20).coalesce(1), t, mode="append")
+    write_snapshot(
+        spark.range(20, 40).selectExpr("id", "id * 2 as v", "id as extra"
+                                       ).coalesce(1),
+        t, mode="append",
+    )
+    compact(spark, t, target_files=1)
+    assert set(read_snapshot(spark, t).columns) == {"id", "v", "extra"}
+    delete_where(spark, t, "id >= 35")
+    assert set(read_snapshot(spark, t).columns) == {"id", "v", "extra"}
+    upd = spark.createDataFrame(
+        [(0, 999, 1)], "id long, v long, extra long"
+    )
+    merge_into(spark, t, upd, "id")
+    cur = read_snapshot(spark, t)
+    assert set(cur.columns) == {"id", "v", "extra"}
+    assert cur.filter("id = 0").first().v == 999
+    assert cur.count() == 35
