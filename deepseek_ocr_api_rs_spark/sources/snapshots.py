@@ -173,6 +173,11 @@ def _publish(
                 ]
                 if cands:
                     metrics["stream_max_epoch"] = max(cands)
+            prev_deletes = (
+                read_manifest(table_dir, cur).get("deletes", [])
+                if cur is not None
+                else []
+            )
             attempt = dict(
                 attempt,
                 files=prev_files + append_files,
@@ -180,6 +185,10 @@ def _publish(
                 metrics=metrics,
                 file_stats={**prev_stats, **base_stats},
             )
+            if prev_deletes:
+                # outstanding MOR deletes survive appends; their scope
+                # stays the OLD file set, so appended rows are untouched
+                attempt["deletes"] = prev_deletes + attempt.get("deletes", [])
         attempt = dict(attempt, version=version, parent=cur)
         tmp = os.path.join(
             _snap_dir(table_dir), f".tmp-{uuid.uuid4().hex}.json"
@@ -343,7 +352,20 @@ def read_snapshot(
             return one.limit(0)
         files = kept
     paths = [os.path.join(table_dir, f) for f in files]
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    deletes = m.get("deletes", [])
+    if deletes:
+        # merge-on-read: scoped equality-delete anti-joins (small key
+        # frames, broadcast) until apply_deletes materializes them
+        df = _apply_delete_batches(
+            spark,
+            table_dir,
+            df.withColumn(
+                "_f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            ),
+            deletes,
+        ).drop("_f")
+    return df
 
 
 def rollback(table_dir: str, to_version: int) -> int:
@@ -422,6 +444,12 @@ def compact(
     rels = base["files"]
     if not rels:
         return base_version
+    if base.get("deletes"):
+        raise RuntimeError(
+            "outstanding merge-on-read delete batches: run apply_deletes "
+            "first — a rewrite would rename files out of their scope and "
+            "resurrect deleted rows"
+        )
     sizes = {rel: os.path.getsize(os.path.join(table_dir, rel)) for rel in rels}
     if target_files is not None:
         total = sum(sizes.values())
@@ -554,6 +582,12 @@ def delete_where(
     rels = base["files"]
     if not rels:
         return base_version
+    if base.get("deletes"):
+        raise RuntimeError(
+            "outstanding merge-on-read delete batches: run apply_deletes "
+            "first — a rewrite would rename files out of their scope and "
+            "resurrect deleted rows"
+        )
     stats = base.get("file_stats", {})
     candidates = _prune_files(rels, stats, prune) if prune else list(rels)
     cand_set = set(candidates)
@@ -611,6 +645,144 @@ def delete_where(
     return _publish(table_dir, manifest, require_parent=base_version)
 
 
+def delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    metrics: dict | None = None,
+) -> int:
+    """MERGE-ON-READ equality delete (Iceberg v2's equality-delete
+    files): instead of rewriting data files, commit a small DELETE FILE
+    of key values; readers anti-join it. Each delete entry is SCOPED to
+    the data files present at commit time — the Iceberg sequence-number
+    rule — so a row for the same key appended LATER is not affected
+    (CDC delete-then-reinsert works). The write cost is O(keys); the
+    read cost is one broadcast-sized anti-join per outstanding delete
+    batch until ``apply_deletes``/``compact`` materializes them.
+    Returns the new version."""
+    base_version = current_version(table_dir)
+    base = read_manifest(table_dir, base_version)
+    stamp = uuid.uuid4().hex
+    rel = os.path.join("deletes", f"{stamp}.parquet")
+    out = os.path.join(table_dir, rel)
+    kdf = keys.select(key_col).distinct().persist()
+    try:
+        n_keys = kdf.count()
+        if n_keys == 0:
+            return base_version
+        kdf.coalesce(1).write.mode("error").parquet(out)
+    finally:
+        kdf.unpersist()
+    manifest = {
+        "files": base["files"],
+        "n_rows": base["n_rows"],  # logical rows pending materialization
+        "committed_ts": time.time(),
+        "file_stats": base.get("file_stats", {}),
+        "schema": base.get("schema"),
+        "deletes": base.get("deletes", [])
+        + [{"file": rel, "key": key_col, "n_keys": n_keys,
+            "scope": base["files"]}],
+        "operation": f"delete_keys({n_keys} keys)",
+        "metrics": dict(metrics or {}, delete_batches=len(
+            base.get("deletes", [])) + 1),
+    }
+    return _publish(table_dir, manifest, require_parent=base_version)
+
+
+def _apply_delete_batches(
+    spark: SparkSession, table_dir: str, df: DataFrame, deletes: list[dict]
+) -> DataFrame:
+    """Apply outstanding equality-delete batches to a data frame that
+    carries a ``_f`` column (file rel-path basename). Scoped: a delete
+    only hits rows read from files it covered at commit time."""
+    for d in deletes:
+        keys = spark.read.parquet(os.path.join(table_dir, d["file"]))
+        scope = [os.path.basename(f) for f in d["scope"]]
+        marked = df.join(
+            F.broadcast(
+                keys.withColumn("_del", F.lit(True)).withColumnRenamed(
+                    d["key"], "_delkey"
+                )
+            ),
+            df[d["key"]] == F.col("_delkey"),
+            "left",
+        )
+        df = marked.filter(
+            ~(F.coalesce(F.col("_del"), F.lit(False))
+              & F.col("_f").isin(scope))
+        ).drop("_del", "_delkey")
+    return df
+
+
+def apply_deletes(
+    spark: SparkSession, table_dir: str, metrics: dict | None = None
+) -> int:
+    """Materialize outstanding equality deletes: ONE job rewrites only
+    the files inside any delete's scope with the anti-joins applied,
+    out-of-scope files pass through with their stats, and the new
+    manifest carries no delete entries. No-op (no deletes) returns the
+    current version. CAS on publish."""
+    base_version = current_version(table_dir)
+    base = read_manifest(table_dir, base_version)
+    deletes = base.get("deletes", [])
+    if not deletes:
+        return base_version
+    scoped = set()
+    for d in deletes:
+        scoped.update(d["scope"])
+    touched = [f for f in base["files"] if f in scoped]
+    untouched = [f for f in base["files"] if f not in scoped]
+    stats = base.get("file_stats", {})
+    stamp = uuid.uuid4().hex
+    rel_dir = os.path.join("data", stamp)
+    out = os.path.join(table_dir, rel_dir)
+    new_files: list[str] = []
+    n_kept = 0
+    if touched:
+        src = (
+            _table_reader(spark, base)
+            .parquet(*(os.path.join(table_dir, f) for f in touched))
+            .withColumn(
+                "_f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+        )
+        kept = _apply_delete_batches(spark, table_dir, src, deletes).drop("_f")
+        kept.write.mode("error").parquet(out)
+        new_files = sorted(
+            os.path.join(rel_dir, name)
+            for name in os.listdir(out)
+            if name.endswith(".parquet")
+        )
+        if new_files:
+            n_kept = spark.read.parquet(
+                *(os.path.join(table_dir, f) for f in new_files)
+            ).count()
+    n_untouched = 0
+    if untouched:
+        n_untouched = spark.read.parquet(
+            *(os.path.join(table_dir, f) for f in untouched)
+        ).count()
+    manifest = {
+        "files": sorted(untouched + new_files),
+        "n_rows": n_kept + n_untouched,
+        "committed_ts": time.time(),
+        "file_stats": {f: stats[f] for f in untouched if f in stats},
+        "schema": base.get("schema"),
+        "operation": (
+            f"apply_deletes({len(deletes)} batches, "
+            f"{len(touched)} files rewritten)"
+        ),
+        "metrics": dict(
+            metrics or {},
+            delete_batches_applied=len(deletes),
+            files_rewritten=len(touched),
+            files_passthrough=len(untouched),
+        ),
+    }
+    return _publish(table_dir, manifest, require_parent=base_version)
+
+
 def merge_into(
     spark: SparkSession,
     table_dir: str,
@@ -634,6 +806,12 @@ def merge_into(
     base = read_manifest(table_dir, base_version)
     rels = base["files"]
     stats = base.get("file_stats", {})
+    if base.get("deletes"):
+        raise RuntimeError(
+            "outstanding merge-on-read delete batches: run apply_deletes "
+            "first — a rewrite would rename files out of their scope and "
+            "resurrect deleted rows"
+        )
     upd = updates.persist()
     try:
         n_upd = upd.count()

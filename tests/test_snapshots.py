@@ -683,3 +683,69 @@ def test_schema_survives_compact_delete_merge(spark, tmp_path):
     assert set(cur.columns) == {"id", "v", "extra"}
     assert cur.filter("id = 0").first().v == 999
     assert cur.count() == 35
+
+
+def test_mor_equality_deletes_scoped_and_materialized(spark, tmp_path):
+    """Merge-on-read deletes: O(keys) commit, readers anti-join; the
+    delete is SCOPED to commit-time files so a later re-insert of the
+    same key survives (CDC delete-then-reinsert); apply_deletes
+    materializes and clears the batches; rewrites are guarded while
+    batches are outstanding."""
+    import pytest as _pytest
+
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        apply_deletes,
+        compact,
+        delete_keys,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50).coalesce(1), t, mode="append")
+    v = delete_keys(
+        spark, t, spark.createDataFrame([(7,), (8,), (9,)], "id long"), "id"
+    )
+    assert read_manifest(t, v)["operation"] == "delete_keys(3 keys)"
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(50)) - {7, 8, 9}
+    # re-insert key 7 AFTER the delete: append is out of scope → visible
+    write_snapshot(
+        spark.createDataFrame([(7, 777)], "id long, v long").coalesce(1),
+        t, mode="append",
+    )
+    got2 = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got2[7] == 777  # the NEW row, not the deleted one
+    assert 8 not in got2
+    # rewrites are guarded while deletes are outstanding
+    with _pytest.raises(RuntimeError, match="apply_deletes"):
+        compact(spark, t, target_files=1)
+    # materialize: batches cleared, physical rows now match
+    v2 = apply_deletes(spark, t)
+    m = read_manifest(t, v2)
+    assert not m.get("deletes")
+    assert m["n_rows"] == 48  # 50 - 3 + 1 reinsert
+    got3 = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got3[7] == 777 and 8 not in got3 and len(got3) == 48
+    # now compaction works again
+    compact(spark, t, target_files=1)
+    assert read_snapshot(spark, t).count() == 48
+
+
+def test_mor_deletes_stack_and_empty_keys_noop(spark, tmp_path):
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        apply_deletes,
+        delete_keys,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 20).coalesce(1), t, mode="append")
+    v0 = current_version(t)
+    empty = spark.createDataFrame([], "id long")
+    assert delete_keys(spark, t, empty, "id") == v0  # no-op
+    delete_keys(spark, t, spark.createDataFrame([(1,)], "id long"), "id")
+    delete_keys(spark, t, spark.createDataFrame([(2,)], "id long"), "id")
+    assert len(read_manifest(t).get("deletes", [])) == 2
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(20)) - {1, 2}
+    apply_deletes(spark, t)
+    assert apply_deletes(spark, t) == current_version(t)  # no-op when clear
+    assert read_snapshot(spark, t).count() == 18
