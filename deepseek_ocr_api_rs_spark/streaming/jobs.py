@@ -678,3 +678,81 @@ def extraction_stream_to_snapshots(
         .start()
     )
     q.awaitTermination()
+
+
+def cdc_stream_to_snapshots(
+    spark: SparkSession,
+    changes_path: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "id",
+    op_col: str = "op",
+) -> None:
+    """CDC change stream → snapshot table via MERGE-ON-READ (r6): each
+    micro-batch of (op, key, payload…) rows commits as at most two
+    snapshot-log entries — an O(keys) scoped equality-delete batch for
+    EVERY changed key (delete-or-replace of the old row version), then
+    an append of the upsert rows. The delete's scope is the pre-batch
+    file set, so the freshly appended rows are untouched (the Iceberg v2
+    sequence-number rule); readers see the post-change table immediately
+    without any data-file rewrite, and maintenance (``apply_deletes`` +
+    ``compact``) materializes lazily.
+
+    Epoch idempotence composes with the crash model: the
+    ``stream_max_epoch`` marker is stamped only on the LAST commit of an
+    epoch (the append when upserts exist, else the delete batch). A
+    crash between the two commits replays the epoch; the re-run's
+    duplicate delete batch is semantically a no-op (same keys, same
+    still-current scope) and the append then lands exactly once.
+    ``op == 'delete'`` rows delete; every other op value upserts."""
+    from deepseek_ocr_api_rs_spark.sources import snapshots as snap
+
+    schema = spark.read.parquet(changes_path).schema
+    stream = spark.readStream.schema(schema).parquet(changes_path)
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        last = snap.last_stream_epoch(table_dir)
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: already fully committed
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            upserts = batch_df.filter(F.col(op_col) != "delete").drop(op_col)
+            n_up = upserts.count()
+            if snap.current_version(table_dir) is not None:
+                delete_metrics = {"epoch_id": epoch_id, "cdc_changes": n}
+                if n_up == 0:
+                    # delete-only epoch: the delete batch IS the last
+                    # commit — it carries the idempotence marker
+                    delete_metrics["stream_max_epoch"] = epoch_id
+                snap.delete_keys(
+                    spark,
+                    table_dir,
+                    batch_df.select(key_col),
+                    key_col,
+                    metrics=delete_metrics,
+                )
+            if n_up:
+                snap.write_snapshot(
+                    upserts,
+                    table_dir,
+                    mode="append",
+                    metrics={
+                        "epoch_id": epoch_id,
+                        "stream_max_epoch": epoch_id,
+                        "cdc_upserts": n_up,
+                        "cdc_deletes": n - n_up,
+                    },
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

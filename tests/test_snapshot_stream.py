@@ -117,3 +117,72 @@ def test_epoch_dedup_o1_reads_and_survives_expiry(spark, tmp_path):
     extraction_stream_to_snapshots(spark, landing, table, ckpt)
     assert len(history(table)) == n_versions
     assert read_snapshot(spark, table).count() == rows
+
+
+def test_cdc_stream_merge_on_read(spark, tmp_path):
+    """CDC sink: upserts replace, deletes remove, delete-then-reinsert
+    across epochs works (scoped MOR), replay is exactly-once, and
+    maintenance (apply_deletes + compact) converges to the same table."""
+    import shutil
+
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        apply_deletes,
+        compact,
+        read_manifest,
+    )
+    from deepseek_ocr_api_rs_spark.streaming.jobs import cdc_stream_to_snapshots
+
+    landing = str(tmp_path / "changes")
+    os.makedirs(landing)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(name, rows):
+        df = spark.createDataFrame(rows, "op string, id long, v long")
+        tmp = os.path.join(landing, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(landing, name + ".parquet"))
+        shutil.rmtree(tmp)
+
+    # epoch 0: initial inserts
+    stage("a", [("upsert", i, i * 10) for i in range(8)])
+    cdc_stream_to_snapshots(spark, landing, table, ckpt)
+    got = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert got == {i: i * 10 for i in range(8)}
+
+    # replay with no new input: nothing changes
+    cdc_stream_to_snapshots(spark, landing, table, ckpt)
+    assert len(history(table)) == len(history(table))
+    n_versions = len(history(table))
+
+    # epoch 1: update 2 keys, delete 2, insert 1
+    stage("b", [("upsert", 1, 111), ("upsert", 2, 222),
+                ("delete", 3, 0), ("delete", 4, 0),
+                ("upsert", 99, 990)])
+    cdc_stream_to_snapshots(spark, landing, table, ckpt)
+    got = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert got == {0: 0, 1: 111, 2: 222, 5: 50, 6: 60, 7: 70, 99: 990}
+
+    # epoch 2: re-insert a previously deleted key
+    stage("c", [("upsert", 3, 333)])
+    cdc_stream_to_snapshots(spark, landing, table, ckpt)
+    got = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert got[3] == 333 and 4 not in got
+
+    # epoch 3: delete-only epoch still advances the idempotence marker
+    stage("d", [("delete", 99, 0)])
+    cdc_stream_to_snapshots(spark, landing, table, ckpt)
+    got = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert 99 not in got
+    m = read_manifest(table)
+    assert m["metrics"].get("stream_max_epoch") is not None
+
+    # maintenance: materialize + compact → identical contents
+    before = dict(got)
+    apply_deletes(spark, table)
+    compact(spark, table, target_files=1)
+    after = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert after == before
+    assert not read_manifest(table).get("deletes")
