@@ -114,8 +114,14 @@ def absolutize_href(base: str | Column, href: str | Column) -> Column:
     h = F.col(href) if isinstance(href, str) else href
     scheme = F.regexp_extract(b, r"^(https?):", 1)
     scheme_host = F.regexp_extract(b, _SCHEME_HOST_RE, 1)
-    base_dir = F.regexp_replace(b, r"[?#].*$", "")
-    base_dir = F.regexp_replace(base_dir, r"/[^/]*$", "/")
+    base_noq = F.regexp_replace(b, r"[?#].*$", "")
+    # a base with NO path ('https://host') must merge relative refs
+    # against '/' (RFC 3986 §5.3) — the generic strip-last-segment would
+    # eat the host itself (code-review r6)
+    base_dir = F.when(
+        base_noq.rlike(_SCHEME_HOST_RE + "$"),
+        F.concat(base_noq, F.lit("/")),
+    ).otherwise(F.regexp_replace(base_noq, r"/[^/]*$", "/"))
     return (
         F.when(h.rlike("^https?://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
@@ -148,6 +154,8 @@ def absolutize_href_duckdb(base_expr: str, href_expr: str) -> str:
   when regexp_matches({href_expr}, '^https?://') then {href_expr}
   when {href_expr} like '//%' then regexp_extract({base_expr}, '^(https?):', 1) || ':' || {href_expr}
   when {href_expr} like '/%' then regexp_extract({base_expr}, '{_SCHEME_HOST_RE}', 1) || {href_expr}
+  when regexp_matches(regexp_replace({base_expr}, '[?#].*$', ''), '{_SCHEME_HOST_RE}$')
+    then regexp_replace({base_expr}, '[?#].*$', '') || '/' || {href_expr}
   else regexp_replace(regexp_replace({base_expr}, '[?#].*$', ''), '/[^/]*$', '/') || {href_expr}
 end"""
 

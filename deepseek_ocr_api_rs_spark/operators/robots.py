@@ -70,29 +70,25 @@ def parse_robots(
 
 
 def _chosen_group(rules: DataFrame, agent: str) -> DataFrame:
-    """(host, group_id) of the group that governs ``agent``: the first
-    group naming the agent exactly (case-insensitive), else the first
-    ``*`` group."""
+    """(host, group_id) rows — plural — of the groups governing
+    ``agent``: ALL groups naming the agent exactly (case-insensitive)
+    when any exist, else ALL ``*`` groups. RFC 9309 §2.2.1: multiple
+    groups matching the same agent are COMBINED (real robots files
+    routinely carry two ``User-agent: *`` sections; taking only the
+    first silently allowed the second section's Disallows —
+    code-review r6)."""
     uas = rules.filter(F.col("key") == "user-agent").select(
         "host", "group_id", F.lower(F.col("value")).alias("ua")
     )
-    exact = (
-        uas.filter(F.col("ua") == agent.lower())
-        .groupBy("host")
-        .agg(F.min("group_id").alias("exact_gid"))
-    )
-    star = (
-        uas.filter(F.col("ua") == "*")
-        .groupBy("host")
-        .agg(F.min("group_id").alias("star_gid"))
-    )
+    matching = uas.filter(
+        (F.col("ua") == agent.lower()) | (F.col("ua") == "*")
+    ).withColumn("_exact", (F.col("ua") == agent.lower()).cast("int"))
+    w = Window.partitionBy("host")
     return (
-        exact.join(star, "host", "full")
-        .select(
-            "host",
-            F.coalesce(F.col("exact_gid"), F.col("star_gid")).alias("group_id"),
-        )
-        .filter(F.col("group_id").isNotNull())
+        matching.withColumn("_has_exact", F.max("_exact").over(w))
+        .filter(F.col("_exact") == F.col("_has_exact"))
+        .select("host", "group_id")
+        .distinct()
     )
 
 
@@ -178,6 +174,10 @@ def crawl_delays(rules: DataFrame, agent: str) -> DataFrame:
         .join(chosen, ["host", "group_id"])
         .select("host", F.col("value").cast("double").alias("crawl_delay"))
         .filter(F.col("crawl_delay").isNotNull())
+        # combined groups may each carry a delay: keep the most
+        # conservative one
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
 
 

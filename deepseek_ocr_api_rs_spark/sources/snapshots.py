@@ -148,12 +148,14 @@ def _publish(
             prev_rows = 0
             prev_metrics: dict = {}
             prev_stats: dict = {}
+            prev_deletes: list = []
             if cur is not None:
                 prev = read_manifest(table_dir, cur)
                 prev_files = prev["files"]
                 prev_rows = prev["n_rows"]
                 prev_metrics = prev.get("metrics", {})
                 prev_stats = prev.get("file_stats", {})
+                prev_deletes = prev.get("deletes", [])
             metrics = dict(base_metrics)
             # an append that does not itself advance the stream-epoch
             # marker must CARRY the parent's forward (falling back to the
@@ -173,11 +175,6 @@ def _publish(
                 ]
                 if cands:
                     metrics["stream_max_epoch"] = max(cands)
-            prev_deletes = (
-                read_manifest(table_dir, cur).get("deletes", [])
-                if cur is not None
-                else []
-            )
             attempt = dict(
                 attempt,
                 files=prev_files + append_files,
@@ -383,6 +380,10 @@ def rollback(table_dir: str, to_version: int) -> int:
         # disabled manifest pruning for every rolled-back file
         "file_stats": old.get("file_stats", {}),
         "schema": old.get("schema"),
+        # outstanding MOR delete batches are part of the state being
+        # restored — dropping them would resurrect deleted rows
+        # (code-review r6)
+        "deletes": old.get("deletes", []),
     }
     return _publish(table_dir, manifest)
 
@@ -507,6 +508,11 @@ def compact(
     files: list[str] = []
     for bi in range(len(bins)):
         bin_out = os.path.join(out, f"_bin={bi}")
+        if not os.path.isdir(bin_out):
+            # a bin of zero-row source files writes no partition dir
+            # (dynamic overwrite creates dirs per value present) — skip
+            # instead of FileNotFoundError (code-review r6)
+            continue
         files.extend(
             sorted(
                 os.path.join(rel_dir, f"_bin={bi}", name)
@@ -515,9 +521,13 @@ def compact(
             )
         )
     all_files = sorted(files + passthrough)
-    n_rows = spark.read.parquet(
-        *(os.path.join(table_dir, f) for f in all_files)
-    ).count()
+    n_rows = (
+        spark.read.parquet(
+            *(os.path.join(table_dir, f) for f in all_files)
+        ).count()
+        if all_files
+        else 0
+    )
     # invariant: compaction rewrites bytes, never rows. A count drift here
     # means the basename→bin join dropped or duplicated rows (e.g. a
     # basename collision) — fail the commit, never publish a lossy rewrite.
@@ -601,7 +611,12 @@ def delete_where(
     stamp = uuid.uuid4().hex
     rel_dir = os.path.join("data", stamp)
     out = os.path.join(table_dir, rel_dir)
-    src.filter(f"NOT ({predicate})").write.mode("error").parquet(out)
+    # SQL DELETE semantics: only rows where the predicate is TRUE are
+    # deleted — a NULL predicate keeps the row (three-valued logic;
+    # plain NOT(pred) silently dropped NULL rows, code-review r6)
+    src.filter(f"NOT coalesce(({predicate}), false)").write.mode(
+        "error"
+    ).parquet(out)
     new_files = sorted(
         os.path.join(rel_dir, name)
         for name in os.listdir(out)
@@ -763,6 +778,8 @@ def apply_deletes(
         n_untouched = spark.read.parquet(
             *(os.path.join(table_dir, f) for f in untouched)
         ).count()
+    marker = last_stream_epoch(table_dir)
+    carried = {} if marker is None else {"stream_max_epoch": marker}
     manifest = {
         "files": sorted(untouched + new_files),
         "n_rows": n_kept + n_untouched,
@@ -774,10 +791,13 @@ def apply_deletes(
             f"{len(touched)} files rewritten)"
         ),
         "metrics": dict(
-            metrics or {},
-            delete_batches_applied=len(deletes),
-            files_rewritten=len(touched),
-            files_passthrough=len(untouched),
+            carried,
+            **dict(
+                metrics or {},
+                delete_batches_applied=len(deletes),
+                files_rewritten=len(touched),
+                files_passthrough=len(untouched),
+            ),
         ),
     }
     return _publish(table_dir, manifest, require_parent=base_version)
@@ -831,7 +851,11 @@ def merge_into(
         rel_dir = os.path.join("data", stamp)
         out = os.path.join(table_dir, rel_dir)
         if candidates:
-            src = _table_reader(spark, base).parquet(
+            # read candidates under the UPDATES' schema (the table's new
+            # schema, latest-writer-wins): a column the updates add is
+            # NULL-filled in pre-evolution files instead of breaking the
+            # select below (code-review r6)
+            src = spark.read.schema(upd.schema).parquet(
                 *(os.path.join(table_dir, f) for f in candidates)
             )
             n_cand = src.count()

@@ -378,9 +378,18 @@ def read_warc_documents(
 def make_wet_gz(records: list[dict]) -> bytes:
     """Assemble ``.wet.gz`` bytes: one gzip member per conversion record.
     Record dicts: {"url": str, "date": datetime, "text": str}."""
+    from urllib.parse import quote
+
     out = bytearray()
     for rec in records:
-        url = rec.get("url", "")
+        # WARC-Target-URI must be a URI (ASCII): map raw IRI codepoints
+        # to UTF-8 percent-escapes (RFC 3987 §3.1) instead of crashing
+        # the sink task on .encode('latin-1') (code-review r6). ASCII
+        # urls — including already-percent-encoded ones — pass through
+        # byte-identical.
+        url = quote(
+            str(rec.get("url", "")), safe=":/?#[]@!$&'()*+,;=%-._~"
+        )
         date = rec.get("date") or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
         payload = str(rec.get("text", "")).encode("utf-8")
         if date.microsecond:

@@ -719,10 +719,22 @@ def cdc_stream_to_snapshots(
             n = batch_df.count()
             if n == 0:
                 return
-            upserts = batch_df.filter(F.col(op_col) != "delete").drop(op_col)
+            # NULL op is "not delete" → upsert; a bare != would be NULL
+            # under three-valued logic, silently deleting the key while
+            # inserting nothing (code-review r6)
+            upserts = batch_df.filter(
+                F.coalesce(F.col(op_col) != "delete", F.lit(True))
+            ).drop(op_col)
             n_up = upserts.count()
             if snap.current_version(table_dir) is not None:
-                delete_metrics = {"epoch_id": epoch_id, "cdc_changes": n}
+                # NOTE: the delete batch must NOT carry "epoch_id" when
+                # an append is still due — last_stream_epoch's pre-r5
+                # fallback reads epoch_id as the marker, so a crash
+                # between the two commits would make the replay skip the
+                # epoch and permanently lose its upserts (code-review
+                # r6). "cdc_epoch" records lineage without being a
+                # marker key.
+                delete_metrics = {"cdc_epoch": epoch_id, "cdc_changes": n}
                 if n_up == 0:
                     # delete-only epoch: the delete batch IS the last
                     # commit — it carries the idempotence marker

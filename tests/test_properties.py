@@ -353,6 +353,10 @@ def test_html_link_extraction_and_resolution(spark):
          "<a href='mailto:a@b.c'>m</a> <a href='#frag'>f</a> "
          "<a href='javascript:void(0)'>j</a></p>"),
         ("http://plain.example.org/top.html", "<a href='/only'>o</a>"),
+        # base with NO path: relative refs merge against '/' (RFC 3986
+        # §5.3 — code-review r6: the host itself was being eaten)
+        ("https://bare.example.com", "<a href='about.html'>a</a> "
+                                     "<a href='/root2'>r</a>"),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     got = sorted(
@@ -370,6 +374,10 @@ def test_html_link_extraction_and_resolution(spark):
          "https://abs.example.com/z"),
         ("http://plain.example.org/top.html", "/only",
          "http://plain.example.org/only"),
+        ("https://bare.example.com", "about.html",
+         "https://bare.example.com/about.html"),
+        ("https://bare.example.com", "/root2",
+         "https://bare.example.com/root2"),
     ])
     assert got == want
     # cross-engine: the DuckDB mirror produces the same pairs

@@ -187,3 +187,21 @@ def test_wildcard_patterns_star_and_dollar(spark):
     )
     got = {r.path: r.allowed for r in robots_allowed(rules, df, "any").collect()}
     assert got == cases, got
+
+
+def test_multiple_same_agent_groups_are_combined(spark):
+    """RFC 9309 §2.2.1: two 'User-agent: *' sections combine — rules
+    from BOTH apply (code-review r6: only the first was honored)."""
+    body = (
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 2\n\n"
+        "User-agent: *\nDisallow: /b\nCrawl-delay: 5\n"
+    )
+    rules = _rules(spark, [("m.example", body)])
+    df = spark.createDataFrame(
+        [("m.example", "/a/x"), ("m.example", "/b/y"), ("m.example", "/c")],
+        "host string, path string",
+    )
+    got = {r.path: r.allowed for r in robots_allowed(rules, df, "bot").collect()}
+    assert got == {"/a/x": False, "/b/y": False, "/c": True}
+    d = {r.host: r.crawl_delay for r in crawl_delays(rules, "bot").collect()}
+    assert d == {"m.example": 5.0}  # most conservative of the combined groups

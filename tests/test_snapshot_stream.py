@@ -186,3 +186,69 @@ def test_cdc_stream_merge_on_read(spark, tmp_path):
     after = {r.id: r.v for r in read_snapshot(spark, table).collect()}
     assert after == before
     assert not read_manifest(table).get("deletes")
+
+
+def test_cdc_crash_between_delete_and_append_replays_upserts(spark, tmp_path):
+    """Code-review r6 #1: the epoch's delete batch must not advance the
+    idempotence marker while the append is still due — simulate the
+    crash window by committing the delete batch exactly as the sink
+    does and asserting last_stream_epoch still reports the PRIOR epoch
+    (so a replay re-runs the whole epoch, including the upserts)."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        delete_keys,
+        last_stream_epoch,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "table")
+    write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        t, mode="append",
+        metrics={"epoch_id": 0, "stream_max_epoch": 0},
+    )
+    assert last_stream_epoch(t) == 0
+    # epoch 1 "crashes" after the delete commit (upserts still pending):
+    # the sink stamps cdc_epoch, NOT epoch_id/stream_max_epoch
+    delete_keys(
+        spark, t, spark.createDataFrame([(1,)], "id long"), "id",
+        metrics={"cdc_epoch": 1, "cdc_changes": 2},
+    )
+    assert last_stream_epoch(t) == 0  # replay of epoch 1 NOT skipped
+    # the replayed append then completes the epoch
+    write_snapshot(
+        spark.createDataFrame([(1, 11)], "id long, v long"),
+        t, mode="append",
+        metrics={"epoch_id": 1, "stream_max_epoch": 1},
+    )
+    assert last_stream_epoch(t) == 1
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got == {1: 11, 2: 20}
+
+
+def test_cdc_null_op_upserts_instead_of_vanishing(spark, tmp_path):
+    """Code-review r6 #5: a NULL op row must upsert ('every other op
+    value upserts'), not silently delete its key."""
+    import shutil
+
+    from deepseek_ocr_api_rs_spark.streaming.jobs import cdc_stream_to_snapshots
+
+    landing = str(tmp_path / "changes")
+    os.makedirs(landing)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(name, rows):
+        df = spark.createDataFrame(rows, "op string, id long, v long")
+        tmp = os.path.join(landing, "_tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(landing, name + ".parquet"))
+        shutil.rmtree(tmp)
+
+    stage("a", [("upsert", 1, 10), ("upsert", 2, 20)])
+    cdc_stream_to_snapshots(spark, landing, table, ckpt)
+    stage("b", [(None, 1, 111)])  # writer omitted op: means upsert
+    cdc_stream_to_snapshots(spark, landing, table, ckpt)
+    got = {r.id: r.v for r in read_snapshot(spark, table).collect()}
+    assert got == {1: 111, 2: 20}

@@ -749,3 +749,58 @@ def test_mor_deletes_stack_and_empty_keys_noop(spark, tmp_path):
     apply_deletes(spark, t)
     assert apply_deletes(spark, t) == current_version(t)  # no-op when clear
     assert read_snapshot(spark, t).count() == 18
+
+
+def test_rollback_carries_outstanding_mor_deletes(spark, tmp_path):
+    """Code-review r6 #2: rolling back to a version with outstanding
+    delete batches must restore them — not resurrect deleted rows."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import delete_keys
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10).coalesce(1), t, mode="append")
+    v2 = delete_keys(
+        spark, t, spark.createDataFrame([(3,)], "id long"), "id"
+    )
+    write_snapshot(_df(spark, 100, 105).coalesce(1), t, mode="append")
+    rollback(t, to_version=v2)
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(10)) - {3}
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """Code-review r6 #3: SQL DELETE semantics — rows where the
+    predicate is NULL are KEPT, not deleted."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import delete_where
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 50), (2, None), (3, 200)], "id long, score long"
+    )
+    write_snapshot(df.coalesce(1), t, mode="append")
+    v = delete_where(spark, t, "score > 100")
+    m = read_manifest(t, v)
+    assert m["metrics"]["rows_deleted"] == 1  # only id=3
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == {1, 2}  # the NULL-score row survives
+
+
+def test_merge_into_additive_schema_with_candidates(spark, tmp_path):
+    """Code-review r6 #6: updates adding a column must merge cleanly
+    even when candidate files (pre-evolution schema) are rewritten."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import merge_into
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        _df(spark, 0, 10).coalesce(1), t, mode="append", stats_cols=["id"]
+    )
+    upd = spark.createDataFrame(
+        [(5, 555, "en")], "id long, v long, lang string"
+    )
+    v = merge_into(spark, t, upd, "id")  # key 5 overlaps the only file
+    m = read_manifest(t, v)
+    assert m["metrics"]["rows_updated"] == 1
+    cur = read_snapshot(spark, t)
+    assert set(cur.columns) == {"id", "v", "lang"}
+    got = {r.id: (r.v, r.lang) for r in cur.collect()}
+    assert got[5] == (555, "en")
+    assert got[4] == (8, None)  # pre-evolution rows: new column NULL

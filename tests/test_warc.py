@@ -355,3 +355,26 @@ def test_wet_distributed_sink_and_read(spark, tmp_path):
         text, ts = got[f"https://w.example/{i}"]
         assert text == f"text-{i}"
         assert int(ts.timestamp()) == 1704067200 + i
+
+
+def test_wet_iri_url_percent_encoded_not_crashing():
+    """A raw-IRI URL (non-Latin path) maps to UTF-8 percent-escapes per
+    RFC 3987 §3.1 instead of crashing the sink (code-review r6); ASCII
+    and already-percent-encoded urls pass through byte-identical."""
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        iter_warc_records,
+        make_wet_gz,
+    )
+
+    recs = [
+        {"url": "https://example.org/путь/к?q=значение", "text": "t1"},
+        {"url": "https://example.org/a%20b?x=1#frag", "text": "t2"},
+    ]
+    blob = make_wet_gz(recs)
+    got = [r["url"] for r in iter_warc_records(blob)
+           if r["type"] == "conversion"]
+    assert got[0] == (
+        "https://example.org/%D0%BF%D1%83%D1%82%D1%8C/%D0%BA"
+        "?q=%D0%B7%D0%BD%D0%B0%D1%87%D0%B5%D0%BD%D0%B8%D0%B5"
+    )
+    assert got[1] == "https://example.org/a%20b?x=1#frag"
