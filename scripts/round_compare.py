@@ -86,6 +86,15 @@ def main() -> None:
         )
         total_b = min(x["cpu_sec_total"] for x in runs["base"])
         total_h = min(x["cpu_sec_total"] for x in runs["head"])
+        # the COMPARABLE total: only queries both sides run — a round
+        # that adds bench queries would otherwise inflate the head total
+        # (apples-to-oranges; code-review r6)
+        shared_b = min(
+            sum(x["queries_cpu_sec"][q] for q in names) for x in runs["base"]
+        )
+        shared_h = min(
+            sum(x["queries_cpu_sec"][q] for q in names) for x in runs["head"]
+        )
         report = {
             "generated_at": datetime.now(timezone.utc).isoformat(
                 timespec="seconds"
@@ -99,6 +108,9 @@ def main() -> None:
             "cpu_sec_total_base": total_b,
             "cpu_sec_total_head": total_h,
             "cpu_ratio_head_over_base": round(total_h / total_b, 4),
+            "cpu_sec_shared_base": round(shared_b, 3),
+            "cpu_sec_shared_head": round(shared_h, 3),
+            "cpu_ratio_shared": round(shared_h / shared_b, 4),
             "queries": per_query,
             "queries_only_in_head": only_head,
             "all_runs": runs,
