@@ -689,6 +689,18 @@ def delete_keys(
         kdf.coalesce(1).write.mode("error").parquet(out)
     finally:
         kdf.unpersist()
+    # carry the stream-epoch marker UNLESS the caller supplies its own
+    # marker policy (the CDC sink deliberately withholds it mid-epoch):
+    # without the carry, a manual delete_keys on a stream table followed
+    # by expire_snapshots would strand the dedup walk (same class as the
+    # apply_deletes fix, code-review r6)
+    carried = {}
+    if not metrics or (
+        "stream_max_epoch" not in metrics and "cdc_epoch" not in metrics
+    ):
+        marker = last_stream_epoch(table_dir)
+        if marker is not None:
+            carried = {"stream_max_epoch": marker}
     manifest = {
         "files": base["files"],
         "n_rows": base["n_rows"],  # logical rows pending materialization
@@ -699,8 +711,8 @@ def delete_keys(
         + [{"file": rel, "key": key_col, "n_keys": n_keys,
             "scope": base["files"]}],
         "operation": f"delete_keys({n_keys} keys)",
-        "metrics": dict(metrics or {}, delete_batches=len(
-            base.get("deletes", [])) + 1),
+        "metrics": dict(carried, **dict(metrics or {}, delete_batches=len(
+            base.get("deletes", [])) + 1)),
     }
     return _publish(table_dir, manifest, require_parent=base_version)
 

@@ -804,3 +804,29 @@ def test_merge_into_additive_schema_with_candidates(spark, tmp_path):
     got = {r.id: (r.v, r.lang) for r in cur.collect()}
     assert got[5] == (555, "en")
     assert got[4] == (8, None)  # pre-evolution rows: new column NULL
+
+
+def test_manual_delete_keys_carries_stream_marker(spark, tmp_path):
+    """A manual delete_keys on a stream table carries stream_max_epoch
+    (so expire_snapshots cannot strand epoch dedup), while the CDC
+    sink's mid-epoch batches (cdc_epoch metrics) stay marker-free."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        delete_keys,
+        last_stream_epoch,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        _df(spark, 0, 10).coalesce(1), t, mode="append",
+        metrics={"epoch_id": 4, "stream_max_epoch": 4},
+    )
+    delete_keys(spark, t, spark.createDataFrame([(1,)], "id long"), "id")
+    assert read_manifest(t)["metrics"]["stream_max_epoch"] == 4
+    assert last_stream_epoch(t) == 4
+    # mid-epoch CDC batch: marker deliberately withheld
+    delete_keys(
+        spark, t, spark.createDataFrame([(2,)], "id long"), "id",
+        metrics={"cdc_epoch": 5},
+    )
+    assert "stream_max_epoch" not in read_manifest(t)["metrics"]
+    assert last_stream_epoch(t) == 4  # found via the parent walk
