@@ -326,6 +326,22 @@ def main() -> None:
         "extraction_cpu_sec": round(ext_cpu, 3),
     }
     print(json.dumps(result))
+    # The detailed record above (three 30-entry per-query dicts) outgrew
+    # the driver's tail-capture window in round 6 (BENCH_r06 "parsed":
+    # null — the line's FRONT, with "value", was cut off). Emit a short
+    # FINAL line carrying the contract fields (metric/value/unit/queries/
+    # sf) plus the headline scalars, so the tail window always ends with
+    # a complete, parseable JSON record. scripts/bench_common.py merges
+    # both lines (detail first, headline last).
+    headline = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf",
+            "extraction_docs_per_sec", "n_docs", "cpus",
+            "extraction_sec", "cpu_sec_total", "python_cpu_sec_total",
+        )
+    }
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -83,6 +83,12 @@ _ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
 _ENCODING_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.DOTALL)
 _BASE_ENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z0-9\-]+)")
 _DIFFERENCES_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]")
+# inline-image delimiters (§8.9.7) — module-level: the tokenizer hot path
+# hits these once per inline image (ADVICE r6: was re-compiled per image)
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\x0c\r ]")
+_INLINE_EI_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(){}%]|$)"
+)
 _RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _FONT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
@@ -1063,15 +1069,11 @@ def _tokenize(content: bytes):
                 # or stray '<' inside it would corrupt the token stream —
                 # so skip the whole object: find the ID operator, then the
                 # first whitespace-EI-delimiter sequence after the data.
-                m = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\x0c\r ]").search(
-                    content, j
-                )
+                m = _INLINE_ID_RE.search(content, j)
                 if m is None:
                     i = n
                     continue
-                t = re.compile(
-                    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(){}%]|$)"
-                ).search(content, m.end())
+                t = _INLINE_EI_RE.search(content, m.end())
                 i = n if t is None else t.end()
                 continue
             yield ("op", op)

@@ -380,34 +380,38 @@ def make_wet_gz(records: list[dict]) -> bytes:
     Record dicts: {"url": str, "date": datetime, "text": str}."""
     from urllib.parse import quote
 
-    out = bytearray()
-    for rec in records:
-        # WARC-Target-URI must be a URI (ASCII): map raw IRI codepoints
-        # to UTF-8 percent-escapes (RFC 3987 §3.1) instead of crashing
-        # the sink task on .encode('latin-1') (code-review r6). ASCII
-        # urls — including already-percent-encoded ones — pass through
-        # byte-identical.
-        url = quote(
-            str(rec.get("url", "")), safe=":/?#[]@!$&'()*+,;=%-._~"
-        )
-        date = rec.get("date") or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
-        payload = str(rec.get("text", "")).encode("utf-8")
-        if date.microsecond:
-            date_s = date.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
-        else:
-            date_s = date.strftime("%Y-%m-%dT%H:%M:%SZ")
-        head = (
-            "WARC/1.0\r\n"
-            "WARC-Type: conversion\r\n"
-            f"WARC-Target-URI: {url}\r\n"
-            f"WARC-Date: {date_s}\r\n"
-            "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000002>\r\n"
-            "WARC-Refers-To: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
-            "Content-Type: text/plain\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode("latin-1")
-        out += gzip.compress(head + payload + _CRLF + _CRLF)
-    return bytes(out)
+    return b"".join(make_wet_record_gz(rec) for rec in records)
+
+
+def make_wet_record_gz(rec: dict) -> bytes:
+    """One conversion record as ONE gzip member (ISO 28500 §D: WET files
+    are member-per-record concatenations, so a sink can stream members to
+    an open file without ever materializing the segment)."""
+    from urllib.parse import quote
+
+    # WARC-Target-URI must be a URI (ASCII): map raw IRI codepoints
+    # to UTF-8 percent-escapes (RFC 3987 §3.1) instead of crashing
+    # the sink task on .encode('latin-1') (code-review r6). ASCII
+    # urls — including already-percent-encoded ones — pass through
+    # byte-identical.
+    url = quote(str(rec.get("url", "")), safe=":/?#[]@!$&'()*+,;=%-._~")
+    date = rec.get("date") or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    payload = str(rec.get("text", "")).encode("utf-8")
+    if date.microsecond:
+        date_s = date.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    else:
+        date_s = date.strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date_s}\r\n"
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000002>\r\n"
+        "WARC-Refers-To: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("latin-1")
+    return gzip.compress(head + payload + _CRLF + _CRLF)
 
 
 def write_wet(
@@ -423,31 +427,57 @@ def write_wet(
     row (file, n_records). Map-only — the caller controls partitioning
     (and therefore segment sizing) upstream; Common Crawl's ~150 MB WET
     segments ≈ one task's worth. The returned manifest is lazy: an
-    action on it IS the write."""
+    action on it IS the write.
+
+    Memory + retry semantics (ADVICE r6): gzip members stream to the tmp
+    file per record — per-task RSS is bounded by one Arrow batch, never
+    the segment — and the segment name derives from the TASK IDENTITY
+    (``part-{partitionId}``), so a retried or speculative attempt
+    ``os.replace``-overwrites the first attempt's identical output
+    instead of committing a duplicate uuid-named segment."""
     import os
-    import uuid as _uuid
 
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        recs: list[dict] = []
-        for pdf in batches:
-            for url, ts, text in zip(pdf[url_col], pdf[ts_col], pdf[text_col]):
-                date = None
-                if ts is not None and not pd.isna(ts):
-                    date = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                recs.append({"url": url, "date": date, "text": text or ""})
-        if not recs:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        name = f"part-{pid:05d}.warc.wet.gz"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        n_recs = 0
+        fh = None
+        try:
+            for pdf in batches:
+                for url, ts, text in zip(
+                    pdf[url_col], pdf[ts_col], pdf[text_col]
+                ):
+                    date = None
+                    if ts is not None and not pd.isna(ts):
+                        date = (
+                            ts.to_pydatetime()
+                            if hasattr(ts, "to_pydatetime")
+                            else ts
+                        )
+                    if fh is None:
+                        fh = open(tmp, "wb")
+                    fh.write(
+                        make_wet_record_gz(
+                            {"url": url, "date": date, "text": text or ""}
+                        )
+                    )
+                    n_recs += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n_recs == 0:
             yield pd.DataFrame({"file": [], "n_records": []})
             return
-        name = f"part-{_uuid.uuid4().hex}.warc.wet.gz"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(make_wet_gz(recs))
-        os.rename(tmp, os.path.join(out_dir, name))
-        yield pd.DataFrame({"file": [name], "n_records": [len(recs)]})
+        os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame({"file": [name], "n_records": [n_recs]})
 
     return df.select(url_col, ts_col, text_col).mapInPandas(
         sink, schema="file string, n_records long"

@@ -42,4 +42,20 @@ def run_bench(
             f"bench.py failed (rc={out.returncode}) in {cwd}:\n"
             + out.stderr[-2000:]
         )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # bench.py prints a detailed record line followed by a short headline
+    # line (driver tail-window safety, VERDICT r6 "What's wrong" #1).
+    # Merge every parseable JSON line, later lines winning — overlapping
+    # scalar keys are identical; the detail line contributes the per-query
+    # cpu dicts the compare scripts need.
+    merged: dict = {}
+    for line in out.stdout.strip().splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            merged.update(json.loads(line))
+        except json.JSONDecodeError:
+            continue
+    if not merged:
+        raise RuntimeError(f"bench.py printed no parseable JSON in {cwd}")
+    return merged

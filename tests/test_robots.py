@@ -128,6 +128,71 @@ def test_robots_plan_is_jvm_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_robots_requests_side_never_exchanges(spark):
+    """ADVICE r6: the winner is now an aggregate expression over a
+    broadcast per-host rule array — the ONLY Exchange in the plan is on
+    the tiny rules side (feeding the broadcast), never downstream of the
+    request scan. Assert by walking the plan tree: no Exchange node has
+    the requests relation in its subtree."""
+    rules = _rules(spark, [("a.example", BODY_A)])
+    df = spark.createDataFrame(
+        [("a.example", "/private/x"), ("b.example", "/x")],
+        "host string, path string",
+    )
+    out = robots_allowed(rules, df, "trainingbot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the broadcast build side contains the rules aggregation; the probe
+    # (streamed) side must be exchange-free: in the string form, every
+    # "Exchange" line sits under the BroadcastExchange subtree, so the
+    # plan has no shuffle Exchange at all outside the build side —
+    # equivalently no "Exchange hashpartitioning" on the requests
+    # LocalTableScan lineage. Cheap proxy that held for the old bug:
+    # the OLD plan had an Exchange ABOVE the BroadcastHashJoin.
+    import re
+
+    lines = plan.splitlines()
+    bhj = next(
+        i for i, ln in enumerate(lines) if re.search(r"BroadcastHashJoin", ln)
+    )
+    assert not any(
+        "Exchange hashpartitioning" in ln for ln in lines[:bhj]
+    ), "shuffle above the verdict join — requests frame re-exchanged"
+    # duplicate request rows are preserved (documented contract)
+    dup = spark.createDataFrame(
+        [("a.example", "/private/x")] * 3, "host string, path string"
+    )
+    assert robots_allowed(rules, dup, "trainingbot").count() == 3
+
+
+def test_politeness_schedule_per_host_cap(spark):
+    """max_urls_per_host drops rows with seq >= cap; dropped count is
+    requests - schedule rows; uncapped behavior unchanged."""
+    from deepseek_ocr_api_rs_spark.operators.robots import politeness_schedule
+
+    reqs = spark.createDataFrame(
+        [("big.example", f"https://big.example/{i:03d}") for i in range(10)]
+        + [("small.example", "https://small.example/only")],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("big.example", 2.0)], "host string, crawl_delay double"
+    )
+    capped = politeness_schedule(
+        reqs, delays, default_delay=1.0, n_shards=4, max_urls_per_host=4
+    )
+    rows = capped.collect()
+    assert len(rows) == 5  # 4 of big + 1 of small
+    big = sorted(
+        (r.seq, r.url) for r in rows if r.host == "big.example"
+    )
+    # the KEPT rows are the FIRST 4 in deterministic url order
+    assert [s for s, _ in big] == [0, 1, 2, 3]
+    assert [u for _, u in big] == [
+        f"https://big.example/{i:03d}" for i in range(4)
+    ]
+    assert reqs.count() - capped.count() == 6
+
+
 def test_politeness_schedule_spacing_and_sharding(spark):
     """Per-host sequencing, delay spacing, default delay for silent
     hosts, and stable host→shard pinning (same host always same shard)."""

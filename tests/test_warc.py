@@ -357,6 +357,38 @@ def test_wet_distributed_sink_and_read(spark, tmp_path):
         assert int(ts.timestamp()) == 1704067200 + i
 
 
+def test_wet_sink_retry_overwrites_not_duplicates(spark, tmp_path):
+    """Segment names derive from the task partitionId (ADVICE r6): a task
+    retry or speculative second attempt os.replace-overwrites the first
+    attempt's identical segment instead of adding a fresh uuid-named one —
+    running the identical sink job twice leaves the SAME file set and the
+    reader sees each record exactly once."""
+    import os
+
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        read_wet_documents,
+        write_wet,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "wet")
+    rows = (
+        spark.range(0, 23)
+        .select(
+            F.concat(F.lit("https://r.example/"), F.col("id")).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200)).alias("warc_ts"),
+            F.concat(F.lit("body-"), F.col("id")).alias("extracted_text"),
+        )
+        .repartition(4, "url")
+    )
+    write_wet(rows, out).collect()
+    first = sorted(os.listdir(out))
+    write_wet(rows, out).collect()  # the "retry"
+    assert sorted(os.listdir(out)) == first
+    assert all(f.startswith("part-") for f in first)
+    assert read_wet_documents(spark, out).count() == 23
+
+
 def test_wet_iri_url_percent_encoded_not_crashing():
     """A raw-IRI URL (non-Latin path) maps to UTF-8 percent-escapes per
     RFC 3987 §3.1 instead of crashing the sink (code-review r6); ASCII
