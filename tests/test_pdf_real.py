@@ -838,13 +838,16 @@ def test_type0_ucs2_predefined_cmap_decodes_utf16():
 
 
 def test_type0_nonunicode_predefined_cmap_flagged_never_garbled():
-    """90ms-RKSJ-H (Adobe-Japan1, Shift-JIS-coded) without /ToUnicode
-    needs Adobe's CID tables: the span is emitted flagged undecodable
-    with EMPTY text — never latin-1/identity mojibake — and the geometry
-    cursor still advances past the suppressed run."""
+    """A predefined CMap whose code space is NOT a national text encoding
+    (/Katakana maps byte codes straight to Adobe-Japan1 CIDs) still needs
+    Adobe's CID tables: the span is emitted flagged undecodable with
+    EMPTY text — never latin-1/identity mojibake — and the geometry
+    cursor still advances past the suppressed run. (The RKSJ/EUC/B5/KSC
+    families moved OUT of this bucket in r7: their code spaces are the
+    national encodings, decoded by stdlib codecs — tests below.)"""
     font = (
         b"<< /Type /Font /Subtype /Type0 /BaseFont /MS-Mincho "
-        b"/Encoding /90ms-RKSJ-H >>"
+        b"/Encoding /Katakana >>"
     )
     content = (
         b"BT\n/F1 12 Tf\n72 720 Td\n<82A082A2> Tj\n"
@@ -868,7 +871,7 @@ def test_type0_undecodable_surfaces_in_batch_accept_metric():
 
     font = (
         b"<< /Type /Font /Subtype /Type0 /BaseFont /MS-Mincho "
-        b"/Encoding /90ms-RKSJ-H >>"
+        b"/Encoding /Katakana >>"
     )
     content = b"BT\n/F1 12 Tf\n72 720 Td\n<82A082A2> Tj\nET\n"
     blob = _pdf_with_font(font, content)
@@ -891,6 +894,104 @@ def test_type0_tounicode_still_preferred_over_predefined_name():
     parsed = parse_real_pdf(blob)
     assert parsed is not None
     assert [s["text"] for s in parsed[1]] == ["tounicode wins"]
+
+
+@pytest.mark.parametrize(
+    "cmap,codec,text",
+    [
+        # one CMap per national-encoding family (PDF 32000 §9.7.5.2
+        # Table 118): the CMap's code space IS the listed encoding, so
+        # the shown bytes decode with the stdlib codec, no CID tables.
+        ("90ms-RKSJ-H", "shift_jis", "あいう漢字"),
+        ("Ext-RKSJ-V", "shift_jis", "縦書き"),
+        ("EUC-H", "euc_jp", "日本語テスト"),
+        ("GB-EUC-H", "gb2312", "你好世界"),
+        ("GBK-EUC-H", "gbk", "你好，世界"),
+        ("GBK2K-H", "gb18030", "㐀你好"),  # U+3400 needs GB18030's range
+        ("B5pc-H", "big5", "中文測試"),
+        ("ETen-B5-H", "cp950", "中文測試"),
+        ("KSC-EUC-H", "euc_kr", "한국어"),
+        ("KSCms-UHC-H", "cp949", "한국어 똠"),  # U+B620: UHC-only syllable
+    ],
+)
+def test_type0_national_encoding_cmap_decodes_via_stdlib_codec(
+    cmap, codec, text
+):
+    """r7: the RKSJ/EUC/GBK/B5/KSC predefined CMaps carry national text
+    encodings as their code space — shown bytes decode through Python's
+    stdlib codec to the original Unicode text, with NO /ToUnicode and no
+    Adobe CID tables (VERDICT r6 ask #2)."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+        b"/Encoding /" + cmap.encode() + b" >>"
+    )
+    hexs = text.encode(codec).hex().encode()
+    content = b"BT\n/F1 12 Tf\n72 720 Td\n<" + hexs + b"> Tj\nET\n"
+    parsed = parse_real_pdf(_pdf_with_font(font, content))
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == [text]
+    assert not any(s.get("undecodable") for s in parsed[1])
+
+
+def test_type0_national_encoding_tj_chunks_decode_jointly():
+    """TJ chunks are byte-joined before decoding, so a writer splitting
+    between (or even within) multi-byte codes decodes identically; the
+    kern numbers still advance geometry."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+        b"/Encoding /90ms-RKSJ-H >>"
+    )
+    text = "あい"
+    raw = text.encode("shift_jis")
+    # split INSIDE the second character's 2-byte code
+    a, b = raw[:3].hex().encode(), raw[3:].hex().encode()
+    content = (
+        b"BT\n/F1 12 Tf\n72 720 Td\n[<" + a + b"> -120 <" + b + b">] TJ\nET\n"
+    )
+    parsed = parse_real_pdf(_pdf_with_font(font, content))
+    assert parsed is not None
+    assert [s["text"] for s in parsed[1]] == [text]
+
+
+def test_type0_national_encoding_invalid_bytes_flagged_not_garbled():
+    """Strict decode: bytes outside the encoding (0xFF 0xFF is not valid
+    Shift-JIS) flag the span undecodable with empty text — the
+    never-mojibake contract holds inside the codec path too — and the
+    cursor still advances past the suppressed run."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+        b"/Encoding /90ms-RKSJ-H >>"
+    )
+    content = (
+        b"BT\n/F1 12 Tf\n72 720 Td\n<FFFF> Tj\n<82A0> Tj\nET\n"
+    )
+    parsed = parse_real_pdf(_pdf_with_font(font, content))
+    assert parsed is not None
+    spans = parsed[1]
+    assert len(spans) == 2
+    assert spans[0]["text"] == "" and spans[0]["undecodable"]
+    assert spans[1]["text"] == "あ" and not spans[1].get("undecodable")
+    assert spans[1]["x0"] > spans[0]["x0"]  # cursor advanced past the run
+
+
+@pytest.mark.parametrize("cmap", ["90ms-RKSJ-H", "GBK-EUC-H", "KSC-EUC-H"])
+def test_make_pdf_bytes_cid_cmap_roundtrip(cmap):
+    """Writer side: make_pdf_bytes(cid_cmap=...) emits a /Type0 font on
+    the predefined CMap with national-encoding literal-string payloads —
+    the realistic no-/ToUnicode CJK crawl PDF — and the parser round-trips
+    text AND geometry (assemble order preserved)."""
+    texts = {
+        "90ms-RKSJ-H": ["日本語の行です", "二行目のテキスト"],
+        "GBK-EUC-H": ["中文第一行", "第二行文字"],
+        "KSC-EUC-H": ["한국어 첫 줄", "둘째 줄입니다"],
+    }[cmap]
+    blob = make_pdf_bytes(_spans_for(texts), cid_cmap=cmap)
+    parsed = parse_real_pdf(blob)
+    assert parsed is not None
+    width, spans = parsed
+    assert [s["text"] for s in spans] == texts
+    assert not any(s.get("undecodable") for s in spans)
+    assert assemble_pdf_text(spans, width) == "\n".join(texts)
 
 
 # ---------------------------------------------------------------------------
