@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from deepseek_ocr_api_rs_spark.extraction import features as FT
+from deepseek_ocr_api_rs_spark.extraction import markdown as MD
 from deepseek_ocr_api_rs_spark.extraction.html_blocks import RawBlock, segment_html
 from deepseek_ocr_api_rs_spark.extraction.normalize import normalize_text
 from deepseek_ocr_api_rs_spark.extraction.pdf_spans import (
@@ -160,7 +161,10 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
     Routing (MoE-dispatch pattern D8: group rows by branch, process each
     branch, scatter results back by original index —
     crates/infer-deepseek/src/transformer/block.rs:682-727):
-    PDF magic → pdf; strict-UTF-8 → html; else → error.
+    PDF magic → pdf; strict-UTF-8 with markup → html; strict-UTF-8
+    without markup → text (plain-text/Markdown passthrough, the
+    crates/infer-dots backend analogue — every paragraph block accepted,
+    no scorer); else → error.
     """
     n = len(payloads)
     texts = [""] * n
@@ -192,10 +196,34 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
         else:
             data, trunc = FT.truncate_payload(data)
             try:
-                html_docs.append((i, data.decode("utf-8", errors="strict")))
-                truncated[i] = trunc
+                decoded = data.decode("utf-8", errors="strict")
             except UnicodeDecodeError:
                 continue
+            truncated[i] = trunc
+            if MD.looks_like_markup(decoded):
+                html_docs.append((i, decoded))
+                continue
+            # third branch (dots analogue): plain-text/Markdown
+            # passthrough — paragraph blocks, ALL accepted, no scorer
+            blocks = MD.markdown_blocks(decoded)
+            parts: list[str] = []
+            ss: list[int] = []
+            se: list[int] = []
+            off = 0
+            sep_len_md = len(FT.BLOCK_SEPARATOR)
+            for t in blocks:
+                if parts:
+                    off += sep_len_md
+                parts.append(t)
+                ss.append(off)
+                se.append(off + len(t))
+                off += len(t)
+            texts[i] = normalize_text(FT.BLOCK_SEPARATOR.join(parts))
+            span_starts[i] = ss
+            span_ends[i] = se
+            branch[i] = "text"
+            n_total[i] = len(blocks)
+            n_acc[i] = len(blocks)
 
     if html_docs:
         pool = pool_html_blocks(html_docs)

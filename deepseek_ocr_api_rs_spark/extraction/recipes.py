@@ -59,4 +59,8 @@ register(
         "markdown", None, True, "\n\n", "# {url}\n\n{text}\n"
     )
 )
+# r7: the third-backend recipe (crates/infer-dots analogue) — selects the
+# plain-text/Markdown passthrough framing the `text` branch produces
+# (extraction/markdown.py): no scorer, every paragraph block accepted.
+register(ExtractionRecipe("dots-passthrough", None, False, "\n\n", "{text}"))
 DEFAULT_RECIPE = "plain"

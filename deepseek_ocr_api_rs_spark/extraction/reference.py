@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from deepseek_ocr_api_rs_spark.extraction import features as FT
+from deepseek_ocr_api_rs_spark.extraction import markdown as MD
 from deepseek_ocr_api_rs_spark.extraction.html_blocks import RawBlock, segment_html
 from deepseek_ocr_api_rs_spark.extraction.normalize import normalize_text
 from deepseek_ocr_api_rs_spark.extraction.pdf_spans import (
@@ -43,7 +44,7 @@ class ExtractionResult:
     """Golden per-document output (FIXTURES.md §2 golden_extractions row)."""
 
     extracted_text: str
-    branch: str                 # 'html' | 'pdf' | 'error'
+    branch: str                 # 'html' | 'pdf' | 'text' | 'error'
     n_chars: int
     n_blocks_total: int
     n_blocks_accepted: int
@@ -202,9 +203,40 @@ def extract_pdf(data: bytes) -> ExtractionResult:
     )
 
 
+def extract_text_passthrough(decoded: str) -> ExtractionResult:
+    """The third branch (crates/infer-dots analogue): plain-text/Markdown
+    passthrough — paragraph blocks, ALL accepted, no scorer."""
+    blocks = MD.markdown_blocks(decoded)
+    sep = FT.BLOCK_SEPARATOR
+    parts: list[str] = []
+    sb, ss, se = [], [], []
+    off = 0
+    for idx, t in enumerate(blocks):
+        if parts:
+            off += len(sep)
+        parts.append(t)
+        sb.append(idx)
+        ss.append(off)
+        se.append(off + len(t))
+        off += len(t)
+    text = normalize_text(sep.join(parts))
+    return ExtractionResult(
+        extracted_text=text,
+        branch="text",
+        n_chars=len(text),
+        n_blocks_total=len(blocks),
+        n_blocks_accepted=len(blocks),
+        span_block_idx=sb,
+        span_starts=ss,
+        span_ends=se,
+    )
+
+
 def extract_document(payload: bytes) -> ExtractionResult:
-    """Route one document: PDF magic → pdf branch; strict-UTF-8 HTML →
-    html branch; anything else → error branch (MoE-dispatch analogue D8,
+    """Route one document: PDF magic → pdf branch; strict-UTF-8 with
+    markup → html branch; strict-UTF-8 without markup → text branch
+    (plain-text/Markdown passthrough, the crates/infer-dots backend
+    analogue); anything else → error branch (MoE-dispatch analogue D8,
     crates/infer-deepseek/src/transformer/block.rs:610-740)."""
     if payload is None:
         return ExtractionResult("", "error", 0, 0, 0)
@@ -212,9 +244,12 @@ def extract_document(payload: bytes) -> ExtractionResult:
         return extract_pdf(payload)
     payload, truncated = FT.truncate_payload(bytes(payload))
     try:
-        html = payload.decode("utf-8", errors="strict")
+        decoded = payload.decode("utf-8", errors="strict")
     except (UnicodeDecodeError, AttributeError):
         return ExtractionResult("", "error", 0, 0, 0)
-    res = extract_html(html)
+    if MD.looks_like_markup(decoded):
+        res = extract_html(decoded)
+    else:
+        res = extract_text_passthrough(decoded)
     res.truncated = truncated
     return res

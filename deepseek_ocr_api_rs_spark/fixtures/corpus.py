@@ -34,8 +34,10 @@ SEED = 42
 # slice of modern Type0/Identity-H PDFs WITHOUT /ToUnicode (the
 # CJK-generator family — decoded through the predefined-CMap path, r6);
 # v10: +1% slice of classic PDFs with a Form-XObject span (Do) and a
-# BI/ID/EI inline-image decoy (the stamped/scanned family, r6)
-CORPUS_VERSION = 10
+# BI/ID/EI inline-image decoy (the stamped/scanned family, r6);
+# v11: +3% Markdown/plain-text slice — routes to the third (text)
+# passthrough branch (the crates/infer-dots backend analogue, r7)
+CORPUS_VERSION = 11
 
 
 def _compat_version() -> int:
@@ -150,6 +152,41 @@ def _html_doc(rng: random.Random, lang: str, title: str) -> str:
     parts.append(_nav_block(rng, "footer"))
     parts.append("<!-- generated fixture --></body></html>")
     return "".join(parts)
+
+
+def _markdown_doc(rng: random.Random, lang: str, title: str) -> str:
+    """v11: a plain Markdown body for the third extractor branch (the
+    crates/infer-dots passthrough analogue) — headings, lists,
+    blockquotes, emphasis, links, inline code and a fenced block, never
+    a raw HTML tag (tag-shaped text would reroute it to the html
+    branch)."""
+    parts = [f"# {title}"]
+    for _ in range(rng.randint(2, 8)):
+        kind = rng.random()
+        if kind < 0.15:
+            parts.append(f"## {_sentence(rng, lang, rng.randint(3, 7))}")
+        elif kind < 0.30:
+            parts.append(
+                "\n".join(
+                    f"- {_sentence(rng, lang, rng.randint(4, 10))}"
+                    for _ in range(rng.randint(2, 5))
+                )
+            )
+        elif kind < 0.38:
+            parts.append(f"> {_sentence(rng, lang, rng.randint(6, 14))}")
+        elif kind < 0.46:
+            parts.append(
+                "```\nresult = engine.extract(doc_%d)\n```" % rng.randint(0, 99)
+            )
+        elif kind < 0.56:
+            w = rng.choice(_NAV_WORDS)
+            parts.append(
+                f"See [the {w} page](/{w}) and `extract()` for "
+                f"**{_sentence(rng, lang, rng.randint(3, 8))}**"
+            )
+        else:
+            parts.append(_paragraph(rng, lang))
+    return "\n\n".join(parts) + "\n"
 
 
 def _pdf_doc(rng: random.Random) -> bytes:
@@ -293,6 +330,12 @@ def make_documents(n_rows: int, start_id: int = 0) -> pd.DataFrame:
         elif kind < 0.07:
             html_bytes = b"\xff\xfe<html><body>truncated" + bytes([rng.randrange(256) | 0x80 for _ in range(16)])
             text = ""
+        elif kind < 0.10 and _compat_version() >= 11:
+            # v11: Markdown slice — routes to the third (text) branch
+            title = _sentence(rng, lang, rng.randint(2, 6)).rstrip(".!?")
+            doc = _markdown_doc(rng, lang, title)
+            html_bytes = doc.encode("utf-8")
+            text = " ".join(doc.split())
         else:
             title = _sentence(rng, lang, rng.randint(2, 6)).rstrip(".!?")
             doc = _html_doc(rng, lang, title)

@@ -57,8 +57,11 @@ def test_block_level_exact_float_parity(corpus_pdf):
 def test_empty_and_edge_batches():
     out = extract_batch([])
     assert len(out) == 0
-    out = extract_batch([None, b"", b"<p>hi</p>"])
-    assert list(out.branch) == ["error", "html", "html"]
+    out = extract_batch([None, b"", b"<p>hi</p>", b"# just markdown"])
+    # r7 router: tagless strict-UTF-8 (even empty) → the text
+    # passthrough branch; markup → html
+    assert list(out.branch) == ["error", "text", "html", "text"]
+    assert out.extracted_text[3] == "just markdown"
 
 
 def test_batch_split_invariance(corpus_pdf):

@@ -66,9 +66,12 @@ def test_lang_filter_pushed_down(spark, corpus_path):
 
 def test_metrics_rollup(extracted):
     rows = {r.branch: r for r in extraction_metrics(extracted).collect()}
-    assert set(rows) <= {"html", "pdf", "error"}
+    assert set(rows) <= {"html", "pdf", "text", "error"}
     assert rows["html"].n_docs > 200
     assert 0.0 < rows["html"].block_accept_rate < 1.0
+    # the passthrough branch has no scorer: every block accepted
+    assert rows["text"].n_docs > 0
+    assert rows["text"].block_accept_rate == 1.0
     assert rows["error"].total_chars == 0
 
 
