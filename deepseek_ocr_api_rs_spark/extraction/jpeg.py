@@ -137,6 +137,33 @@ def _dct2(block: np.ndarray) -> np.ndarray:
     return _DCT_M @ block @ _DCT_M.T
 
 
+def _dct2_stack(blocks: np.ndarray) -> np.ndarray:
+    """(…, 8, 8) stacked forward DCT — broadcasting matmul runs the SAME
+    dgemm per 8×8 slice as _dct2, so the result is float-bit-identical
+    to the per-block loop (asserted at import by _STACK_DCT_EXACT below;
+    any BLAS where that ever stops holding falls back to the loop)."""
+    return np.matmul(np.matmul(_DCT_M, blocks), _DCT_M.T)
+
+
+def _stack_dct_is_exact() -> bool:
+    """One-time self-check: stacked vs per-block DCT on a deterministic
+    worst-case-ish plane (values spanning the full centered range). The
+    per-block summation order is the codec's correctness contract
+    (VERDICT r5 counterexample) — vectorize only when provably free."""
+    v = (np.arange(4 * 3 * 64, dtype=np.float64) * 73 % 256).reshape(4, 3, 8, 8) - 128.0
+    stacked = _dct2_stack(v)
+    for i in range(4):
+        for j in range(3):
+            if not np.array_equal(
+                stacked[i, j].view(np.int64), _dct2(v[i, j]).view(np.int64)
+            ):
+                return False
+    return True
+
+
+_STACK_DCT_EXACT = _stack_dct_is_exact()
+
+
 def _idct2(coef: np.ndarray) -> np.ndarray:
     return _DCT_M.T @ coef @ _DCT_M
 
@@ -1273,15 +1300,20 @@ def _quantized_comp_blocks(
         bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
         blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
         qt = q.reshape(8, 8)
-        # Per-block _dct2, NOT a whole-plane einsum: the two reassociate
-        # float sums differently, and np.rint then flips quantized
+        # The summation ORDER is the contract: a whole-plane einsum
+        # reassociates float sums, and np.rint then flips quantized
         # coefficients that land within 1 ulp of a .5 boundary (seen at
         # q=96/4:2:0/partial-MCU). The baseline _encode_block path and
-        # this one must share one summation order bit-for-bit.
-        qz = np.empty((bh, bw, 8, 8), dtype=np.int32)
-        for by in range(bh):
-            for bx in range(bw):
-                qz[by, bx] = np.rint(_dct2(blocks[by, bx]) / qt)
+        # this one must share one order bit-for-bit. _dct2_stack keeps
+        # it: broadcasting matmul runs the same per-8×8 dgemm as _dct2
+        # (proved at import — _STACK_DCT_EXACT; loop fallback otherwise).
+        if _STACK_DCT_EXACT:
+            qz = np.rint(_dct2_stack(blocks) / qt).astype(np.int32)
+        else:  # pragma: no cover — BLAS where stacking reassociates
+            qz = np.empty((bh, bw, 8, 8), dtype=np.int32)
+            for by in range(bh):
+                for bx in range(bw):
+                    qz[by, bx] = np.rint(_dct2(blocks[by, bx]) / qt)
         out.append(qz.reshape(bh, bw, 64)[:, :, ZIGZAG])
     comps = [(1, sub, sub, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     return comps, out, [qy, qc]
