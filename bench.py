@@ -216,6 +216,8 @@ _HEADLINE_QUERIES = [
     "q_robots",
     "q_wet_roundtrip",
     "q_mp4_meta",
+    # round-7: MP4 JPEG-sample pixel path (frame-budgeted §8.7.4 walk)
+    "q_video_mp4_frames",
 ]
 
 

@@ -214,7 +214,7 @@ def test_pdf_parser_never_raises_on_garbage(blob):
 @settings(max_examples=150, deadline=None)
 def test_extract_document_never_raises(blob):
     res = extract_document(blob)
-    assert res.branch in ("html", "pdf", "error")
+    assert res.branch in ("html", "pdf", "text", "error")
 
 
 def test_url_canonicalize_edge_cases(spark):
