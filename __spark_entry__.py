@@ -2564,6 +2564,54 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container metadata through real RIFF/VP8-header bytes (r7):
+    doc-arithmetic-seeded WebPs cycling all three container variants —
+    simple lossy VP8 (RFC 6386 keyframe header), simple lossless VP8L
+    (packed 14-bit dims + alpha bit), extended VP8X with ANIM/ANMF
+    animation frames — synthesized in one Arrow stage and chunk-walked
+    back in a second (extraction/webp.py, RFC 9649 layout). The oracle
+    reproduces the variant/dims/alpha/frame arithmetic, so the hash
+    proves the writer→parser roundtrip. Metadata-only: VP8 entropy
+    decode is a full video codec and no pixel decode is claimed (the
+    q_mp4_meta contract for the image side)."""
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        synthesize_webps,
+        webp_metadata,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    return (
+        webp_metadata(synthesize_webps(docs))
+        .select(
+            "doc_id", "fmt", "width", "height", "has_alpha", "animated",
+            "n_frames", "loop_count",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_WEBP_META_SQL = """
+select doc_id,
+  case when doc_id % 3 = 0 then 'vp8'
+       when doc_id % 3 = 1 then 'vp8l'
+       else 'vp8x' end as fmt,
+  cast(doc_id % 320 + 16 as int) as width,
+  cast(doc_id % 240 + 16 as int) as height,
+  case when doc_id % 3 = 1 then doc_id % 2 = 1
+       when doc_id % 3 = 2 then doc_id % 2 = 0
+       else false end as has_alpha,
+  (doc_id % 3 = 2) as animated,
+  cast(case when doc_id % 3 = 2 then doc_id % 7 + 2 else 1 end as int) as n_frames,
+  cast(case when doc_id % 3 = 2 then doc_id % 4 else 0 end as int) as loop_count
+from documents order by doc_id
+"""
+
+
 def q_video_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MP4 PIXEL path (VERDICT r6 ask #3): doc-dim-seeded JPEG-in-MP4
     clips — each frame a genuine baseline JPEG stored as an mdat sample
@@ -3130,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round 6 (this round's new/changed queries first — the driver's
         # 50-row CORRECTNESS window checks registration order)
+        "q_webp_meta": q_webp_meta,
         "q_mp4_meta": q_mp4_meta,
         "q_pdf_links": q_pdf_links,
         "q_html_links": q_html_links,
@@ -3281,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_prune": _Q_SNAPSHOT_PRUNE_SQL,
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,
+        "q_webp_meta": _Q_WEBP_META_SQL,
         "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_html_links": _Q_HTML_LINKS_SQL,
         "q_robots": _Q_ROBOTS_SQL,

@@ -616,3 +616,91 @@ def image_metadata(docs: DataFrame, id_col: str = "doc_id", binary_col: str = "p
     return docs.select(
         F.col(id_col).alias("doc_id"), F.col(binary_col).alias(binary_col)
     ).mapInPandas(process, schema=IMAGE_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP container metadata (r7) — the modern crawl's second image format.
+# Same contract as the MP4 branch: real RIFF/VP8-header bytes both ways,
+# metadata-only (VP8 entropy decode is a full video codec; no pixel decode
+# is claimed — extraction/webp.py).
+
+
+def synthesize_webps(
+    docs: DataFrame, id_col: str = "doc_id", max_w: int = 320, max_h: int = 240
+) -> DataFrame:
+    """doc_id → real WebP payload cycling the three container variants by
+    doc_id % 3: simple lossy (VP8), simple lossless (VP8L, alpha by
+    parity), extended animated (VP8X + ANIM + ANMF frames)."""
+    from deepseek_ocr_api_rs_spark.extraction.webp import (
+        make_webp_extended,
+        make_webp_lossless,
+        make_webp_lossy,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                w = int(d % max_w + 16)
+                h = int(d % max_h + 16)
+                v = d % 3
+                if v == 0:
+                    payloads.append(make_webp_lossy(w, h))
+                elif v == 1:
+                    payloads.append(make_webp_lossless(w, h, alpha=d % 2 == 1))
+                else:
+                    payloads.append(
+                        make_webp_extended(
+                            w, h, alpha=d % 2 == 0,
+                            n_frames=int(d % 7 + 2),
+                            loop_count=int(d % 4),
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
+    )
+
+
+def webp_metadata(
+    docs: DataFrame, id_col: str = "doc_id", binary_col: str = "payload"
+) -> DataFrame:
+    """binary column → WebP container metadata rows, Arrow-batched,
+    map-only. Malformed payloads yield zero rows."""
+    from deepseek_ocr_api_rs_spark.extraction.webp import parse_webp_meta
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs, alphas, anims, nfs, loops = (
+                [], [], [], [], [], [], [], []
+            )
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                m = parse_webp_meta(bytes(payload) if payload is not None else b"")
+                if m is None:
+                    continue
+                ids.append(int(doc_id))
+                fmts.append(m["fmt"])
+                ws.append(m["width"])
+                hs.append(m["height"])
+                alphas.append(m["alpha"])
+                anims.append(m["animated"])
+                nfs.append(m["n_frames"])
+                loops.append(m["loop_count"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "fmt": fmts, "width": ws, "height": hs,
+                    "has_alpha": alphas, "animated": anims,
+                    "n_frames": nfs, "loop_count": loops,
+                }
+            )
+
+    return docs.mapInPandas(
+        process,
+        schema=(
+            "doc_id long, fmt string, width int, height int, "
+            "has_alpha boolean, animated boolean, n_frames int, "
+            "loop_count int"
+        ),
+    )
