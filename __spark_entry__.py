@@ -2638,6 +2638,32 @@ def q_video_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling with DISPOSAL-CORRECT compositing (r7):
+    doc-seeded GIF89a animations — a full-canvas base frame plus moving
+    sub-rect DELTA frames cycling disposal 1 (leave) / 2 (restore
+    background) / 3 (restore previous) with transparency on odd frames,
+    NETSCAPE2.0 loop — walked WITHOUT decoding (LZW byte ranges only),
+    then every 3rd frame composed onto the canvas and hashed. Delta
+    coding makes the honest budget 'decode 0..max(sampled), never past'
+    (unlike the independent-frame MJPEG/MP4 paths). Pixel compositing is
+    not SQL-expressible → pinned-golden VALUES oracle. Map-only after
+    the explicit repartition."""
+    from deepseek_ocr_api_rs_spark.operators.video import (
+        sample_gif_frames,
+        synthesize_gif_anims,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    return sample_gif_frames(synthesize_gif_anims(docs), every_k=3).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 def q_jpeg_progressive_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progressive (SOF2) JPEG pixel path at corpus scale: doc-dim-seeded
     progressive JPEGs (multi-scan spectral-selection + successive-
@@ -3198,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_video_frame_sample": q_video_frame_sample,
         "q_video_mp4_frames": q_video_mp4_frames,
+        "q_gif_anim_frames": q_gif_anim_frames,
         "q_jpeg_progressive_resize": q_jpeg_progressive_resize,
         "q_kmv_distinct_users": q_kmv_distinct_users,
         "q_hypertable_rollup": q_hypertable_rollup,

@@ -723,6 +723,240 @@ GIF_PALETTE = np.stack(
 
 
 # ---------------------------------------------------------------------------
+# ANIMATED GIF (r7) — writer, budget-aware frame walk, and disposal-
+# correct compositor. Animated GIFs are the web's third moving-picture
+# container (after MJPEG-AVI and MP4 here); frames are DELTA-coded
+# sub-rectangles over a shared canvas with per-frame disposal and
+# transparency (GIF89a Graphic Control Extension, public CompuServe
+# spec + NETSCAPE2.0 loop extension). The honest frame budget for a
+# delta-coded format: the walk never LZW-decodes anything (it records
+# sub-block byte ranges only), and rendering decodes frames 0..max(
+# sampled) — a later frame's canvas depends on every prior frame — but
+# never past the last sampled index.
+
+
+def encode_gif_animation(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    palette: np.ndarray,
+    loop: int = 0,
+    bg_index: int = 0,
+) -> bytes:
+    """Real GIF89a animation: LSD + GCT + NETSCAPE2.0 loop + per-frame
+    GCE (delay, disposal, optional transparency) + image descriptors at
+    sub-rect offsets, each with a genuine LZW stream. Each ``frames``
+    entry: {idx: (h, w) uint8 raster, x, y, delay_cs, disposal,
+    transparent: int | None}."""
+    n = palette.shape[0]
+    size_bits = max((n - 1).bit_length(), 1)
+    n_slots = 1 << size_bits
+    pal = np.zeros((n_slots, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HH", canvas_w, canvas_h)
+    out.append(0x80 | (size_bits - 1))
+    out.append(bg_index)
+    out.append(0)  # aspect
+    out += pal.tobytes()
+    # NETSCAPE2.0 application extension: loop count
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for f in frames:
+        idx = f["idx"]
+        h, w = idx.shape
+        trans = f.get("transparent")
+        flags = (f.get("disposal", 0) & 0x07) << 2
+        if trans is not None:
+            flags |= 0x01
+        out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack(
+            "<H", f.get("delay_cs", 4)
+        ) + bytes([trans if trans is not None else 0]) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHH", f.get("x", 0), f.get("y", 0), w, h
+        ) + b"\x00"  # no local table, not interlaced
+        min_code = max(size_bits, 2)
+        out.append(min_code)
+        lzw = _lzw_encode(idx.tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif_animation(payload: bytes) -> dict | None:
+    """GIF bytes → {width, height, loop_count, bg_index, palette,
+    frames: [{x, y, w, h, delay_cs, disposal, transparent, min_code,
+    lzw, palette}]} WITHOUT decoding any LZW stream — the walk records
+    each frame's concatenated sub-block bytes so the renderer can decode
+    only what the frame budget asks for. Tolerant; never raises."""
+    try:
+        b = bytes(payload or b"")
+        if len(b) < 13 or b[:3] != b"GIF" or b[3:6] not in (b"87a", b"89a"):
+            return None
+        sw = int.from_bytes(b[6:8], "little")
+        sh = int.from_bytes(b[8:10], "little")
+        packed = b[10]
+        bg_index = b[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            if gct.shape[0] < n:
+                return None
+            pos += 3 * n
+        loop_count = 0
+        gce = {"delay_cs": 0, "disposal": 0, "transparent": None}
+        frames: list[dict] = []
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x3B:
+                break
+            if block == 0x21:  # extension
+                label = b[pos + 1] if pos + 1 < len(b) else 0
+                pos += 2
+                subs = []
+                while pos < len(b) and b[pos] != 0:
+                    ln = b[pos]
+                    subs.append(b[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
+                pos += 1
+                if label == 0xF9 and subs and len(subs[0]) >= 4:
+                    flags = subs[0][0]
+                    gce = {
+                        "delay_cs": int.from_bytes(subs[0][1:3], "little"),
+                        "disposal": (flags >> 2) & 0x07,
+                        "transparent": subs[0][3] if flags & 0x01 else None,
+                    }
+                elif (
+                    label == 0xFF
+                    and subs
+                    and subs[0][:11] == b"NETSCAPE2.0"
+                    and len(subs) > 1
+                    and len(subs[1]) >= 3
+                ):
+                    loop_count = int.from_bytes(subs[1][1:3], "little")
+                continue
+            if block != 0x2C:
+                return None
+            x = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            y = int.from_bytes(b[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    b[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or w <= 0 or h <= 0:
+                return None
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            frames.append(
+                {
+                    "x": x, "y": y, "w": w, "h": h,
+                    "delay_cs": gce["delay_cs"],
+                    "disposal": gce["disposal"],
+                    "transparent": gce["transparent"],
+                    "interlace": bool(ipacked & 0x40),
+                    "min_code": min_code,
+                    "lzw": bytes(lzw),
+                    "palette": pal,
+                }
+            )
+            gce = {"delay_cs": 0, "disposal": 0, "transparent": None}
+        if not frames:
+            return None
+        return {
+            "width": sw, "height": sh, "loop_count": loop_count,
+            "bg_index": bg_index, "palette": gct, "frames": frames,
+        }
+    except Exception:
+        return None
+
+
+def render_gif_frames(
+    parsed: dict, targets: list[int]
+) -> dict[int, np.ndarray] | None:
+    """Composite the requested frame indexes → {idx: (H, W, 3) canvas}.
+    Disposal semantics per GIF89a: 0/1 leave the canvas, 2 restores the
+    frame's rect to the background color, 3 restores the canvas to its
+    pre-frame state. Transparent pixels leave the canvas unchanged.
+    Decodes frames 0..max(targets) (delta coding — a frame's canvas
+    depends on every prior frame) and NOTHING past it: the budget lever
+    for a delta-coded container. None on any undecodable frame."""
+    if not targets:
+        return {}
+    last = max(targets)
+    want = set(targets)
+    W, H = parsed["width"], parsed["height"]
+    gct = parsed["palette"]
+    bg = (
+        gct[parsed["bg_index"]]
+        if gct is not None and parsed["bg_index"] < gct.shape[0]
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (H, W, 3)).astype(np.uint8).copy()
+    out: dict[int, np.ndarray] = {}
+    frames = parsed["frames"]
+    if last >= len(frames):
+        return None
+    for i in range(last + 1):
+        f = frames[i]
+        idx_stream = _lzw_decode(f["lzw"], f["min_code"])
+        if idx_stream is None or len(idx_stream) < f["w"] * f["h"]:
+            return None
+        idx = np.frombuffer(
+            idx_stream[: f["w"] * f["h"]], dtype=np.uint8
+        ).reshape(f["h"], f["w"])
+        if f["interlace"]:
+            h = f["h"]
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        pal = f["palette"]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None
+        x0, y0 = f["x"], f["y"]
+        x1, y1 = min(x0 + f["w"], W), min(y0 + f["h"], H)
+        if x1 <= x0 or y1 <= y0:
+            return None
+        sub = idx[: y1 - y0, : x1 - x0]
+        prev = canvas[y0:y1, x0:x1].copy() if f["disposal"] == 3 else None
+        rgb = pal[sub]
+        if f["transparent"] is not None:
+            mask = sub != f["transparent"]
+            region = canvas[y0:y1, x0:x1]
+            region[mask] = rgb[mask]
+        else:
+            canvas[y0:y1, x0:x1] = rgb
+        if i in want:
+            out[i] = canvas.copy()
+        if f["disposal"] == 2:
+            canvas[y0:y1, x0:x1] = bg
+        elif f["disposal"] == 3 and prev is not None:
+            canvas[y0:y1, x0:x1] = prev
+    return out
+
+
+# ---------------------------------------------------------------------------
 # BMP (Windows DIB) — the no-compression raster containers screenshots and
 # legacy tooling emit. Public layout: BITMAPFILEHEADER (14 bytes) +
 # BITMAPINFOHEADER (biSize ≥ 40), BGR(A) rows padded to 4 bytes, stored

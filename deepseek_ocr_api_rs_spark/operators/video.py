@@ -803,3 +803,126 @@ def mp4_metadata(
             "timescale int, codec string, n_samples int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANIMATED GIF sampling (r7) — the third moving-picture container, with
+# DELTA-coded frames: sub-rect placement, disposal methods, transparency
+# (extraction/raster.py encode_gif_animation / parse_gif_animation /
+# render_gif_frames). The walk records LZW byte ranges without decoding;
+# rendering decodes 0..max(sampled) and never past it (a delta frame's
+# canvas depends on every prior frame — the honest budget for this
+# container, unlike the independent-frame MJPEG/MP4 paths).
+
+
+@lru_cache(maxsize=2048)
+def synthesize_gif_anim_for_doc(doc_id: int) -> bytes:
+    """Deterministic animation for one doc_id: a full-canvas base frame,
+    then moving sub-rect delta frames cycling disposal 1/2/3 with
+    transparency on odd frames — every GIF89a animation feature the
+    compositor implements is exercised by construction."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import (
+        GIF_PALETTE,
+        encode_gif_animation,
+    )
+
+    w = doc_id % 40 + 24
+    h = doc_id % 32 + 20
+    n_frames = doc_id % 6 + 3
+    y0, x0 = np.mgrid[0:h, 0:w]
+    frames = [
+        {
+            "idx": ((x0 + y0 * 3 + doc_id) % 64).astype(np.uint8),
+            "x": 0, "y": 0, "delay_cs": 6, "disposal": 1,
+            "transparent": None,
+        }
+    ]
+    ys, xs = np.mgrid[0:8, 0:10]
+    for k in range(1, n_frames):
+        frames.append(
+            {
+                "idx": ((xs * 2 + ys + k + doc_id) % 64).astype(np.uint8),
+                "x": (k * 5) % (w - 10),
+                "y": (k * 3) % (h - 8),
+                "delay_cs": 4 + k,
+                "disposal": (1, 2, 3)[k % 3],
+                "transparent": 5 if k % 2 == 1 else None,
+            }
+        )
+    return encode_gif_animation(
+        w, h, frames, GIF_PALETTE[:64], loop=doc_id % 4, bg_index=3
+    )
+
+
+def synthesize_gif_anims(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id → real animated-GIF payload."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = [synthesize_gif_anim_for_doc(int(d)) for d in ids]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
+    )
+
+
+def sample_gif_frames(
+    docs: DataFrame,
+    every_k: int = 3,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """Animated-GIF frame sampling with disposal-correct compositing: one
+    row per SAMPLED frame index (0, k, 2k, …) carrying the COMPOSED
+    canvas's pixel sha256 (what a viewer shows at that frame, not the raw
+    delta rect). Frames past the last sampled index are never LZW-decoded.
+    Malformed payloads yield zero rows. Map-only."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepseek_ocr_api_rs_spark.extraction.raster import (
+            parse_gif_animation,
+            render_gif_frames,
+        )
+
+        for pdf in batches:
+            ids, fidx, nfr, ws, hs, shas = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                parsed = parse_gif_animation(
+                    bytes(payload) if payload is not None else b""
+                )
+                if parsed is None:
+                    continue
+                n = len(parsed["frames"])
+                targets = list(range(0, n, every_k))
+                rendered = render_gif_frames(parsed, targets)
+                if rendered is None:
+                    continue
+                for i in targets:
+                    ids.append(int(doc_id))
+                    fidx.append(i)
+                    nfr.append(n)
+                    ws.append(parsed["width"])
+                    hs.append(parsed["height"])
+                    shas.append(
+                        hashlib.sha256(rendered[i].tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": fidx,
+                    "n_frames": nfr,
+                    "width": ws,
+                    "height": hs,
+                    "frame_sha": shas,
+                }
+            )
+
+    return docs.mapInPandas(
+        process,
+        schema=(
+            "doc_id long, frame_idx int, n_frames int, "
+            "width int, height int, frame_sha string"
+        ),
+    )
