@@ -2259,6 +2259,123 @@ from documents order by url
 """
 
 
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT derivative roundtrip (r7) — Common Crawl's metadata sibling of
+    WET, completing the derivative trio (WARC ingest, WET export, WAT
+    export): per page, a WARC-Type: metadata record whose payload is the
+    canonical-JSON envelope carrying Head.Title and the outgoing Links.
+    The page family is q_html_links' synthesized html (plus a <title>);
+    the title comes out of a codegen regexp_extract and the link array
+    out of the SAME extract_hrefs + absolutize_href column functions —
+    built IN-ROW with transform, so the sink input never shuffles. The
+    distributed sink streams gzip members per record (task-identity
+    segment names, tmp+rename — the write_wet contract), read back via
+    the binaryFile fan-out and exploded. The oracle reproduces title +
+    RFC 3986 resolution in DuckDB, so the hash proves extraction,
+    resolution, the JSON envelope, and the container roundtrip at once.
+    The manifest collect is the staging barrier (q_wet_roundtrip's
+    harness role)."""
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        absolutize_href,
+        extract_hrefs,
+    )
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        read_wat_metadata,
+        write_wat,
+    )
+
+    _ensure_shipped(spark)
+    out = _staging_dir("wat_export_")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = F.concat(
+        F.lit("https://site"), (d % 5).cast("string"),
+        F.lit(".example.org/a/b/"), ds, F.lit(".html"),
+    )
+    dq, sq = chr(34), chr(39)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        ds,
+        F.lit(" overview</title></head><body><nav><a href=" + dq + "/home"
+              + dq + ">home</a> "
+              + "<a href=" + sq + "mailto:x@example.org" + sq
+              + ">mail</a></nav><main><p>see "
+              + "<a class=" + sq + "x" + sq + " href=" + sq + "https://ex"),
+        (d % 7).cast("string"),
+        F.lit(".example.org/p/"), ds, F.lit(sq + ">abs</a> and "
+              + "<A href=" + dq + "//cdn"),
+        (d % 3).cast("string"),
+        F.lit(".example.net/lib.js" + dq + ">cdn</A> plus "
+              + "<a href=" + sq + "rel/"),
+        ds,
+        F.lit(".html" + sq + ">rel</a></p></main></body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(n_parts, "doc_id")
+        .withColumn("url", base)
+        .withColumn("html", html)
+    )
+    rows = docs.select(
+        "url",
+        F.timestamp_seconds(F.lit(1704067200) + (d % 86400)).alias(
+            "warc_ts"
+        ),
+        F.regexp_extract("html", "<title>(.*?)</title>", 1).alias("title"),
+        F.transform(
+            extract_hrefs("html"),
+            lambda h: absolutize_href(F.col("url"), h),
+        ).alias("links"),
+    )
+    manifest = write_wat(rows, out).collect()  # staging barrier
+    assert sum(m.n_records for m in manifest) > 0
+    return (
+        read_wat_metadata(spark, out)
+        .select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("epoch"),
+            "title",
+            F.explode("links").alias("link"),
+        )
+        .orderBy("url", "link")
+    )
+
+
+_Q_WAT_SQL = r"""
+with pages as (
+  select doc_id,
+    'https://site' || (doc_id % 5) || '.example.org/a/b/' || doc_id || '.html' as url,
+    '<html><head><title>Doc ' || doc_id || ' overview</title></head>' ||
+    '<body><nav><a href="/home">home</a> ' ||
+    '<a href=''mailto:x@example.org''>mail</a></nav><main><p>see ' ||
+    '<a class=''x'' href=''https://ex' || (doc_id % 7) || '.example.org/p/' || doc_id || '''>abs</a> and ' ||
+    '<A href="//cdn' || (doc_id % 3) || '.example.net/lib.js">cdn</A> plus ' ||
+    '<a href=''rel/' || doc_id || '.html''>rel</a></p></main></body></html>' as html
+  from documents
+), exploded as (
+  select doc_id, url, html,
+    unnest(list_filter(
+      regexp_extract_all(html, '<[aA][^>]*[\s]href[\s]*=[\s]*["'']([^"''<>]+)["'']', 1),
+      h -> not regexp_matches(h, '^(javascript:|mailto:|tel:|data:|#)')
+    )) as href
+  from pages
+)
+select url,
+  1704067200 + doc_id % 86400 as epoch,
+  regexp_extract(html, '<title>(.*?)</title>', 1) as title,
+  case
+    when regexp_matches(href, '^https?://') then href
+    when href like '//%' then regexp_extract(url, '^(https?):', 1) || ':' || href
+    when href like '/%' then regexp_extract(url, '^(https?://[^/?#]+)', 1) || href
+    else regexp_replace(regexp_replace(url, '[?#].*$', ''), '/[^/]*$', '/') || href
+  end as link
+from exploded
+order by url, link
+"""
+
+
 def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write DELETE under the oracle gate (r6): the documents
     table is staged into a snapshot table as four ranged, stats-carrying
@@ -2661,6 +2778,35 @@ def q_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sample_gif_frames(synthesize_gif_anims(docs), every_k=3).orderBy(
         "doc_id", "frame_idx"
+    )
+
+
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-image extraction from real PDFs (r7): doc-seeded
+    classic-dialect PDFs whose pages carry image XObjects — baseline
+    JPEG /DCTDecode (decoded through the real Huffman+IDCT path),
+    8-bit Gray/RGB Flate rasters, /Predictor 12 PNG-filtered RGB,
+    1-bit /ImageMask, the [/ASCII85Decode /DCTDecode] chained transport
+    form, and a /CCITTFaxDecode plant flagged ``unsupported`` (honest
+    scope, metadata only) — synthesized in one Arrow stage and walked
+    back in a second via the same xref-overlaid object scan as the text
+    path (extraction/pdf_real.extract_pdf_images, PDF 32000 §8.9.5).
+    For crawled PDFs the figures ARE the multimodal payload; this ties
+    the PDF branch to the raster stack. Pixel decode is not
+    SQL-expressible → pinned-golden VALUES oracle. Map-only after the
+    explicit repartition."""
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        pdf_image_inventory,
+        synthesize_image_pdfs,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    return pdf_image_inventory(synthesize_image_pdfs(docs)).orderBy(
+        "doc_id", "page", "name"
     )
 
 
@@ -3205,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6 (this round's new/changed queries first — the driver's
         # 50-row CORRECTNESS window checks registration order)
         "q_webp_meta": q_webp_meta,
+        "q_pdf_images": q_pdf_images,
         "q_mp4_meta": q_mp4_meta,
         "q_pdf_links": q_pdf_links,
         "q_html_links": q_html_links,
@@ -3212,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
         "q_wet_roundtrip": q_wet_roundtrip,
+        "q_wat_roundtrip": q_wat_roundtrip,
         "q_snapshot_delete": q_snapshot_delete,
         "q_feed": q_feed,
         "q_snapshot_merge": q_snapshot_merge,
@@ -3364,6 +3512,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,
         "q_wet_roundtrip": _Q_WET_SQL,
+        "q_wat_roundtrip": _Q_WAT_SQL,
         "q_snapshot_delete": _Q_SNAPSHOT_DELETE_SQL,
         "q_feed": _Q_FEED_SQL,
         "q_snapshot_merge": _Q_SNAPSHOT_MERGE_SQL,

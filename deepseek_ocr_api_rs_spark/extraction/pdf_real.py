@@ -741,6 +741,14 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
     if fm is None:
         return stream
     names = [n.decode("latin-1") for n in _FILTER_NAME_RE.findall(fm.group(1))]
+    return _apply_filter_chain(head, stream, names)
+
+
+def _apply_filter_chain(
+    head: bytes, stream: bytes, names: list[str]
+) -> bytes | None:
+    """Apply an explicit prefix of a stream's filter chain (shared by
+    _decode_stream and the image path, which stops before DCTDecode)."""
     data: bytes | None = stream
     for name in names:
         if data is None:
@@ -1801,6 +1809,159 @@ def extract_pdf_links(data: bytes) -> list[dict] | None:
 
 
 # ---------------------------------------------------------------------------
+# image XObjects (§8.9) — the embedded raster payloads of a crawled PDF
+
+
+_IMAGE_TYPE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_IMG_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_COLORSPACE_RE = re.compile(rb"/ColorSpace\s*\[?\s*/(\w+)")
+_IMAGEMASK_RE = re.compile(rb"/ImageMask\s+true\b")
+
+
+def _stream_filter_names(head: bytes) -> list[str]:
+    """The /Filter chain as a list of names, [] when unfiltered."""
+    fm = _FILTER_CHAIN_RE.search(head)
+    if fm is None:
+        return []
+    return [n.decode("latin-1") for n in _FILTER_NAME_RE.findall(fm.group(1))]
+
+
+def extract_pdf_images(data: bytes) -> list[dict] | None:
+    """Real PDF bytes → embedded image inventory with DECODED pixel hashes:
+    [{page, name, width, height, colorspace, bpc, filter, status,
+    pixel_sha}] — one row per image XObject (PDF 32000 §8.9.5) reachable
+    from a page's /Resources /XObject dict (or, one level deep, a Form
+    XObject's own resources — the stamped-figure layout). The reference
+    accepts raster payloads wholesale (crates/server/src/generation.rs:
+    276-305); for crawled PDFs the figures ARE the multimodal payload, so
+    this ties the PDF branch to the existing raster stack:
+
+    - ``/Filter /DCTDecode`` (optionally behind transport filters) →
+      the real baseline/progressive JPEG decoder (extraction/jpeg.py),
+      status ``jpeg``, sha256 over the decoded RGB bytes;
+    - Flate/LZW/A85/AHx/RL chains (with /DecodeParms predictors) →
+      raw samples validated against width×height×components geometry:
+      8-bit DeviceGray/DeviceRGB, 1-bit gray and /ImageMask (bits
+      unpacked to 0/255 bytes), status ``raw``;
+    - CCITT/JBIG2/JPX and other-geometry payloads → status
+      ``unsupported``/``error`` with metadata only, pixel_sha null —
+      the documented honest-scope signal, never a fake hash.
+
+    Pages resolve through the same xref-overlaid object scan as
+    parse_real_pdf. Returns [] for a PDF without images, None if no page
+    structure."""
+    import hashlib
+
+    import numpy as np
+
+    from deepseek_ocr_api_rs_spark.extraction.jpeg import decode_jpeg_pixels
+
+    int_objs = _scan_int_objects(data)
+    objs = _extract_objects(data, int_objs)
+    xobjs, objstm_members = _xref_objects(data, int_objs)
+    objs.update(xobjs)
+    if not objs:
+        return None
+    if not _decrypt_objects(data, objs):
+        return None
+    _expand_object_streams(objs, authoritative=objstm_members)
+    pages_nodes = sorted(
+        n for n, (h, _) in objs.items() if _PAGES_TYPE_RE.search(h)
+    )
+    kid_order: list[int] = []
+    for n in pages_nodes:
+        km = _KIDS_RE.search(objs[n][0])
+        if km:
+            kid_order += [int(x) for x in _REF_RE.findall(km.group(1))]
+    page_objs = {n for n, (h, _) in objs.items() if _PAGE_TYPE_RE.search(h)}
+    ordered = [n for n in kid_order if n in page_objs]
+    ordered += sorted(page_objs - set(ordered))
+    if not ordered:
+        return None
+
+    images: list[dict] = []
+    for page_idx, pnum in enumerate(ordered):
+        head = objs[pnum][0]
+        entries = sorted(_page_xobjects(objs, head).items())
+        # one level into Form XObjects' own resources (page attribution =
+        # the containing page; deeper nesting is out of scope like the
+        # span walker's translation-only form handling)
+        for name, ref in list(entries):
+            fobj = objs.get(ref)
+            if fobj is not None and _FORM_TYPE_RE.search(fobj[0]):
+                entries += sorted(_page_xobjects(objs, fobj[0]).items())
+        for name, ref in entries:
+            obj = objs.get(ref)
+            if obj is None or obj[1] is None:
+                continue
+            ihead, istream = obj
+            if not _IMAGE_TYPE_RE.search(ihead):
+                continue
+            wm = _WIDTH_RE.search(ihead)
+            hm = _HEIGHT_RE.search(ihead)
+            if wm is None or hm is None:
+                continue
+            w, h = int(wm.group(1)), int(hm.group(1))
+            bm = _IMG_BPC_RE.search(ihead)
+            bpc = int(bm.group(1)) if bm else 8
+            if _IMAGEMASK_RE.search(ihead):
+                cs = "ImageMask"
+                bpc = 1  # §8.9.6.2: ImageMask is 1-bit by definition
+            else:
+                cm = _COLORSPACE_RE.search(ihead)
+                cs = cm.group(1).decode("latin-1") if cm else "DeviceGray"
+            names = _stream_filter_names(ihead)
+            filt = "+".join(names) if names else "raw"
+            status = "unsupported"
+            sha: str | None = None
+            if names and names[-1] in ("DCTDecode", "DCT"):
+                payload = _apply_filter_chain(ihead, istream, names[:-1])
+                px = decode_jpeg_pixels(payload) if payload is not None else None
+                if px is not None:
+                    status, sha = "jpeg", hashlib.sha256(
+                        np.ascontiguousarray(px).tobytes()
+                    ).hexdigest()
+                else:
+                    status = "error"
+            else:
+                raw = _apply_filter_chain(ihead, istream, names)
+                ncomp = 3 if cs == "DeviceRGB" else 1
+                rowbytes = (w * ncomp * bpc + 7) // 8
+                if raw is None:
+                    status = "unsupported"
+                elif len(raw) < rowbytes * h or bpc not in (1, 8):
+                    status = "error"
+                elif bpc == 8:
+                    status, sha = "raw", hashlib.sha256(
+                        raw[: rowbytes * h]
+                    ).hexdigest()
+                else:  # 1-bit rows, each padded to a byte boundary (§8.9.3)
+                    rows = np.frombuffer(
+                        raw[: rowbytes * h], dtype=np.uint8
+                    ).reshape(h, rowbytes)
+                    bits = np.unpackbits(rows, axis=1)[:, : w * ncomp]
+                    status, sha = "raw", hashlib.sha256(
+                        (bits * 255).astype(np.uint8).tobytes()
+                    ).hexdigest()
+            images.append(
+                {
+                    "page": page_idx,
+                    "name": name,
+                    "width": w,
+                    "height": h,
+                    "colorspace": cs,
+                    "bpc": bpc,
+                    "filter": filt,
+                    "status": status,
+                    "pixel_sha": sha,
+                }
+            )
+    return images
+
+
+# ---------------------------------------------------------------------------
 # writers — fixtures/tests assemble real PDFs from the same span dicts
 
 
@@ -2434,4 +2595,137 @@ def make_pdf_bytes_modern(
         + b"\nendstream\nendobj\n"
     )
     out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def make_pdf_with_images(
+    pages_images: "list[list[dict]]",
+    width: float = DEFAULT_PAGE_WIDTH,
+    height: float = DEFAULT_PAGE_HEIGHT,
+) -> bytes:
+    """Assemble a classic-dialect PDF embedding image XObjects (§8.9.5) —
+    the fixture side of extract_pdf_images. ``pages_images`` is one list
+    of image dicts per page; each dict: ``{"name": "Im1", "kind": ...,
+    "pixels": np.uint8 array}`` with kinds:
+
+    - ``jpeg``      (h,w,3) → /DCTDecode via the real baseline encoder
+    - ``jpeg_a85``  (h,w,3) → [/ASCII85Decode /DCTDecode] chained form
+    - ``gray``      (h,w)   → /DeviceGray /FlateDecode
+    - ``rgb``       (h,w,3) → /DeviceRGB /FlateDecode
+    - ``rgb_pred``  (h,w,3) → /DeviceRGB Flate + /Predictor 12 (PNG Up),
+      the layout predictor-era writers emit for image data too
+    - ``mask1``     (h,w) of 0/1 → /ImageMask true, 1-bit packed rows
+    - ``ccitt``     dict carries ``width``/``height``/``data`` — raw
+      /CCITTFaxDecode bytes, the documented-unsupported fixture
+
+    Every image is also invoked from the page's content stream via
+    ``cm``+``Do``, exercising the span walker's image-Do skip (a
+    text-free fixture still returns None from parse_real_pdf — its
+    documented no-spans signal — without garbling)."""
+    import zlib as _z
+
+    import numpy as np
+
+    from deepseek_ocr_api_rs_spark.extraction.jpeg import encode_jpeg_rgb
+
+    objects: dict[int, bytes] = {}
+    page_refs: list[int] = []
+    next_num = 3
+    for imgs in pages_images:
+        page_num = next_num
+        content_num = page_num + 1
+        next_num = content_num + 1
+        names: list[tuple[str, int, int, int]] = []  # name, obj, w, h
+        for i, spec in enumerate(imgs):
+            kind = spec["kind"]
+            name = spec.get("name", f"Im{i + 1}")
+            inum = next_num
+            next_num += 1
+            if kind == "ccitt":
+                w, h = int(spec["width"]), int(spec["height"])
+                payload = bytes(spec["data"])
+                head = (
+                    f"<< /Type /XObject /Subtype /Image /Width {w} "
+                    f"/Height {h} /ColorSpace /DeviceGray "
+                    f"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                    f"/Length {len(payload)} >>"
+                )
+            else:
+                px = np.ascontiguousarray(spec["pixels"], dtype=np.uint8)
+                h, w = px.shape[0], px.shape[1]
+                if kind == "jpeg":
+                    payload = encode_jpeg_rgb(px)
+                    extra = "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode"
+                elif kind == "jpeg_a85":
+                    # the 7-bit-safe transport chain: A85 decodes first,
+                    # then the image codec (§7.4.1 filter order)
+                    payload = ascii85_encode(encode_jpeg_rgb(px))
+                    extra = (
+                        "/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                        "/Filter [/ASCII85Decode /DCTDecode]"
+                    )
+                elif kind == "gray":
+                    payload = _z.compress(px.tobytes())
+                    extra = "/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode"
+                elif kind == "rgb":
+                    payload = _z.compress(px.tobytes())
+                    extra = "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode"
+                elif kind == "rgb_pred":
+                    payload = _z.compress(
+                        _png_up_encode(px.tobytes(), 3 * w)
+                    )
+                    extra = (
+                        "/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                        "/Filter /FlateDecode /DecodeParms "
+                        f"<< /Predictor 12 /Colors 3 /Columns {w} >>"
+                    )
+                elif kind == "mask1":
+                    payload = _z.compress(
+                        np.packbits(px & 1, axis=1).tobytes()
+                    )
+                    extra = "/ImageMask true /BitsPerComponent 1 /Filter /FlateDecode"
+                else:
+                    raise ValueError(kind)
+                head = (
+                    f"<< /Type /XObject /Subtype /Image /Width {w} "
+                    f"/Height {h} {extra} /Length {len(payload)} >>"
+                )
+            objects[inum] = head.encode() + b"\nstream\n" + payload + b"\nendstream"
+            names.append((name, inum, w, h))
+        ops = "\n".join(
+            f"q {w} 0 0 {h} {20 + 10 * i} {40 + 10 * i} cm /{nm} Do Q"
+            for i, (nm, _o, w, h) in enumerate(names)
+        ).encode()
+        objects[content_num] = (
+            f"<< /Length {len(ops)} >>\nstream\n".encode()
+            + ops
+            + b"\nendstream"
+        )
+        xdict = " ".join(f"/{nm} {o} 0 R" for nm, o, _w, _h in names)
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {width:g} "
+            f"{height:g}] /Resources << /XObject << {xdict} >> >> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        page_refs.append(page_num)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join(f"{n} 0 R" for n in page_refs)
+    objects[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_refs)} >>"
+    ).encode()
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_off = len(out)
+    size = max(objects) + 1
+    out += f"xref\n0 {size}\n".encode() + b"0000000000 65535 f \n"
+    for n in range(1, size):
+        out += f"{offsets.get(n, 0):010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n".encode()
+    )
     return bytes(out)

@@ -704,3 +704,114 @@ def webp_metadata(
             "loop_count int"
         ),
     )
+
+
+def synthesize_image_pdfs(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """doc_id → a real classic-dialect PDF embedding image XObjects
+    (extraction/pdf_real.make_pdf_with_images): page 0 carries a baseline
+    JPEG (/DCTDecode) plus an 8-bit /DeviceGray Flate bitmap, page 1
+    cycles by doc_id % 4 through raw RGB, RGB behind /Predictor 12,
+    a 1-bit /ImageMask, and the [/ASCII85Decode /DCTDecode] chained
+    transport form; every 7th doc also plants a /CCITTFaxDecode payload
+    (the documented-unsupported family). All pixels doc_id-seeded
+    gradients — deterministic, no RNG."""
+    import numpy as np
+
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        make_pdf_with_images,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdfm in batches:
+            ids = pdfm[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                h = int(d % 32 + 8)
+                w = int(d % 48 + 8)
+                grad = (
+                    np.add.outer(np.arange(h), np.arange(w)) * (d % 11 + 1)
+                ) % 256
+                grad = grad.astype(np.uint8)
+                rgb = np.stack(
+                    [grad, (grad * 2 + d) % 256, (grad * 3 + 2 * d) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                page0 = [
+                    {"name": "Im1", "kind": "jpeg", "pixels": rgb},
+                    {"name": "Im2", "kind": "gray", "pixels": grad},
+                ]
+                v = d % 4
+                if v == 0:
+                    second = {"name": "Im1", "kind": "rgb", "pixels": rgb}
+                elif v == 1:
+                    second = {"name": "Im1", "kind": "rgb_pred", "pixels": rgb}
+                elif v == 2:
+                    second = {
+                        "name": "Im1", "kind": "mask1",
+                        "pixels": (grad >= 128).astype(np.uint8),
+                    }
+                else:
+                    second = {"name": "Im1", "kind": "jpeg_a85", "pixels": rgb}
+                page1 = [second]
+                if d % 7 == 0:
+                    page1.append(
+                        {
+                            "name": "Im9", "kind": "ccitt", "width": 8,
+                            "height": 8, "data": bytes([int(d % 256)]) * 16,
+                        }
+                    )
+                payloads.append(make_pdf_with_images([page0, page1]))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
+    )
+
+
+def pdf_image_inventory(
+    docs: DataFrame, id_col: str = "doc_id", binary_col: str = "payload"
+) -> DataFrame:
+    """PDF binary column → embedded-image inventory rows with decoded
+    pixel sha256 (extraction/pdf_real.extract_pdf_images): JPEG payloads
+    through the real Huffman decoder, Flate/LZW/predictor rasters
+    validated against geometry, CCITT/JPX flagged unsupported with
+    metadata only. Arrow-batched, map-only; unparseable PDFs yield zero
+    rows."""
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        extract_pdf_images,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdfm in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "page": [], "name": [], "width": [],
+                "height": [], "colorspace": [], "bpc": [], "filter": [],
+                "status": [], "pixel_sha": [],
+            }
+            for doc_id, payload in zip(pdfm[id_col], pdfm[binary_col]):
+                rows = extract_pdf_images(
+                    bytes(payload) if payload is not None else b""
+                )
+                for r in rows or []:
+                    out["doc_id"].append(int(doc_id))
+                    out["page"].append(r["page"])
+                    out["name"].append(r["name"])
+                    out["width"].append(r["width"])
+                    out["height"].append(r["height"])
+                    out["colorspace"].append(r["colorspace"])
+                    out["bpc"].append(r["bpc"])
+                    out["filter"].append(r["filter"])
+                    out["status"].append(r["status"])
+                    out["pixel_sha"].append(r["pixel_sha"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        process,
+        schema=(
+            "doc_id long, page int, name string, width int, height int, "
+            "colorspace string, bpc int, filter string, status string, "
+            "pixel_sha string"
+        ),
+    )

@@ -518,3 +518,198 @@ def read_wet_documents(spark: SparkSession, path: str) -> DataFrame:
         ),
         "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# WAT derivative (r7) — Common Crawl's metadata sibling of WET: one
+# WARC-Type: metadata record per page whose payload is a JSON envelope
+# (Envelope.WARC-Header-Metadata + Envelope.Payload-Metadata.HTML-Metadata
+# with Head.Title and the outgoing Links). Same member-per-record gzip
+# container, same streaming task-identity sink contract as write_wet.
+
+
+def _warc_date_str(date) -> str:
+    if date is None:
+        date = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    if date.microsecond:
+        return date.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    return date.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def make_wat_record_gz(rec: dict) -> bytes:
+    """One metadata record as ONE gzip member. Record dict:
+    {"url": str, "date": datetime, "title": str|None,
+    "links": list[str]}. The JSON payload is CANONICAL (sorted keys,
+    compact separators) so equal inputs always produce identical bytes —
+    the WET determinism contract extended to the JSON envelope."""
+    import json
+    from urllib.parse import quote
+
+    url = quote(str(rec.get("url", "")), safe=":/?#[]@!$&'()*+,;=%-._~")
+    date_s = _warc_date_str(rec.get("date"))
+    html_meta: dict = {
+        "Links": [{"url": u} for u in rec.get("links") or []],
+    }
+    if rec.get("title") is not None:
+        html_meta["Head"] = {"Title": str(rec["title"])}
+    envelope = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Date": date_s,
+                "WARC-Target-URI": url,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {"HTML-Metadata": html_meta}
+            },
+        }
+    }
+    payload = json.dumps(
+        envelope, sort_keys=True, separators=(",", ":")
+    ).encode("utf-8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date_s}\r\n"
+        "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000003>\r\n"
+        "WARC-Refers-To: <urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("latin-1")
+    return gzip.compress(head + payload + _CRLF + _CRLF)
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    title_col: str = "title",
+    links_col: str = "links",
+) -> DataFrame:
+    """Distributed WAT sink — the write_wet contract verbatim: one
+    ``.warc.wat.gz`` segment per task, gzip members STREAMED to a tmp
+    file per record (RSS bounded by one Arrow batch), segment name from
+    the task identity (``part-{partitionId}``) so a retried attempt
+    overwrites rather than duplicates, tmp+``os.replace`` atomic
+    publish, lazy manifest (file, n_records) as the return frame."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        name = f"part-{pid:05d}.warc.wat.gz"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        n_recs = 0
+        fh = None
+        try:
+            for pdf in batches:
+                for url, ts, title, links in zip(
+                    pdf[url_col], pdf[ts_col], pdf[title_col], pdf[links_col]
+                ):
+                    date = None
+                    if ts is not None and not pd.isna(ts):
+                        date = (
+                            ts.to_pydatetime()
+                            if hasattr(ts, "to_pydatetime")
+                            else ts
+                        )
+                    if fh is None:
+                        fh = open(tmp, "wb")
+                    fh.write(
+                        make_wat_record_gz(
+                            {
+                                "url": url,
+                                "date": date,
+                                "title": title,
+                                "links": list(links)
+                                if links is not None
+                                else [],
+                            }
+                        )
+                    )
+                    n_recs += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n_recs == 0:
+            yield pd.DataFrame({"file": [], "n_records": []})
+            return
+        os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame({"file": [name], "n_records": [n_recs]})
+
+    return df.select(url_col, ts_col, title_col, links_col).mapInPandas(
+        sink, schema="file string, n_records long"
+    )
+
+
+def read_wat_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """``.wat(.gz)`` files → (url, warc_ts, title, links array<string>)
+    rows from the metadata records' JSON envelopes; binaryFile + Arrow
+    fan-out, map-only, file-per-task. Records whose payload is not the
+    expected envelope shape are skipped, never crash the task."""
+    import json
+
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wat*")
+        .load(path)
+        .select("content")
+    )
+
+    def fan_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, titles, links_out = [], [], [], []
+            for blob in pdf["content"]:
+                for rec in iter_warc_records(bytes(blob)):
+                    if rec["type"] != "metadata" or not rec["url"]:
+                        continue
+                    try:
+                        env = json.loads(rec["payload"].decode("utf-8"))[
+                            "Envelope"
+                        ]
+                        hm = env["Payload-Metadata"][
+                            "HTTP-Response-Metadata"
+                        ]["HTML-Metadata"]
+                    except (ValueError, KeyError, UnicodeDecodeError):
+                        continue
+                    urls.append(rec["url"])
+                    m = _WARC_DATE_RE.match(rec["date"])
+                    tss.append(m.group(1) if m else None)
+                    head = hm.get("Head") or {}
+                    titles.append(head.get("Title"))
+                    links_out.append(
+                        [
+                            e["url"]
+                            for e in hm.get("Links") or []
+                            if isinstance(e, dict) and "url" in e
+                        ]
+                    )
+            yield pd.DataFrame(
+                {
+                    "url": urls, "_ts": tss, "title": titles,
+                    "links": links_out,
+                }
+            )
+
+    rows = files.mapInPandas(
+        fan_out,
+        schema="url string, _ts string, title string, links array<string>",
+    )
+    return rows.select(
+        "url",
+        F.try_to_timestamp(F.col("_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss")).alias(
+            "warc_ts"
+        ),
+        "title",
+        "links",
+    )
