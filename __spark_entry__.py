@@ -2507,6 +2507,96 @@ from e order by doc_id, link
 """
 
 
+def q_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog / incremental scan under the oracle gate (r7): the CDC
+    READ side completing the r6 CDC sink — snapshots.read_changelog
+    reconstructs row-level changes from the manifest chain across a
+    mixed history staged from the documents table: two appends, a
+    copy-on-write DELETE (doc_id % 10 = 3), a MERGE that updates
+    doc_id % 10 = 4 and inserts shifted keys, a compaction (data-
+    preserving — must emit NOTHING), and a merge-on-read delete_keys
+    batch (doc_id % 10 = 7, emitted as FULL rows via the parent-snapshot
+    semi-join). The oracle reconstructs every (commit, op, row) from doc
+    arithmetic, so the hash proves per-commit classification, exceptAll
+    netting of unchanged rewrite rows, and the maintenance skip at
+    once. Driver actions: the staging commits themselves (commit
+    plumbing, same rationale as q_snapshot_delete)."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        compact,
+        delete_keys,
+        delete_where,
+        merge_into,
+        read_changelog,
+        write_snapshot,
+    )
+
+    _ensure_shipped(spark)
+    d = F.col("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").cast("long").alias("val"))
+        .persist()
+    )
+    try:
+        table = _staging_dir("snap_changelog_") + "/tbl"
+        write_snapshot(
+            docs.filter(d % 2 == 0).repartition(2, "doc_id"), table,
+            mode="append", stats_cols=["doc_id"],
+        )
+        write_snapshot(
+            docs.filter(d % 2 == 1).repartition(2, "doc_id"), table,
+            mode="append", stats_cols=["doc_id"],
+        )
+        delete_where(spark, table, "doc_id % 10 = 3")
+        upd = (
+            docs.filter(d % 10 == 4)
+            .select("doc_id", (-d).cast("long").alias("val"))
+            .unionByName(
+                docs.filter(d % 100 == 0).select(
+                    (d + 100000).alias("doc_id"), d.cast("long").alias("val")
+                )
+            )
+        )
+        merge_into(spark, table, upd, "doc_id")
+        compact(spark, table, target_files=2)
+        delete_keys(
+            spark, table, docs.filter(d % 10 == 7).select("doc_id"), "doc_id"
+        )
+        return (
+            read_changelog(spark, table, from_version=0)
+            .select(
+                F.col("_commit_version").alias("commit_v"),
+                F.col("_change_type").alias("op"),
+                "doc_id",
+                "val",
+            )
+            .orderBy("commit_v", "op", "doc_id")
+        )
+    finally:
+        docs.unpersist()
+
+
+_Q_SNAPSHOT_CHANGELOG_SQL = """
+with d as (select doc_id, cast(length(text) as bigint) as val from documents)
+select * from (
+  select 1 as commit_v, 'insert' as op, doc_id, val from d where doc_id % 2 = 0
+  union all
+  select 2, 'insert', doc_id, val from d where doc_id % 2 = 1
+  union all
+  select 3, 'delete', doc_id, val from d where doc_id % 10 = 3
+  union all
+  select 4, 'delete', doc_id, val from d where doc_id % 10 = 4
+  union all
+  select 4, 'insert', doc_id, cast(-doc_id as bigint) from d where doc_id % 10 = 4
+  union all
+  select 4, 'insert', doc_id + 100000, cast(doc_id as bigint) from d where doc_id % 100 = 0
+  union all
+  select 6, 'delete', doc_id, val from d where doc_id % 10 = 7
+)
+order by commit_v, op, doc_id
+"""
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE under the oracle gate (r6): the staged
     documents snapshot (four ranged stats-carrying commits) receives an
@@ -3363,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_delete": q_snapshot_delete,
         "q_feed": q_feed,
         "q_snapshot_merge": q_snapshot_merge,
+        "q_snapshot_changelog": q_snapshot_changelog,
         # round 5
         "q_snapshot_prune": q_snapshot_prune,
         # round 4
@@ -3516,6 +3607,7 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_delete": _Q_SNAPSHOT_DELETE_SQL,
         "q_feed": _Q_FEED_SQL,
         "q_snapshot_merge": _Q_SNAPSHOT_MERGE_SQL,
+        "q_snapshot_changelog": _Q_SNAPSHOT_CHANGELOG_SQL,
         "q_unbase64_roundtrip": _Q_UNB64_SQL,
         "q_markdown_polish": _polish_oracle_sql(),
         "q_extract_normalize": _Q_EXTRACT_SQL,

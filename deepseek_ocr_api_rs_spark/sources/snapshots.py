@@ -984,3 +984,152 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
         "deleted_files": deleted,
         "kept_files": len(live_files),
     }
+
+
+# ---------------------------------------------------------------------------
+# changelog / incremental scan (r7) — Iceberg's CDC read, the consumer
+# side of the CDC sink: reconstruct row-level changes BETWEEN two
+# committed versions from the manifests alone.
+
+
+def _align_for_diff(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Give both frames the superset of columns (missing ones NULL of the
+    other side's type) in one canonical order, so exceptAll across a
+    schema-evolution boundary compares value-by-value."""
+    types_a = dict(a.dtypes)
+    types_b = dict(b.dtypes)
+    cols = list(dict.fromkeys(list(types_a) + list(types_b)))
+    a2 = a.select(
+        *[
+            F.col(c) if c in types_a
+            else F.lit(None).cast(types_b[c]).alias(c)
+            for c in cols
+        ]
+    )
+    b2 = b.select(
+        *[
+            F.col(c) if c in types_b
+            else F.lit(None).cast(types_a[c]).alias(c)
+            for c in cols
+        ]
+    )
+    return a2, b2
+
+
+def read_changelog(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Iceberg-style CHANGELOG scan: the logical row-level changes
+    between ``from_version`` (EXCLUSIVE — Iceberg's from-snapshot
+    convention) and ``to_version`` (inclusive, default current), as the
+    table columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version``. Per commit, classified by the manifest chain:
+
+    - **append** commits emit their added files' rows as inserts — no
+      diff job, the added files are read directly;
+    - **copy-on-write** delete/merge/overwrite/rollback commits diff
+      removed-file rows against added-file rows with ``exceptAll``, so
+      an updated row surfaces as delete(old)+insert(new), rewrite
+      passthrough rows are never emitted, and a rewrite that re-wrote a
+      row unchanged nets out (Iceberg's net-changes semantics);
+    - **merge-on-read** ``delete_keys`` commits emit the deleted ROWS —
+      batch keys semi-joined against the parent snapshot (the batch
+      scope is the parent's file set by construction), so the consumer
+      sees full rows, not bare keys;
+    - **data-preserving maintenance** (``compact``, ``apply_deletes``)
+      emits nothing, exactly like Iceberg changelog scans skip REPLACE
+      snapshots.
+
+    Each side of a diff is read under ITS version's manifest schema, so
+    a changelog crossing a schema-evolution boundary surfaces appended
+    columns as NULL in pre-evolution rows. Cost scales with the files
+    TOUCHED per commit — an append's changelog never reads the rest of
+    the table. Requires every version in the range to still be within
+    the ``expire_snapshots`` retention horizon."""
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot table at {table_dir}")
+    if to_version is None:
+        to_version = cur
+    if not 0 <= from_version <= to_version <= cur:
+        raise ValueError(
+            f"changelog range ({from_version}, {to_version}] outside "
+            f"committed history 1..{cur}"
+        )
+
+    def _read_files(rels: list[str], manifest: dict) -> DataFrame | None:
+        if not rels:
+            return None
+        return _table_reader(spark, manifest).parquet(
+            *[os.path.join(table_dir, f) for f in rels]
+        )
+
+    pieces: list[DataFrame] = []
+    prev = (
+        read_manifest(table_dir, from_version) if from_version >= 1 else None
+    )
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(table_dir, v)
+        op = m.get("operation", "")
+        if op.startswith("compact(") or op.startswith("apply_deletes("):
+            prev = m
+            continue  # data-preserving maintenance: no logical change
+        prev_files = prev["files"] if prev is not None else []
+        prev_deletes = prev.get("deletes", []) if prev is not None else []
+        added = [f for f in m["files"] if f not in set(prev_files)]
+        removed = [f for f in prev_files if f not in set(m["files"])]
+        new_batches = m.get("deletes", [])[len(prev_deletes):]
+        ver_pieces: list[DataFrame] = []
+        if new_batches and not added and not removed:
+            # merge-on-read delete commit: emit the deleted rows
+            parent_state = read_snapshot(spark, table_dir, version=v - 1)
+            for d in new_batches:
+                keys = spark.read.parquet(
+                    os.path.join(table_dir, d["file"])
+                )
+                ver_pieces.append(
+                    parent_state.join(
+                        F.broadcast(keys), on=d["key"], how="semi"
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+        else:
+            add_df = _read_files(added, m)
+            rem_df = _read_files(removed, prev if prev is not None else m)
+            if add_df is not None and rem_df is not None:
+                a2, r2 = _align_for_diff(add_df, rem_df)
+                ver_pieces.append(
+                    a2.exceptAll(r2).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+                ver_pieces.append(
+                    r2.exceptAll(a2).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            elif add_df is not None:
+                ver_pieces.append(
+                    add_df.withColumn("_change_type", F.lit("insert"))
+                )
+            elif rem_df is not None:
+                ver_pieces.append(
+                    rem_df.withColumn("_change_type", F.lit("delete"))
+                )
+        for p in ver_pieces:
+            pieces.append(p.withColumn("_commit_version", F.lit(v)))
+        prev = m
+
+    if not pieces:
+        # empty range or only maintenance commits: zero rows under the
+        # to_version schema (plus the two meta columns)
+        empty = read_snapshot(spark, table_dir, version=to_version).limit(0)
+        return empty.withColumn(
+            "_change_type", F.lit("")
+        ).withColumn("_commit_version", F.lit(0))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
