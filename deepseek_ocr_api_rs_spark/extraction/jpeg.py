@@ -452,6 +452,9 @@ def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
+_SUBSAMP = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+
+
 def encode_jpeg_rgb(
     img: np.ndarray,
     quality: int = 85,
@@ -460,38 +463,44 @@ def encode_jpeg_rgb(
     color: str = "ycbcr",
 ) -> bytes:
     """(h, w, 3) uint8 → baseline JFIF JPEG, Annex K tables.
-    ``subsampling``: '444' (no chroma decimation) or '420' (2×2 chroma —
-    the layout virtually every camera/web writer emits). Optional DRI/RSTn
-    restart markers every ``restart_interval`` MCUs. ``color="rgb"``
-    stores the planes UNtransformed with an Adobe APP14 transform-0
-    marker (the Photoshop no-color-transform family) — 444 only."""
-    if subsampling not in ("444", "420"):
+    ``subsampling``: '444' (no chroma decimation), '420' (2×2 chroma —
+    the layout virtually every camera/web writer emits), '422' (2×1,
+    the scanner/video-frame family) or '440' (1×2, its transpose).
+    Optional DRI/RSTn restart markers every ``restart_interval`` MCUs.
+    ``color="rgb"`` stores the planes UNtransformed with an Adobe APP14
+    transform-0 marker (the Photoshop no-color-transform family) — 444
+    only."""
+    if subsampling not in _SUBSAMP:
         raise ValueError(subsampling)
     if color not in ("ycbcr", "rgb"):
         raise ValueError(color)
     if color == "rgb" and subsampling != "444":
         raise ValueError("rgb storage cannot chroma-subsample")
     h, w, _ = img.shape
-    sub = 2 if subsampling == "420" else 1
+    sub_h, sub_v = _SUBSAMP[subsampling]
     qy = _quality_scale(STD_LUMA_Q, quality)
     qc = _quality_scale(STD_CHROMA_Q, quality)
     ycc = _rgb_to_ycbcr(img) if color == "ycbcr" else img.astype(np.float64)
-    mcu = 8 * sub
-    ph = (h + mcu - 1) // mcu * mcu
-    pw = (w + mcu - 1) // mcu * mcu
+    mcu_w, mcu_h = 8 * sub_h, 8 * sub_v
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
     yp = _pad_edge(ycc[..., 0], ph, pw)
     cbp = _pad_edge(ycc[..., 1], ph, pw)
     crp = _pad_edge(ycc[..., 2], ph, pw)
-    if sub == 2:  # 2×2 mean chroma decimation
-        cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if sub_h > 1 or sub_v > 1:  # mean chroma decimation per factor
+        cbp = cbp.reshape(
+            ph // sub_v, sub_v, pw // sub_h, sub_h
+        ).mean(axis=(1, 3))
+        crp = crp.reshape(
+            ph // sub_v, sub_v, pw // sub_h, sub_h
+        ).mean(axis=(1, 3))
 
     enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
     enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
     qyt, qct = qy.reshape(8, 8), qc.reshape(8, 8)
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
-    mcus_y, mcus_x = ph // mcu, pw // mcu
+    mcus_y, mcus_x = ph // mcu_h, pw // mcu_w
     entropy = bytearray()
     mcu_count = 0
     rst = 0
@@ -503,9 +512,9 @@ def encode_jpeg_rgb(
                 rst = (rst + 1) % 8
                 writer = _BitWriter()
                 prev_dc = [0, 0, 0]
-            for by in range(sub):
-                for bx in range(sub):
-                    y0, x0 = my * mcu + by * 8, mx * mcu + bx * 8
+            for by in range(sub_v):
+                for bx in range(sub_h):
+                    y0, x0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
                     prev_dc[0] = _encode_block(
                         writer, yp[y0 : y0 + 8, x0 : x0 + 8],
                         qyt, enc_dc[0], enc_ac[0], prev_dc[0],
@@ -536,7 +545,7 @@ def encode_jpeg_rgb(
         out += bytes(int(qtab[z]) for z in ZIGZAG)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    samp = [(sub << 4) | sub, 0x11, 0x11]
+    samp = [(sub_h << 4) | sub_v, 0x11, 0x11]
     tsel = [0, 1, 1] if color == "ycbcr" else [0, 0, 0]
     comp_spec = b"".join(
         struct.pack("BBB", cid + 1, samp[cid], tsel[cid]) for cid in range(3)
@@ -1278,22 +1287,26 @@ def _quantized_comp_blocks(
     """RGB image → per-component quantized coefficient blocks in ZIGZAG
     order, (bh, bw, 64) int32 — identical math to the baseline encoder
     (same color transform, padding, decimation, DCT, quant tables)."""
-    if subsampling not in ("444", "420"):
+    if subsampling not in _SUBSAMP:
         raise ValueError(subsampling)
     h, w, _ = img.shape
-    sub = 2 if subsampling == "420" else 1
+    sub_h, sub_v = _SUBSAMP[subsampling]
     qy = _quality_scale(STD_LUMA_Q, quality)
     qc = _quality_scale(STD_CHROMA_Q, quality)
     ycc = _rgb_to_ycbcr(img)
-    mcu = 8 * sub
-    ph = (h + mcu - 1) // mcu * mcu
-    pw = (w + mcu - 1) // mcu * mcu
+    mcu_w, mcu_h = 8 * sub_h, 8 * sub_v
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
     yp = _pad_edge(ycc[..., 0], ph, pw)
     cbp = _pad_edge(ycc[..., 1], ph, pw)
     crp = _pad_edge(ycc[..., 2], ph, pw)
-    if sub == 2:
-        cbp = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        crp = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if sub_h > 1 or sub_v > 1:
+        cbp = cbp.reshape(
+            ph // sub_v, sub_v, pw // sub_h, sub_h
+        ).mean(axis=(1, 3))
+        crp = crp.reshape(
+            ph // sub_v, sub_v, pw // sub_h, sub_h
+        ).mean(axis=(1, 3))
     planes = [(yp, qy), (cbp, qc), (crp, qc)]
     out: list[np.ndarray] = []
     for plane, q in planes:
@@ -1315,7 +1328,7 @@ def _quantized_comp_blocks(
                 for bx in range(bw):
                     qz[by, bx] = np.rint(_dct2(blocks[by, bx]) / qt)
         out.append(qz.reshape(bh, bw, 64)[:, :, ZIGZAG])
-    comps = [(1, sub, sub, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    comps = [(1, sub_h, sub_v, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     return comps, out, [qy, qc]
 
 

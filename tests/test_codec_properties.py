@@ -72,7 +72,7 @@ _img = st.builds(
 )
 
 
-@given(_img, st.integers(12, 96), st.sampled_from(["444", "420"]))
+@given(_img, st.integers(12, 96), st.sampled_from(["444", "420", "422", "440"]))
 @settings(max_examples=80, deadline=None)
 def test_progressive_equals_baseline_on_random_images(img, quality, subsampling):
     base = decode_jpeg_pixels(encode_jpeg_rgb(img, quality, subsampling))

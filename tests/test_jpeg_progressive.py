@@ -44,7 +44,7 @@ def _flat(h: int, w: int) -> np.ndarray:
     return img
 
 
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "420", "422", "440"])
 @pytest.mark.parametrize("quality", [30, 85, 95])
 def test_progressive_decode_equals_baseline_exactly(subsampling, quality):
     img = _textured(49, 66)
@@ -79,7 +79,7 @@ def test_progressive_long_eob_runs():
     assert len(scan) <= 6, len(scan)
 
 
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "420", "422", "440"])
 def test_progressive_restart_markers(subsampling):
     img = _textured(40, 56, seed=3)
     prog_bytes = encode_jpeg_progressive(
@@ -239,3 +239,44 @@ def test_default_script_is_libjpeg_shape():
             assert len(members) == 1
         if ah:
             assert ah == al + 1
+
+
+@pytest.mark.parametrize("dims", [(32, 48), (29, 37)])
+def test_asymmetric_subsampling_roundtrip_and_sof_bytes(dims):
+    """4:2:2 / 4:4:0 (r7): the SOF sampling byte carries the rectangular
+    factor, the decoder's per-axis nearest upsample restores full-frame
+    chroma, and partial-MCU edges crop exactly."""
+    h, w = dims
+    img = _textured(h, w, seed=9)
+    for ss, byte in (("422", 0x21), ("440", 0x12)):
+        payload = encode_jpeg_rgb(img, quality=88, subsampling=ss)
+        sof = payload.index(b"\xff\xc0")
+        assert payload[sof + 11] == byte  # component 1 sampling (Hi<<4|Vi)
+        px = decode_jpeg_pixels(payload)
+        assert px is not None and px.shape == (h, w, 3)
+        err = float(np.abs(px.astype(int) - img.astype(int)).mean())
+        assert err < 12.0, (ss, err)
+
+
+def test_constant_chroma_makes_subsampling_lossless():
+    """With spatially constant Cb/Cr, chroma decimation is exact — all
+    four layouts must decode IDENTICAL pixels (the luma path is shared
+    and a constant chroma plane survives decimate+quantize+upsample
+    bit-for-bit)."""
+    h, w = 32, 48  # MCU-aligned for every layout
+    y = ((np.add.outer(np.arange(h), np.arange(w)) * 5) % 200 + 20).astype(
+        np.float64
+    )
+    # build an RGB image whose YCbCr transform has constant chroma:
+    # grayscale pixels (R=G=B) give Cb=Cr=128 exactly
+    img = np.repeat(
+        np.clip(y, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+    )
+    decoded = {
+        ss: decode_jpeg_pixels(encode_jpeg_rgb(img, quality=85, subsampling=ss))
+        for ss in ("444", "420", "422", "440")
+    }
+    base = decoded["444"]
+    assert base is not None
+    for ss, px in decoded.items():
+        assert px is not None and np.array_equal(px, base), ss
