@@ -20,6 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
+from deepseek_ocr_api_rs_spark.extraction import charset as CS
 from deepseek_ocr_api_rs_spark.extraction import features as FT
 from deepseek_ocr_api_rs_spark.extraction import markdown as MD
 from deepseek_ocr_api_rs_spark.extraction.html_blocks import RawBlock, segment_html
@@ -161,10 +162,12 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
     Routing (MoE-dispatch pattern D8: group rows by branch, process each
     branch, scatter results back by original index —
     crates/infer-deepseek/src/transformer/block.rs:682-727):
-    PDF magic → pdf; strict-UTF-8 with markup → html; strict-UTF-8
-    without markup → text (plain-text/Markdown passthrough, the
-    crates/infer-dots backend analogue — every paragraph block accepted,
-    no scorer); else → error.
+    PDF magic → pdf; decodable text (strict UTF-8, or a DECLARED legacy
+    charset via the shared WHATWG BOM/meta-prescan sniff —
+    extraction/charset.py, r7) with markup → html; without markup →
+    text (plain-text/Markdown passthrough, the crates/infer-dots
+    backend analogue — every paragraph block accepted, no scorer);
+    else → error.
     """
     n = len(payloads)
     texts = [""] * n
@@ -194,11 +197,10 @@ def extract_batch(payloads: Sequence[bytes | None]) -> pd.DataFrame:
             # undecodable_font metric
             n_acc[i] = sum(1 for s in spans if not s.get("undecodable"))
         else:
-            data, trunc = FT.truncate_payload(data)
-            try:
-                decoded = data.decode("utf-8", errors="strict")
-            except UnicodeDecodeError:
+            routed = CS.route_decode(data, FT.truncate_payload)
+            if routed is None:
                 continue
+            decoded, trunc = routed
             truncated[i] = trunc
             if MD.looks_like_markup(decoded):
                 html_docs.append((i, decoded))

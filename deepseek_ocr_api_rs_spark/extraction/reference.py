@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from deepseek_ocr_api_rs_spark.extraction import charset as CS
 from deepseek_ocr_api_rs_spark.extraction import features as FT
 from deepseek_ocr_api_rs_spark.extraction import markdown as MD
 from deepseek_ocr_api_rs_spark.extraction.html_blocks import RawBlock, segment_html
@@ -233,20 +234,21 @@ def extract_text_passthrough(decoded: str) -> ExtractionResult:
 
 
 def extract_document(payload: bytes) -> ExtractionResult:
-    """Route one document: PDF magic → pdf branch; strict-UTF-8 with
-    markup → html branch; strict-UTF-8 without markup → text branch
-    (plain-text/Markdown passthrough, the crates/infer-dots backend
-    analogue); anything else → error branch (MoE-dispatch analogue D8,
+    """Route one document: PDF magic → pdf branch; decodable text
+    (strict UTF-8, or a DECLARED legacy charset via the WHATWG
+    BOM/meta-prescan sniff — extraction/charset.py, r7) with markup →
+    html branch; without markup → text branch (plain-text/Markdown
+    passthrough, the crates/infer-dots backend analogue); anything
+    else → error branch (MoE-dispatch analogue D8,
     crates/infer-deepseek/src/transformer/block.rs:610-740)."""
     if payload is None:
         return ExtractionResult("", "error", 0, 0, 0)
     if payload.startswith(PDF_MAGIC):
         return extract_pdf(payload)
-    payload, truncated = FT.truncate_payload(bytes(payload))
-    try:
-        decoded = payload.decode("utf-8", errors="strict")
-    except (UnicodeDecodeError, AttributeError):
+    routed = CS.route_decode(bytes(payload), FT.truncate_payload)
+    if routed is None:
         return ExtractionResult("", "error", 0, 0, 0)
+    decoded, truncated = routed
     if MD.looks_like_markup(decoded):
         res = extract_html(decoded)
     else:

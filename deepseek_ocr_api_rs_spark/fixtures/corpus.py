@@ -36,8 +36,11 @@ SEED = 42
 # v10: +1% slice of classic PDFs with a Form-XObject span (Do) and a
 # BI/ID/EI inline-image decoy (the stamped/scanned family, r6);
 # v11: +3% Markdown/plain-text slice — routes to the third (text)
-# passthrough branch (the crates/infer-dots backend analogue, r7)
-CORPUS_VERSION = 11
+# passthrough branch (the crates/infer-dots backend analogue, r7);
+# v12: +2.5% DECLARED-legacy-charset slice (windows-1252 meta http-equiv,
+# Shift_JIS / EUC-KR meta charset, BOM'd UTF-16LE) — routes through the
+# WHATWG sniff (extraction/charset.py, r7) to the html branch
+CORPUS_VERSION = 12
 
 
 def _compat_version() -> int:
@@ -310,6 +313,52 @@ def _pdf_doc(rng: random.Random) -> bytes:
     return b"%PDF-1.7\n" + json.dumps(payload, sort_keys=True).encode("utf-8")
 
 
+# v12 declared-charset variants: (codec, declaration form, label,
+# non-ASCII marker phrase the codec can encode, doc lang)
+_CHARSET_VARIANTS = [
+    ("cp1252", "http", "windows-1252",
+     "Caf\u00e9 d\u00e9j\u00e0 vu \u2014 na\u00efve r\u00e9sum\u00e9 \u00e0 l\u2019\u0153uvre.", "fr"),
+    ("shift_jis", "meta", "Shift_JIS",
+     "\u3053\u308c\u306f\u65e5\u672c\u8a9e\u306e\u6587\u7ae0\u3067\u3059\u3002", "ja"),
+    ("euc_kr", "meta", "EUC-KR",
+     "\uc774\uac83\uc740 \ud55c\uad6d\uc5b4 \ubb38\uc7a5\uc785\ub2c8\ub2e4.", "ko"),
+    ("utf-16-le", "bom", None, None, "en"),
+]
+
+
+def _charset_doc(rng: random.Random, title: str) -> tuple[bytes, str, str]:
+    """v12: a real page in a DECLARED legacy charset (or BOM'd UTF-16) —
+    ASCII filler sentences plus a codec-specific non-ASCII phrase, so a
+    wrong decode is visible in the golden bytes. Returns
+    (encoded payload, decoded source string, lang)."""
+    codec, form, label, phrase, lang = _CHARSET_VARIANTS[rng.randrange(4)]
+    paras = []
+    for _ in range(rng.randint(2, 5)):
+        sent = _sentence(rng, "en", rng.randint(8, 16))
+        if phrase:
+            sent = sent + " " + phrase
+        paras.append(f"<p>{sent}</p>")
+    if form == "http":
+        head = (
+            '<meta http-equiv="Content-Type" '
+            f'content="text/html; charset={label}">'
+        )
+    elif form == "meta":
+        head = f'<meta charset="{label}">'
+    else:
+        head = ""
+    doc = (
+        "<!DOCTYPE html><html><head>" + head
+        + f"<title>{title}</title></head><body>"
+        + _nav_block(rng, "nav")
+        + "<main><article>" + "".join(paras)
+        + "</article></main></body></html>"
+    )
+    if codec == "utf-16-le":
+        return ("\ufeff" + doc).encode("utf-16-le"), doc, lang
+    return doc.encode(codec), doc, lang
+
+
 def make_documents(n_rows: int, start_id: int = 0) -> pd.DataFrame:
     rows = []
     epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -335,6 +384,11 @@ def make_documents(n_rows: int, start_id: int = 0) -> pd.DataFrame:
             title = _sentence(rng, lang, rng.randint(2, 6)).rstrip(".!?")
             doc = _markdown_doc(rng, lang, title)
             html_bytes = doc.encode("utf-8")
+            text = " ".join(doc.split())
+        elif kind < 0.125 and _compat_version() >= 12:
+            # v12: declared-legacy-charset slice — WHATWG sniff path
+            title = _sentence(rng, "en", rng.randint(2, 6)).rstrip(".!?")
+            html_bytes, doc, lang = _charset_doc(rng, title)
             text = " ".join(doc.split())
         else:
             title = _sentence(rng, lang, rng.randint(2, 6)).rstrip(".!?")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from deepseek_ocr_api_rs_spark.extraction import charset as CS
 from deepseek_ocr_api_rs_spark.extraction.batch import extract_batch, pool_html_blocks
 from deepseek_ocr_api_rs_spark.extraction.reference import extract_document
 
@@ -37,7 +38,10 @@ def test_block_level_exact_float_parity(corpus_pdf):
     for i, payload in enumerate(corpus_pdf.html[:120]):
         ref = extract_document(payload)
         if ref.branch == "html":
-            html_docs.append((i, bytes(payload).decode("utf-8")))
+            # v12: html-branch payloads may be in a declared legacy
+            # charset — decode through the same sniff the router uses
+            decoded, _codec = CS.sniff_decode(bytes(payload))
+            html_docs.append((i, decoded))
             refs[i] = ref
     pool = pool_html_blocks(html_docs)
     for doc_i, ref in refs.items():
