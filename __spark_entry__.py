@@ -2746,6 +2746,162 @@ order by doc_id, href
 """
 
 
+def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data mining (r7, the Web-Data-Commons side of
+    crawl analytics): <script type="application/ld+json"> islands out of
+    one codegen DOTALL regexp_extract_all, fields via JVM-side
+    get_json_object — NULL on malformed islands (every third doc plants
+    one), never a crash, raw text preserved as evidence. No JSON library
+    UDF, no Python operator. The DuckDB oracle mirrors with
+    json_valid-guarded json_extract_string."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_jsonld
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    typ = F.when(d % 3 == 0, "Article").when(d % 3 == 1, "Product").otherwise(
+        "Event"
+    )
+    q = chr(34)
+    island = F.concat(
+        F.lit('<script type="application/ld+json">{' + q + "@type" + q + ":" + q),
+        typ,
+        F.lit(q + "," + q + "name" + q + ":" + q + "Doc "),
+        ds,
+        F.lit(q + "," + q + "position" + q + ":"),
+        (d % 500).cast("string"),
+        F.lit("}</script>"),
+    )
+    broken = F.when(
+        d % 3 == 0,
+        F.lit(
+            "<script type='application/ld+json'>{" + q + "@type" + q
+            + ": broken</script>"
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), island, broken,
+        F.lit("<script>var x = 1;</script></head><body><p>body "),
+        ds, F.lit("</p></body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id").withColumn("html", html)
+    )
+    return (
+        extract_jsonld(docs)
+        .select("doc_id", "ld_type", "ld_name", "ld_raw")
+        .orderBy("doc_id", "ld_raw")
+    )
+
+
+_Q_JSONLD_SQL = r"""
+with pages as (
+  select doc_id,
+    '<html><head><script type="application/ld+json">{"@type":"' ||
+    case when doc_id % 3 = 0 then 'Article'
+         when doc_id % 3 = 1 then 'Product' else 'Event' end ||
+    '","name":"Doc ' || doc_id || '","position":' || (doc_id % 500) ||
+    '}</script>' ||
+    case when doc_id % 3 = 0
+         then '<script type=''application/ld+json''>{"@type": broken</script>'
+         else '' end ||
+    '<script>var x = 1;</script></head><body><p>body ' || doc_id ||
+    '</p></body></html>' as html
+  from documents
+), exploded as (
+  select doc_id, unnest(list_transform(
+    regexp_extract_all(html,
+      '(?i)<script[^>]*type[\s]*=[\s]*["'']application/ld\+json["''][^>]*>(.*?)</script>',
+      1, 's'),
+    b -> {'ld_raw': trim(b),
+          'ld_type': case when json_valid(trim(b))
+            then json_extract_string(trim(b), '$."@type"') end,
+          'ld_name': case when json_valid(trim(b))
+            then json_extract_string(trim(b), '$.name') end})) as e
+  from pages
+)
+select doc_id, e.ld_type as ld_type, e.ld_name as ld_name, e.ld_raw as ld_raw
+from exploded
+where e.ld_raw != ''
+order by doc_id, ld_raw
+"""
+
+
+def q_og_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph tag mining (r7): <meta property="og:*"> pairs via the
+    block-then-fields codegen chain — attribute ORDER inside the tag is
+    free (half the docs put content before property), non-og metas and
+    og tags without content are dropped. No Python in the plan."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_og_meta
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    dq = chr(34)
+    t_title = F.concat(
+        F.lit('<meta property=' + dq + 'og:title' + dq + ' content=' + dq
+              + "Doc "),
+        ds, F.lit(dq + ">"),
+    )
+    # content FIRST on odd docs — order-free extraction
+    t_image = F.when(
+        d % 2 == 1,
+        F.concat(
+            F.lit("<meta content=" + dq + "https://img"),
+            (d % 9).cast("string"),
+            F.lit(".example.org/i/"), ds,
+            F.lit(".jpg" + dq + " property=" + dq + "og:image" + dq + ">"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<meta property=" + dq + "og:image" + dq + " content="
+                  + dq + "https://img"),
+            (d % 9).cast("string"),
+            F.lit(".example.org/i/"), ds, F.lit(".jpg" + dq + ">"),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        t_title,
+        t_image,
+        F.lit('<meta property=' + dq + 'og:locale' + dq + ">"  # no content
+              + '<meta name=' + dq + 'description' + dq + ' content='
+              + dq + 'not og' + dq + '></head><body></body></html>'),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id").withColumn("html", html)
+    )
+    return (
+        extract_og_meta(docs)
+        .select("doc_id", "og_prop", "og_content")
+        .orderBy("doc_id", "og_prop")
+    )
+
+
+_Q_OG_META_SQL = r"""
+with pages as (
+  select doc_id,
+    '<html><head><meta property="og:title" content="Doc ' || doc_id || '">' ||
+    case when doc_id % 2 = 1
+      then '<meta content="https://img' || (doc_id % 9) ||
+           '.example.org/i/' || doc_id || '.jpg" property="og:image">'
+      else '<meta property="og:image" content="https://img' || (doc_id % 9) ||
+           '.example.org/i/' || doc_id || '.jpg">' end ||
+    '<meta property="og:locale"><meta name="description" content="not og">' ||
+    '</head><body></body></html>' as html
+  from documents
+), exploded as (
+  select doc_id, unnest(list_transform(
+    regexp_extract_all(html, '(?is)(<meta[^>]*property[\s]*=[\s]*["'']og:[^>]*>)', 1),
+    t -> {'og_prop': regexp_extract(t, '(?i)property[\s]*=[\s]*["'']og:([A-Za-z0-9:_]+)["'']', 1),
+          'og_content': regexp_extract(t, '(?i)content[\s]*=[\s]*["'']([^"'']*)["'']', 1)})) as e
+  from pages
+)
+select doc_id, e.og_prop as og_prop, e.og_content as og_content
+from exploded
+where e.og_prop != '' and e.og_content != ''
+order by doc_id, og_prop
+"""
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video as a first-class multimodal column, REAL end to end: doc-dim-
     seeded MJPEG-in-AVI clips (RIFF container + our baseline-JPEG frames)
@@ -3445,6 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mp4_meta": q_mp4_meta,
         "q_pdf_links": q_pdf_links,
         "q_html_links": q_html_links,
+        "q_jsonld": q_jsonld,
+        "q_og_meta": q_og_meta,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -3599,6 +3757,8 @@ def oracle_sql() -> dict[str, str]:
         "q_webp_meta": _Q_WEBP_META_SQL,
         "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_html_links": _Q_HTML_LINKS_SQL,
+        "q_jsonld": _Q_JSONLD_SQL,
+        "q_og_meta": _Q_OG_META_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,

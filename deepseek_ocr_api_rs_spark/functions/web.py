@@ -270,3 +270,93 @@ def parse_feed_duckdb(xml_expr: str) -> str:
         f"nullif(regexp_extract(b, '{al}', 1), '')), "
         f"'published': nullif(regexp_extract(b, '{pd_}', 1, 's'), '')}})"
     )
+
+
+# ---------------------------------------------------------------------------
+# structured page metadata (r7) — the Web-Data-Commons side of crawl
+# mining: JSON-LD islands (<script type="application/ld+json">) and
+# OpenGraph <meta property="og:*"> tags. Same codegen-only contract as
+# links/sitemap/feed: one DOTALL regexp_extract_all for the blocks, then
+# per-block field extraction — no JSON library UDF, no Python operator
+# (get_json_object is JVM-side and NULL-safe on malformed payloads).
+
+_JSONLD_BLOCK_RE = (
+    r"<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
+    r"(.*?)</script>"
+)
+_OG_TAG_RE = r"(<meta[^>]*property\s*=\s*[\"']og:[^>]*>)"
+_OG_PROP_RE = r"property\s*=\s*[\"']og:([A-Za-z0-9:_]+)[\"']"
+_OG_CONTENT_RE = r"content\s*=\s*[\"']([^\"']*)[\"']"
+
+
+def extract_jsonld(df, html_col: str = "html") -> "DataFrame":  # noqa: F821
+    """(…, html) rows → one row per JSON-LD island with (ld_type,
+    ld_name, ld_raw). Malformed JSON islands keep their raw text with
+    NULL fields (get_json_object's NULL-on-malformed), so mining never
+    drops evidence silently."""
+    c = F.col(html_col)
+    blocks = F.regexp_extract_all(
+        c, F.lit("(?is)" + _JSONLD_BLOCK_RE), F.lit(1)
+    )
+    out = df.withColumn("_b", F.explode(blocks)).withColumn(
+        "ld_raw", F.trim(F.col("_b"))
+    )
+    return (
+        out.withColumn(
+            "ld_type", F.get_json_object("ld_raw", "$['@type']")
+        )
+        .withColumn("ld_name", F.get_json_object("ld_raw", "$['name']"))
+        .drop("_b")
+        .filter(F.col("ld_raw") != "")
+    )
+
+
+def extract_jsonld_duckdb(html_expr: str) -> str:
+    """DuckDB mirror: list of {ld_raw, ld_type, ld_name} structs (RE2
+    's' flag; json_valid guards the malformed-island NULL contract)."""
+    blk = _JSONLD_BLOCK_RE.replace("'", "''")
+    return (
+        f"list_transform(regexp_extract_all({html_expr}, '(?i){blk}', 1, 's'), "
+        "b -> {'ld_raw': trim(b), "
+        "'ld_type': case when json_valid(trim(b)) then "
+        "json_extract_string(trim(b), '$.\"@type\"') end, "
+        "'ld_name': case when json_valid(trim(b)) then "
+        "json_extract_string(trim(b), '$.name') end})"
+    )
+
+
+def extract_og_meta(df, html_col: str = "html") -> "DataFrame":  # noqa: F821
+    """(…, html) rows → one row per OpenGraph tag with (og_prop,
+    og_content) — attribute order inside the tag does not matter (prop
+    and content are extracted independently from the tag text). Tags
+    with an empty/missing content attribute are dropped."""
+    c = F.col(html_col)
+    tags = F.regexp_extract_all(c, F.lit("(?is)" + _OG_TAG_RE), F.lit(1))
+    entries = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, "(?i)" + _OG_PROP_RE, 1).alias("og_prop"),
+            F.regexp_extract(t, "(?i)" + _OG_CONTENT_RE, 1).alias(
+                "og_content"
+            ),
+        ),
+    )
+    return (
+        df.withColumn("_e", F.explode(entries))
+        .withColumn("og_prop", F.col("_e.og_prop"))
+        .withColumn("og_content", F.col("_e.og_content"))
+        .drop("_e")
+        .filter((F.col("og_prop") != "") & (F.col("og_content") != ""))
+    )
+
+
+def extract_og_meta_duckdb(html_expr: str) -> str:
+    """DuckDB mirror: list of {og_prop, og_content} structs."""
+    tag = _OG_TAG_RE.replace("'", "''")
+    prop = _OG_PROP_RE.replace("'", "''")
+    cont = _OG_CONTENT_RE.replace("'", "''")
+    return (
+        f"list_transform(regexp_extract_all({html_expr}, '(?is){tag}', 1), "
+        f"t -> {{'og_prop': regexp_extract(t, '(?i){prop}', 1), "
+        f"'og_content': regexp_extract(t, '(?i){cont}', 1)}})"
+    )

@@ -307,3 +307,19 @@ def test_html_links_plan_is_pure_jvm(spark):
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, plan[:2000]
     assert "Generate explode" in plan or "Generate" in plan  # the explode
+
+
+def test_jsonld_and_og_meta_plans_are_pure_jvm(spark):
+    """q_jsonld / q_og_meta (r7): the JSON-LD island extraction
+    (get_json_object included) and the OpenGraph block-then-fields chain
+    run entirely in the JVM — no Python evaluation operator of any
+    kind."""
+    import __spark_entry__ as entrymod
+
+    for name in ("q_jsonld", "q_og_meta"):
+        df = entrymod.queries()[name](spark, SF)
+        plan = physical_plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan, (name, plan[:2000])
+        assert "Generate" in plan, name  # the explode
