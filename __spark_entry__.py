@@ -1679,6 +1679,45 @@ order by user_id, click_id, purchase_id
 """
 
 
+def q_stream_click_purchase_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (r7): every purchase
+    emits exactly once — matched, or NULL-click once the watermark
+    passes its join bound (a sentinel pair advances both sides'
+    watermarks over the finite input, so pending nulls flush like a
+    live stream's steady state — streaming/jobs.py). The oracle is the
+    batch LEFT JOIN, so the hash proves both the matches and the
+    exactly-once null emission."""
+    from deepseek_ocr_api_rs_spark.streaming.jobs import (
+        click_purchase_stream_left_join,
+    )
+
+    work = _staging_dir("stream_ljoin_")
+    return click_purchase_stream_left_join(
+        spark, f"{sf_dir}/events.parquet", work
+    ).orderBy("user_id", "purchase_id", "click_id")
+
+
+_Q_STREAM_LEFT_JOIN_SQL = """
+with p as (
+  select user_id, event_id, ts from events where event_type = 'purchase'
+), c as (
+  select user_id, event_id, ts from events where event_type = 'click'
+)
+select p.user_id as user_id,
+  c.event_id as click_id,
+  p.event_id as purchase_id,
+  cast(floor(epoch(p.ts)) as bigint) - cast(floor(epoch(c.ts)) as bigint) as gap_seconds
+from p
+left join c
+  on c.user_id = p.user_id
+ and c.ts <= p.ts
+ and c.ts >= p.ts - interval 1 hour
+order by user_id, purchase_id, click_id
+"""
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal roundtrip: synthesize REAL image payloads
     (PNG/JPEG/GIF/BMP/TIFF, format by doc_id % 5, dims by doc_id
@@ -3658,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly_counts": q_stream_hourly_counts,
         "q_stream_hourly_counts_append": q_stream_hourly_counts_append,
         "q_stream_click_purchase_join": q_stream_click_purchase_join,
+        "q_stream_click_purchase_left_join": q_stream_click_purchase_left_join,
         "q_sessionize_stream": q_sessionize_stream,
         "q_asof_click_before_purchase": q_asof_click_before_purchase,
         "q_range_join_clicks_after_purchase": q_range_join_clicks_after_purchase,
@@ -3737,6 +3777,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_hourly_counts": _Q_STREAM_SQL,
         "q_stream_hourly_counts_append": _Q_STREAM_SQL,
         "q_stream_click_purchase_join": _Q_STREAM_JOIN_SQL,
+        "q_stream_click_purchase_left_join": _Q_STREAM_LEFT_JOIN_SQL,
         "q_sessionize_stream": _Q_SESSION_SQL,
         "q_asof_click_before_purchase": _Q_ASOF_SQL,
         "q_range_join_clicks_after_purchase": _Q_RANGE_JOIN_SQL,

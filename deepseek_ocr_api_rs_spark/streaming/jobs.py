@@ -768,3 +768,113 @@ def cdc_stream_to_snapshots(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_stream_left_join(
+    spark: SparkSession,
+    events_path: str,
+    work_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (r7): every purchase
+    emits exactly once — matched to the same user's clicks in the
+    preceding ``window``, or with a NULL click once the watermark passes
+    ``p_ts + window`` and no click can still arrive. The outer side is
+    the production shape conversion analytics needs (an inner join
+    silently drops click-less purchases).
+
+    Null emission requires the watermark to ADVANCE past each
+    purchase's join bound, and each side's event_type filter sits
+    before its watermark operator — so the finite-input staging plants
+    a SENTINEL PAIR (one click + one purchase, user_id −1, timestamped
+    past ``max(ts) + watermark + window``) that advances BOTH sides'
+    watermarks in the final micro-batch, flushing every pending null
+    exactly like a live stream's steady state. Sentinel rows are
+    dropped from the result by their negative user id."""
+    import glob
+    import shutil
+    import time
+
+    landing = os.path.join(work_dir, "landing")
+    ckpt = os.path.join(work_dir, "ckpt")
+    out_dir = os.path.join(work_dir, "out")
+    os.makedirs(landing, exist_ok=True)
+
+    events = spark.read.parquet(events_path)
+    schema = events.schema
+    if not glob.glob(os.path.join(landing, "*.parquet")):
+        src_files = sorted(
+            glob.glob(os.path.join(events_path, "*.parquet"))
+            if os.path.isdir(events_path)
+            else [events_path]
+        )
+        now = time.time()
+        for i, f in enumerate(src_files):
+            dst = os.path.join(landing, f"d{i}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (now - 100 + i, now - 100 + i))
+        max_ts = events.agg(F.max("ts").alias("m")).first().m
+        sentinels = spark.createDataFrame(
+            [
+                (int(-1), max_ts, int(-1), "click", 0.0, ""),
+                (int(-2), max_ts, int(-1), "purchase", 0.0, ""),
+            ],
+            schema,
+        ).withColumn(
+            "ts",
+            F.col("ts")
+            + F.expr(f"INTERVAL {watermark}")
+            + F.expr(f"INTERVAL {window}")
+            + F.expr("INTERVAL 3 HOURS"),
+        )
+        spath = os.path.join(work_dir, "_sentinel")
+        sentinels.coalesce(1).write.mode("overwrite").parquet(spath)
+        for f in glob.glob(os.path.join(spath, "*.parquet")):
+            dst = os.path.join(landing, "z_sentinel.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (now, now))  # strictly after the data files
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")  # data first, sentinel last
+            .parquet(landing)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").cast("timestamp").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", watermark)
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND c_ts <= p_ts "
+            f"AND c_ts >= p_ts - INTERVAL {window}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+            "gap_seconds"
+        ),
+    )
+    with _state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

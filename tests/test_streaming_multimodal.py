@@ -249,3 +249,44 @@ def test_sessionize_events_pure_step():
     # boundary: exactly gap seconds is the SAME session (> gap closes)
     st2, closed2 = _sessionize_events(None, [(0, 1, 1), (1800, 2, 1)], gap)
     assert closed2 == [] and st2[2] == 2
+
+
+def test_stream_left_outer_join_equals_batch(spark, tmp_path):
+    """r7: the watermarked LEFT OUTER stream-stream join flushes every
+    unmatched purchase as a NULL-click row (sentinel pair advances both
+    watermarks) and the final table equals the batch left join."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_api_rs_spark.streaming.jobs import (
+        click_purchase_stream_left_join,
+    )
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    out = click_purchase_stream_left_join(
+        spark, events_path, str(tmp_path / "lj")
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_seconds)
+        for r in out.collect()
+    }
+    ev = spark.read.parquet(events_path)
+    p = ev.filter("event_type='purchase'").selectExpr(
+        "user_id pu", "event_id pid", "ts pts"
+    )
+    c = ev.filter("event_type='click'").selectExpr(
+        "user_id cu", "event_id cid", "ts cts"
+    )
+    batch = p.join(
+        c,
+        F.expr("cu = pu AND cts <= pts AND cts >= pts - INTERVAL 1 hour"),
+        "left",
+    ).select(
+        "pu", "cid", "pid",
+        (F.unix_timestamp("pts") - F.unix_timestamp("cts")).alias("gap"),
+    )
+    want = {(r.pu, r.cid, r.pid, r.gap) for r in batch.collect()}
+    assert got == want
+    # the outer semantics actually fire: some purchases have no click
+    assert any(cid is None for _, cid, _, _ in got)
+    # no sentinel leakage
+    assert all(u >= 0 for u, _, _, _ in got)
