@@ -3429,6 +3429,45 @@ from documents order by doc_id
 """
 
 
+def q_audio_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF next to WAV (r7): mixed-container audio corpus — even docs
+    RIFF/WAVE, odd docs FORM/AIFF with an IEEE 754 extended 80-bit
+    sample-rate field — dispatched by magic through one parser and one
+    batched rfft. The oracle is the SAME bin arithmetic for both halves,
+    so the hash proves the big-endian chunk walk and the f80 decode give
+    numerically identical spectra to the WAV path."""
+    from deepseek_ocr_api_rs_spark.operators.audio import (
+        audio_spectral_features,
+        synthesize_audio_payloads,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    d = F.col("doc_id")
+    return (
+        audio_spectral_features(synthesize_audio_payloads(docs))
+        .select(
+            "doc_id",
+            F.when(d % 2 == 0, "wav").otherwise("aiff").alias("container"),
+            "sample_rate", "n_samples", "dominant_hz",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_AUDIO_AIFF_SQL = """
+select doc_id,
+  case when doc_id % 2 = 0 then 'wav' else 'aiff' end as container,
+  cast(8000 as int) as sample_rate,
+  cast(2048 as bigint) as n_samples,
+  (64 + (doc_id % 32) * 8) * 3.90625 as dominant_hz
+from documents order by doc_id
+"""
+
+
 def q_unbase64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 data-URL decode (crates/server/src/generation.rs:276-290): strict
     base64 payload → bytes → text, as pure built-ins. The base64 column is
@@ -3671,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_passages": q_dup_passages,
         "q_png_resize": q_png_resize,
         "q_audio_spectrum": q_audio_spectrum,
+        "q_audio_aiff": q_audio_aiff,
         "q_sequence_packing": q_sequence_packing,
         "q_image_meta": q_image_meta,
         "q_grounding_boxes": q_grounding_boxes,
@@ -3787,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _stratified_oracle_sql(),
         "q_image_meta": _Q_IMAGE_SQL,
         "q_audio_spectrum": _Q_AUDIO_SQL,
+        "q_audio_aiff": _Q_AUDIO_AIFF_SQL,
         "q_sequence_packing": _Q_PACKING_SQL,
         "q_url_canonical": _url_canonical_sql(),
         "q_pii_redact": _pii_sql(),

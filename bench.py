@@ -218,6 +218,12 @@ _HEADLINE_QUERIES = [
     "q_mp4_meta",
     # round-7: MP4 JPEG-sample pixel path (frame-budgeted §8.7.4 walk)
     "q_video_mp4_frames",
+    # round-7 session 2: PDF embedded-image decode, WAT metadata export,
+    # structured-data mining (pure JVM), snapshot changelog scan
+    "q_pdf_images",
+    "q_wat_roundtrip",
+    "q_jsonld",
+    "q_snapshot_changelog",
 ]
 
 
