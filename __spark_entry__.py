@@ -3095,6 +3095,29 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_favicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Favicon (.ico) inventory (r7): doc-seeded real ICONDIR containers
+    mixing headerless BMP DIBs (doubled-height AND-mask convention) and
+    PNG-in-ICO entries, walked back per entry with a full pixel decode
+    through the existing raster stack (extraction/raster.parse_ico).
+    favicon.ico is the crawl-side icon surface next to og:image. Pixel
+    decode is not SQL-expressible → pinned-golden VALUES oracle.
+    Map-only after the explicit repartition."""
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        favicon_inventory,
+        synthesize_favicons,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+    return favicon_inventory(synthesize_favicons(docs)).orderBy(
+        "doc_id", "idx"
+    )
+
+
 def q_jpeg_progressive_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progressive (SOF2) JPEG pixel path at corpus scale: doc-dim-seeded
     progressive JPEGs (multi-scan spectral-selection + successive-
@@ -3676,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row CORRECTNESS window checks registration order)
         "q_webp_meta": q_webp_meta,
         "q_pdf_images": q_pdf_images,
+        "q_favicon": q_favicon,
         "q_mp4_meta": q_mp4_meta,
         "q_pdf_links": q_pdf_links,
         "q_html_links": q_html_links,

@@ -1091,3 +1091,127 @@ def decode_image_pixels(payload: bytes) -> np.ndarray | None:
 
         return decode_tiff_pixels(b)
     return None
+
+
+# ---------------------------------------------------------------------------
+# ICO favicons (r7) — the crawl-side icon container (favicon.ico):
+# ICONDIR + ICONDIRENTRY table, each image either a PNG stream (modern
+# writers) or a headerless BMP DIB whose BITMAPINFOHEADER height is
+# DOUBLED to cover the 1-bit AND transparency mask below the XOR pixels.
+# Both payload forms reuse the existing real decoders.
+
+
+def encode_ico(images: list[tuple[np.ndarray, str]]) -> bytes:
+    """[(rgb (h,w,3) uint8, 'png'|'bmp')] → a real .ico file. BMP
+    entries store 32-bit BGRA bottom-up with an all-opaque AND mask;
+    PNG entries embed the encoder's stream verbatim."""
+    count = len(images)
+    header = struct.pack("<HHH", 0, 1, count)
+    entries = bytearray()
+    blobs = bytearray()
+    offset = 6 + 16 * count
+    for img, kind in images:
+        h, w, _ = img.shape
+        if kind == "png":
+            data = encode_png_rgb(img)
+            bitcount = 32
+        elif kind == "bmp":
+            rows = img[::-1]  # bottom-up
+            bgra = np.concatenate(
+                [rows[:, :, ::-1], np.full((h, w, 1), 255, np.uint8)],
+                axis=2,
+            ).tobytes()
+            mask_rowlen = ((w + 31) // 32) * 4  # 1-bit rows, dword pad
+            mask = b"\x00" * (mask_rowlen * h)  # all opaque
+            info = struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h * 2, 1, 32, 0, len(bgra) + len(mask),
+                0, 0, 0, 0,
+            )
+            data = info + bgra + mask
+            bitcount = 32
+        else:
+            raise ValueError(kind)
+        entries += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, bitcount, len(data), offset,
+        )
+        blobs += data
+        offset += len(data)
+    return bytes(header + entries + blobs)
+
+
+def parse_ico(payload: bytes) -> list[dict] | None:
+    """.ico bytes → one dict per icon image: {idx, width, height, fmt,
+    pixels (h,w,3) | None}. PNG entries run the real PNG decoder; DIB
+    entries decode 32/24-bit BGRA bottom-up with the doubled-height
+    mask convention (the AND mask is parsed past, alpha dropped — the
+    BMP contract). Entries the decoders cannot prove → pixels None,
+    fmt kept (honest-scope metadata). Not an ICO → None."""
+    try:
+        b = bytes(payload or b"")
+        if len(b) < 6:
+            return None
+        zero, typ, count = struct.unpack("<HHH", b[:6])
+        if zero != 0 or typ != 1 or count == 0 or count > 256:
+            return None
+        if len(b) < 6 + 16 * count:
+            return None
+        out: list[dict] = []
+        for i in range(count):
+            e = b[6 + 16 * i : 6 + 16 * (i + 1)]
+            ew, eh, _ncol, _res, _planes, _bc, size, off = struct.unpack(
+                "<BBBBHHII", e
+            )
+            data = b[off : off + size]
+            if len(data) < size:
+                return None
+            rec = {
+                "idx": i,
+                "width": ew or 256,
+                "height": eh or 256,
+                "fmt": "png" if data[:8] == PNG_MAGIC else "bmp",
+                "pixels": None,
+            }
+            if rec["fmt"] == "png":
+                px = decode_png_pixels(data)
+                if px is not None:
+                    rec["width"], rec["height"] = (
+                        px.shape[1], px.shape[0],
+                    )
+                    rec["pixels"] = px
+            else:
+                px = _decode_ico_dib(data)
+                if px is not None:
+                    rec["width"], rec["height"] = (
+                        px.shape[1], px.shape[0],
+                    )
+                    rec["pixels"] = px
+            out.append(rec)
+        return out
+    except Exception:
+        return None
+
+
+def _decode_ico_dib(data: bytes) -> np.ndarray | None:
+    """Headerless ICO DIB: BITMAPINFOHEADER with doubled height, 32- or
+    24-bit XOR pixels bottom-up, then the AND mask (skipped)."""
+    if len(data) < 40:
+        return None
+    hsize, w, h2, planes, bpp = struct.unpack("<IiiHH", data[:16])
+    comp = struct.unpack("<I", data[16:20])[0]
+    if hsize != 40 or comp != 0 or planes != 1 or bpp not in (24, 32):
+        return None
+    if h2 <= 0 or h2 % 2 or w <= 0:
+        return None
+    h = h2 // 2
+    rowlen = (w * bpp // 8 + 3) & ~3
+    px = data[40 : 40 + rowlen * h]
+    if len(px) < rowlen * h:
+        return None
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, rowlen)
+    if bpp == 24:
+        rgb = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    else:
+        rgb = arr[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+    return np.ascontiguousarray(rgb[::-1])

@@ -815,3 +815,83 @@ def pdf_image_inventory(
             "pixel_sha string"
         ),
     )
+
+
+def synthesize_favicons(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """doc_id → a real .ico favicon: a BMP-DIB entry always, a PNG entry
+    on even docs, a third larger PNG entry on every fifth doc — sizes
+    and pixels doc-arithmetic-seeded (extraction/raster.encode_ico)."""
+    from deepseek_ocr_api_rs_spark.extraction.raster import encode_ico
+
+    def _grad(h: int, w: int, k: int) -> np.ndarray:
+        g = (np.add.outer(np.arange(h), np.arange(w)) * k) % 256
+        return np.stack(
+            [g, (g * 2 + k) % 256, (g * 3 + 2 * k) % 256], axis=-1
+        ).astype(np.uint8)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            for d in ids:
+                side = int(d % 16 + 8)
+                entries = [(_grad(side, side, int(d % 11 + 1)), "bmp")]
+                if d % 2 == 0:
+                    entries.append(
+                        (_grad(side + 8, side + 8, int(d % 7 + 2)), "png")
+                    )
+                if d % 5 == 0:
+                    entries.append(
+                        (_grad(48, 48, int(d % 13 + 3)), "png")
+                    )
+                payloads.append(encode_ico(entries))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        process, schema="doc_id long, payload binary"
+    )
+
+
+def favicon_inventory(
+    docs: DataFrame, id_col: str = "doc_id", binary_col: str = "payload"
+) -> DataFrame:
+    """.ico binary column → one row per icon entry with dims, stored
+    format (png-in-ico vs DIB) and decoded pixel sha256. Arrow-batched,
+    map-only; non-ICO payloads yield zero rows, undecodable entries keep
+    metadata with a null sha."""
+    import hashlib
+
+    from deepseek_ocr_api_rs_spark.extraction.raster import parse_ico
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "idx": [], "fmt": [], "width": [],
+                "height": [], "pixel_sha": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                recs = parse_ico(
+                    bytes(payload) if payload is not None else b""
+                )
+                for r in recs or []:
+                    out["doc_id"].append(int(doc_id))
+                    out["idx"].append(r["idx"])
+                    out["fmt"].append(r["fmt"])
+                    out["width"].append(r["width"])
+                    out["height"].append(r["height"])
+                    out["pixel_sha"].append(
+                        hashlib.sha256(r["pixels"].tobytes()).hexdigest()
+                        if r["pixels"] is not None
+                        else None
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        process,
+        schema=(
+            "doc_id long, idx int, fmt string, width int, height int, "
+            "pixel_sha string"
+        ),
+    )
