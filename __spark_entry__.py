@@ -3491,6 +3491,57 @@ from documents order by doc_id
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over a synthetic link graph (r7):
+    the crawl-side ranking pass next to the link extraction — 10 exact
+    integer iterations (ranks in BIGINT micro-units, damping as the
+    rationals 3/20, 17/20), one shuffle per iteration, lineage cut
+    every 4 iterations. Integer sums are associative, so the result is
+    bit-identical across engines AND partitionings — the property a
+    float PageRank cannot give the driver hash. Oracle: the same
+    recurrence as 10 programmatically chained DuckDB CTEs
+    (operators/pagerank.pagerank_oracle_sql)."""
+    from deepseek_ocr_api_rs_spark.operators.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # one scalar driver action: the modulus
+    d = F.col("doc_id")
+    edges = (
+        docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+        .unionByName(
+            docs.select(d.alias("src"), ((d * 13 + 3) % n).alias("dst"))
+        )
+        .unionByName(
+            docs.filter(d % 3 == 0).select(
+                d.alias("src"), ((d * 31 + 5) % n).alias("dst")
+            )
+        )
+    )
+    return pagerank_fixed_point(edges, n_iter=10).orderBy("node")
+
+
+def _pagerank_oracle_sql() -> str:
+    from deepseek_ocr_api_rs_spark.operators.pagerank import (
+        pagerank_oracle_sql,
+    )
+
+    cte = (
+        "select doc_id as src, (doc_id * 7 + 1) % n.c as dst "
+        "from documents, (select count(*) as c from documents) n "
+        "union all "
+        "select doc_id, (doc_id * 13 + 3) % n.c "
+        "from documents, (select count(*) as c from documents) n "
+        "union all "
+        "select doc_id, (doc_id * 31 + 5) % n.c "
+        "from documents, (select count(*) as c from documents) n "
+        "where doc_id % 3 = 0"
+    )
+    return pagerank_oracle_sql(cte, n_iter=10)
+
+
 def q_unbase64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 data-URL decode (crates/server/src/generation.rs:276-290): strict
     base64 payload → bytes → text, as pure built-ins. The base64 column is
@@ -3735,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_png_resize": q_png_resize,
         "q_audio_spectrum": q_audio_spectrum,
         "q_audio_aiff": q_audio_aiff,
+        "q_pagerank": q_pagerank,
         "q_sequence_packing": q_sequence_packing,
         "q_image_meta": q_image_meta,
         "q_grounding_boxes": q_grounding_boxes,
@@ -3852,6 +3904,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_meta": _Q_IMAGE_SQL,
         "q_audio_spectrum": _Q_AUDIO_SQL,
         "q_audio_aiff": _Q_AUDIO_AIFF_SQL,
+        "q_pagerank": _pagerank_oracle_sql(),
         "q_sequence_packing": _Q_PACKING_SQL,
         "q_url_canonical": _url_canonical_sql(),
         "q_pii_redact": _pii_sql(),
