@@ -2941,6 +2941,259 @@ order by doc_id, og_prop
 """
 
 
+def q_indexability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level indexability signals (r7) — the complement of the
+    RFC 9309 robots.txt gate one level down: rel=canonical (dedup key),
+    <meta name=robots> noindex/nofollow flags ('none' implies both,
+    tokens case-insensitive and whitespace-tolerant), and hreflang
+    alternate pairs. A 10^12-page pipeline drops noindex pages BEFORE
+    extraction and dedups by the declared canonical — cheap codegen
+    regex work that saves the expensive Arrow stage downstream.
+    Attribute order inside every tag is free (half the docs flip it);
+    rel=alternate WITHOUT hreflang (RSS discovery links) is excluded
+    from the pair list. Pure-JVM plan, same patterns on RE2."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_indexability
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    canon = (
+        F.when(d % 5 == 0, F.lit(""))
+        .when(
+            d % 2 == 1,
+            F.concat(
+                F.lit('<link href="https://canon.example.org/p/'),
+                ds,
+                F.lit('" rel="canonical">'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<link rel="canonical" href="https://canon.example.org/p/'),
+                ds,
+                F.lit('">'),
+            )
+        )
+    )
+    robots = (
+        F.when(d % 7 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 7 == 1, F.lit('<meta name="robots" content="index, follow">'))
+        .when(d % 7 == 2, F.lit('<meta content="noindex, nofollow" name="robots">'))
+        .when(d % 7 == 3, F.lit('<meta name="robots" content="NONE">'))
+        .when(d % 7 == 4, F.lit(""))
+        .when(d % 7 == 5, F.lit('<meta name="robots" content=" nofollow ,archive">'))
+        .otherwise(F.lit('<meta name="robots" content="all">'))
+    )
+    alt_en = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="https://example.org/en/'),
+        ds,
+        F.lit('">'),
+    )
+    alt_de = F.concat(
+        F.lit('<link rel="alternate" hreflang="de-AT" href="https://example.org/de/'),
+        ds,
+        F.lit('">'),
+    )
+    alts = (
+        F.when(d % 3 == 1, alt_en)
+        .when(d % 3 == 2, F.concat(alt_en, alt_de))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>x</title>"),
+        canon,
+        F.lit(
+            '<link rel="stylesheet" href="/s.css">'
+            '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+        ),
+        robots,
+        alts,
+        F.lit(
+            '<meta name="viewport" content="width=device-width">'
+            "</head><body><p>b</p></body></html>"
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn("html", html)
+    return (
+        extract_indexability(docs)
+        .select(
+            "doc_id", "canonical", "robots_meta", "noindex", "nofollow", "hreflang"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _indexability_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        extract_indexability_duckdb,
+    )
+
+    struct = extract_indexability_duckdb("html")
+    return f"""
+with pages as (
+  select doc_id,
+    '<html><head><title>x</title>' ||
+    case when doc_id % 5 = 0 then ''
+         when doc_id % 2 = 1
+           then '<link href="https://canon.example.org/p/' || doc_id ||
+                '" rel="canonical">'
+         else '<link rel="canonical" href="https://canon.example.org/p/' ||
+              doc_id || '">' end ||
+    '<link rel="stylesheet" href="/s.css">' ||
+    '<link rel="alternate" type="application/rss+xml" href="/feed.xml">' ||
+    case doc_id % 7
+      when 0 then '<meta name="robots" content="noindex">'
+      when 1 then '<meta name="robots" content="index, follow">'
+      when 2 then '<meta content="noindex, nofollow" name="robots">'
+      when 3 then '<meta name="robots" content="NONE">'
+      when 4 then ''
+      when 5 then '<meta name="robots" content=" nofollow ,archive">'
+      else '<meta name="robots" content="all">' end ||
+    case when doc_id % 3 = 1
+           then '<link rel="alternate" hreflang="en" href="https://example.org/en/'
+                || doc_id || '">'
+         when doc_id % 3 = 2
+           then '<link rel="alternate" hreflang="en" href="https://example.org/en/'
+                || doc_id || '">' ||
+                '<link rel="alternate" hreflang="de-AT" href="https://example.org/de/'
+                || doc_id || '">'
+         else '' end ||
+    '<meta name="viewport" content="width=device-width">' ||
+    '</head><body><p>b</p></body></html>' as html
+  from documents
+), sig as (
+  select doc_id, {struct} as e from pages
+)
+select doc_id, e.canonical as canonical, e.robots_meta as robots_meta,
+       e.noindex as noindex, e.nofollow as nofollow, e.hreflang as hreflang
+from sig
+order by doc_id
+"""
+
+
+_Q_INDEXABILITY_SQL = _indexability_sql()
+
+
+def q_page_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date extraction (r7) — the htmldate/trafilatura-style
+    precedence ladder as pure codegen: <meta article:published_time>
+    beats the first <time datetime> beats a /YYYY/MM[/DD]/ URL segment;
+    every rung must START with a full ISO date or it falls through (a
+    'last tuesday' meta never mangles, it yields the URL rung). Missing
+    day in a URL date resolves to the 1st; unpadded URL months come out
+    zero-padded. At 10^12 pages this powers temporal slicing of the
+    corpus (dedup-keep-newest, recency weighting) without any Python in
+    the plan."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_page_date
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    mm = (d % 12 + 1).cast("string")
+    dd = (d % 28 + 1).cast("string")
+    mm2 = F.lpad(mm, 2, "0")
+    dd2 = F.lpad(dd, 2, "0")
+    meta_tag = F.concat(
+        F.lit('<meta property="article:published_time" content="2023-'),
+        mm2,
+        F.lit("-"),
+        dd2,
+        F.lit('T10:00:00Z">'),
+    )
+    bad_meta = F.lit(
+        '<meta property="article:published_time" content="last tuesday">'
+    )
+    time_tag = F.concat(
+        F.lit('<time datetime="2022-'),
+        mm2,
+        F.lit("-"),
+        dd2,
+        F.lit('">May</time>'),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 5 == 0, meta_tag)
+        .when(d % 5 == 4, bad_meta)
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when((d % 5 == 0) | (d % 5 == 1), time_tag).otherwise(F.lit("")),
+        F.lit("<p>body "),
+        ds,
+        F.lit("</p></body></html>"),
+    )
+    url = (
+        F.when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("https://news.example.org/2021/"),
+                mm,
+                F.lit("/"),
+                dd,
+                F.lit("/post-"),
+                ds,
+            ),
+        )
+        .when(
+            d % 5 == 4,
+            F.concat(
+                F.lit("https://news.example.org/2020/"), mm, F.lit("/post-"), ds
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://news.example.org/a/post-"), ds))
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("html", html)
+        .withColumn("url", url)
+    )
+    return (
+        extract_page_date(docs)
+        .select("doc_id", "url", "page_date", "date_source")
+        .orderBy("doc_id")
+    )
+
+
+def _page_date_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.web import extract_page_date_duckdb
+
+    struct = extract_page_date_duckdb("html", "url")
+    return f"""
+with pages as (
+  select doc_id,
+    '<html><head>' ||
+    case when doc_id % 5 = 0
+           then '<meta property="article:published_time" content="2023-' ||
+                lpad((doc_id % 12 + 1)::varchar, 2, '0') || '-' ||
+                lpad((doc_id % 28 + 1)::varchar, 2, '0') || 'T10:00:00Z">'
+         when doc_id % 5 = 4
+           then '<meta property="article:published_time" content="last tuesday">'
+         else '' end ||
+    '</head><body>' ||
+    case when doc_id % 5 in (0, 1)
+           then '<time datetime="2022-' ||
+                lpad((doc_id % 12 + 1)::varchar, 2, '0') || '-' ||
+                lpad((doc_id % 28 + 1)::varchar, 2, '0') || '">May</time>'
+         else '' end ||
+    '<p>body ' || doc_id || '</p></body></html>' as html,
+    case when doc_id % 5 = 2
+           then 'https://news.example.org/2021/' || (doc_id % 12 + 1) || '/' ||
+                (doc_id % 28 + 1) || '/post-' || doc_id
+         when doc_id % 5 = 4
+           then 'https://news.example.org/2020/' || (doc_id % 12 + 1) ||
+                '/post-' || doc_id
+         else 'https://news.example.org/a/post-' || doc_id end as url
+  from documents
+), sig as (
+  select doc_id, url, {struct} as e from pages
+)
+select doc_id, url, e.page_date as page_date, e.date_source as date_source
+from sig
+order by doc_id
+"""
+
+
+_Q_PAGE_DATE_SQL = _page_date_sql()
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video as a first-class multimodal column, REAL end to end: doc-dim-
     seeded MJPEG-in-AVI clips (RIFF container + our baseline-JPEG frames)
@@ -3756,6 +4009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_links": q_html_links,
         "q_jsonld": q_jsonld,
         "q_og_meta": q_og_meta,
+        "q_indexability": q_indexability,
+        "q_page_date": q_page_date,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -3918,6 +4173,8 @@ def oracle_sql() -> dict[str, str]:
         "q_html_links": _Q_HTML_LINKS_SQL,
         "q_jsonld": _Q_JSONLD_SQL,
         "q_og_meta": _Q_OG_META_SQL,
+        "q_indexability": _Q_INDEXABILITY_SQL,
+        "q_page_date": _Q_PAGE_DATE_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,

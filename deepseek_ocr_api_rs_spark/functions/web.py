@@ -360,3 +360,255 @@ def extract_og_meta_duckdb(html_expr: str) -> str:
         f"t -> {{'og_prop': regexp_extract(t, '(?i){prop}', 1), "
         f"'og_content': regexp_extract(t, '(?i){cont}', 1)}})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Indexability signals (r7): rel=canonical, robots meta, hreflang alternates.
+#
+# The page-level complement of robots.txt (operators/robots.py): a crawl
+# pipeline drops noindex pages BEFORE extraction, dedups by the canonical
+# URL when the page declares one, and groups language alternates via
+# hreflang. The reference accepts whole pages and extracts everything
+# (crates/server/src/generation.rs); at 10^12-document scale the
+# indexability gate is what keeps the extraction stage from wasting work
+# on pages their owners excluded — same motivation as the RFC 9309 gate,
+# one level down.
+#
+# All three signals come out of the block-then-fields codegen chain used
+# by the OpenGraph miner: regexp_extract_all the candidate tags, then
+# filter/transform with per-tag field regexes so attribute ORDER inside
+# the tag never matters. No Python operator, no XML library.
+#
+# Robots-meta token semantics (Google/Bing documented behavior, public):
+#   - the content attribute is a comma-separated, case-insensitive token
+#     list with optional whitespace;
+#   - ``none`` is shorthand for ``noindex, nofollow``;
+#   - ``noindex`` / ``nofollow`` set their flag regardless of other
+#     tokens (``all`` / ``index`` / ``follow`` are the permissive
+#     defaults and never override an explicit negative).
+# ---------------------------------------------------------------------------
+
+_LINK_TAG_RE = r"(<link[^>]*>)"
+_REL_RE = r"""rel[\s]*=[\s]*["']([A-Za-z-]+)["']"""
+_HREF_ATTR_RE = r"""href[\s]*=[\s]*["']([^"'<>]+)["']"""
+_HREFLANG_RE = r"""hreflang[\s]*=[\s]*["']([A-Za-z0-9-]+)["']"""
+_ROBOTS_META_RE = r"""(<meta[^>]*name[\s]*=[\s]*["']robots["'][^>]*>)"""
+_META_CONTENT_RE = r"""content[\s]*=[\s]*["']([^"']*)["']"""
+_NOINDEX_TOK_RE = r"(?i)(^|[,\s])[\s]*(noindex|none)[\s]*([,\s]|$)"
+_NOFOLLOW_TOK_RE = r"(?i)(^|[,\s])[\s]*(nofollow|none)[\s]*([,\s]|$)"
+
+
+def extract_indexability(df, html_col: str = "html") -> "DataFrame":  # noqa: F821
+    """One row per page with its indexability signals:
+
+    - ``canonical``: href of the FIRST ``<link rel="canonical">`` (''
+      when absent) — attribute order inside the tag is free;
+    - ``robots_meta``: content of the first ``<meta name="robots">``
+      ('' when absent);
+    - ``noindex`` / ``nofollow``: 0/1 flags from the token list
+      (``none`` implies both; tokens are case-insensitive and
+      whitespace-tolerant);
+    - ``hreflang``: ';'-joined sorted ``lang=href`` pairs from
+      ``<link rel="alternate" hreflang=...>`` tags ('' when none).
+
+    Entirely codegen: regexp_extract_all + higher-order filter/
+    transform + array_sort/array_join, no Python in the plan."""
+    c = F.col(html_col)
+    links = F.regexp_extract_all(c, F.lit("(?is)" + _LINK_TAG_RE), F.lit(1))
+
+    def _rel(t):
+        return F.lower(F.regexp_extract(t, "(?i)" + _REL_RE, 1))
+
+    def _href(t):
+        return F.regexp_extract(t, "(?i)" + _HREF_ATTR_RE, 1)
+
+    def _lang(t):
+        return F.lower(F.regexp_extract(t, "(?i)" + _HREFLANG_RE, 1))
+
+    canonical = F.coalesce(
+        F.try_element_at(
+            F.transform(F.filter(links, lambda t: _rel(t) == "canonical"), _href),
+            F.lit(1),
+        ),
+        F.lit(""),
+    )
+    alt = F.filter(
+        links, lambda t: (_rel(t) == "alternate") & (_lang(t) != "")
+    )
+    hreflang = F.array_join(
+        F.array_sort(
+            F.transform(alt, lambda t: F.concat(_lang(t), F.lit("="), _href(t)))
+        ),
+        ";",
+    )
+    metas = F.regexp_extract_all(c, F.lit("(?is)" + _ROBOTS_META_RE), F.lit(1))
+    robots_meta = F.coalesce(
+        F.try_element_at(
+            F.transform(
+                metas, lambda t: F.regexp_extract(t, "(?i)" + _META_CONTENT_RE, 1)
+            ),
+            F.lit(1),
+        ),
+        F.lit(""),
+    )
+    return (
+        df.withColumn("canonical", canonical)
+        .withColumn("robots_meta", robots_meta)
+        .withColumn(
+            "noindex", robots_meta.rlike(_NOINDEX_TOK_RE).cast("int")
+        )
+        .withColumn(
+            "nofollow", robots_meta.rlike(_NOFOLLOW_TOK_RE).cast("int")
+        )
+        .withColumn("hreflang", hreflang)
+    )
+
+
+def extract_indexability_duckdb(html_expr: str) -> str:
+    """DuckDB mirror: one STRUCT with the same five fields (RE2 runs the
+    identical patterns; list_filter/list_transform/list_sort mirror the
+    higher-order chain)."""
+    link = _LINK_TAG_RE.replace("'", "''")
+    rel = _REL_RE.replace("'", "''")
+    href = _HREF_ATTR_RE.replace("'", "''")
+    lang = _HREFLANG_RE.replace("'", "''")
+    meta = _ROBOTS_META_RE.replace("'", "''")
+    cont = _META_CONTENT_RE.replace("'", "''")
+    noidx = _NOINDEX_TOK_RE.replace("'", "''")
+    nofol = _NOFOLLOW_TOK_RE.replace("'", "''")
+    links = f"regexp_extract_all({html_expr}, '(?is){link}', 1)"
+    metas = f"regexp_extract_all({html_expr}, '(?is){meta}', 1)"
+    robots = (
+        f"coalesce(list_extract(list_transform({metas}, "
+        f"t -> regexp_extract(t, '(?i){cont}', 1)), 1), '')"
+    )
+    return (
+        "{"
+        f"'canonical': coalesce(list_extract(list_transform("
+        f"list_filter({links}, t -> lower(regexp_extract(t, '(?i){rel}', 1)) "
+        f"= 'canonical'), t -> regexp_extract(t, '(?i){href}', 1)), 1), ''), "
+        f"'robots_meta': {robots}, "
+        f"'noindex': case when regexp_matches({robots}, '{noidx}') "
+        f"then 1 else 0 end, "
+        f"'nofollow': case when regexp_matches({robots}, '{nofol}') "
+        f"then 1 else 0 end, "
+        f"'hreflang': coalesce(array_to_string(list_sort(list_transform("
+        f"list_filter({links}, t -> lower(regexp_extract(t, '(?i){rel}', 1)) "
+        f"= 'alternate' and regexp_extract(t, '(?i){lang}', 1) != ''), "
+        f"t -> lower(regexp_extract(t, '(?i){lang}', 1)) || '=' || "
+        f"regexp_extract(t, '(?i){href}', 1))), ';'), '')"
+        "}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Publication-date extraction (r7) — the standard crawl-pipeline heuristic
+# chain (the same precedence ladder trafilatura/htmldate document as
+# public practice): an explicit machine-readable date beats a rendered
+# one beats a URL-path inference.
+#
+#   1. <meta property="article:published_time" content="ISO-8601">
+#      (the OpenGraph/article namespace tag publishers emit for share
+#      cards — machine-intent, highest trust);
+#   2. the first <time datetime="..."> element (rendered dates);
+#   3. a /YYYY/MM[/DD]/ segment in the URL path (blog permalink
+#      convention; a missing day resolves to the 1st of the month).
+#
+# Every rung normalizes to YYYY-MM-DD by anchored prefix match — a value
+# that does not START with a full ISO date ("yesterday", "Jan 5") fails
+# that rung and falls through, never producing a mangled date. Years are
+# constrained to 19xx/20xx so /p/1234567/8/ never reads as a date.
+# Codegen-only; identical RE2-safe patterns on the DuckDB mirror.
+# ---------------------------------------------------------------------------
+
+_META_PUBDATE_RE = (
+    r"""(<meta[^>]*property[\s]*=[\s]*["']article:published_time["'][^>]*>)"""
+)
+_TIME_DATETIME_RE = r"""<time[^>]*datetime[\s]*=[\s]*["']([^"']+)["']"""
+_URL_DATE_RE = r"/((?:19|20)[0-9]{2})/([0-9]{1,2})(/([0-9]{1,2}))?/"
+_ISO_PREFIX_RE = r"^([0-9]{4}-[0-9]{2}-[0-9]{2})"
+
+
+def extract_page_date(
+    df, html_col: str = "html", url_col: str = "url"
+) -> "DataFrame":  # noqa: F821
+    """Adds ``page_date`` (YYYY-MM-DD or '') and ``date_source``
+    ('meta' | 'time' | 'url' | '') per the precedence ladder above."""
+    c = F.col(html_col)
+    metas = F.regexp_extract_all(c, F.lit("(?is)" + _META_PUBDATE_RE), F.lit(1))
+    meta_raw = F.coalesce(
+        F.try_element_at(
+            F.transform(
+                metas, lambda t: F.regexp_extract(t, "(?i)" + _META_CONTENT_RE, 1)
+            ),
+            F.lit(1),
+        ),
+        F.lit(""),
+    )
+    meta_date = F.regexp_extract(meta_raw, _ISO_PREFIX_RE, 1)
+    time_date = F.regexp_extract(
+        F.regexp_extract(c, "(?is)" + _TIME_DATETIME_RE, 1), _ISO_PREFIX_RE, 1
+    )
+    u = F.col(url_col)
+    y = F.regexp_extract(u, _URL_DATE_RE, 1)
+    mo = F.regexp_extract(u, _URL_DATE_RE, 2)
+    dy = F.regexp_extract(u, _URL_DATE_RE, 4)
+    url_date = F.when(y == "", F.lit("")).otherwise(
+        F.concat(
+            y,
+            F.lit("-"),
+            F.lpad(mo, 2, "0"),
+            F.lit("-"),
+            F.when(dy == "", F.lit("01")).otherwise(F.lpad(dy, 2, "0")),
+        )
+    )
+    page_date = (
+        F.when(meta_date != "", meta_date)
+        .when(time_date != "", time_date)
+        .otherwise(url_date)
+    )
+    date_source = (
+        F.when(meta_date != "", F.lit("meta"))
+        .when(time_date != "", F.lit("time"))
+        .when(url_date != "", F.lit("url"))
+        .otherwise(F.lit(""))
+    )
+    return df.withColumn("page_date", page_date).withColumn(
+        "date_source", date_source
+    )
+
+
+def extract_page_date_duckdb(html_expr: str, url_expr: str) -> str:
+    """DuckDB mirror: one STRUCT {page_date, date_source}."""
+    meta = _META_PUBDATE_RE.replace("'", "''")
+    cont = _META_CONTENT_RE.replace("'", "''")
+    iso = _ISO_PREFIX_RE
+    m_raw = (
+        f"coalesce(list_extract(list_transform("
+        f"regexp_extract_all({html_expr}, '(?is){meta}', 1), "
+        f"t -> regexp_extract(t, '(?i){cont}', 1)), 1), '')"
+    )
+    m_date = f"regexp_extract({m_raw}, '{iso}', 1)"
+    # the time regex contains quote characters — escape them for SQL
+    tpat = _TIME_DATETIME_RE.replace("'", "''")
+    t_date = (
+        f"regexp_extract(regexp_extract({html_expr}, '(?is){tpat}', 1), "
+        f"'{iso}', 1)"
+    )
+    y = f"regexp_extract({url_expr}, '{_URL_DATE_RE}', 1)"
+    mo = f"regexp_extract({url_expr}, '{_URL_DATE_RE}', 2)"
+    dy = f"regexp_extract({url_expr}, '{_URL_DATE_RE}', 4)"
+    u_date = (
+        f"(case when {y} = '' then '' else {y} || '-' || lpad({mo}, 2, '0') "
+        f"|| '-' || (case when {dy} = '' then '01' "
+        f"else lpad({dy}, 2, '0') end) end)"
+    )
+    return (
+        "{"
+        f"'page_date': (case when {m_date} != '' then {m_date} "
+        f"when {t_date} != '' then {t_date} else {u_date} end), "
+        f"'date_source': (case when {m_date} != '' then 'meta' "
+        f"when {t_date} != '' then 'time' "
+        f"when {u_date} != '' then 'url' else '' end)"
+        "}"
+    )
