@@ -3194,6 +3194,115 @@ order by doc_id
 _Q_PAGE_DATE_SQL = _page_date_sql()
 
 
+def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index roundtrip (r7) — the fourth Common Crawl derivative
+    (WARC capture / WET text / WAT metadata / CDX URL index). Each page
+    becomes one CDXJ line built ENTIRELY in codegen (functions/web.
+    cdx_line): SURT key (lowercase, scheme + leading www dropped, host
+    labels reversed and comma-joined, ')' + path, query params sorted),
+    a 14-digit UTC timestamp, and a sorted-key compact JSON envelope
+    with a JVM-computed sha256 digest and octet length. The distributed
+    sink (write_cdx) sorts within partitions via Spark's spill-aware
+    sort, streams lines through one mtime-pinned gzip stream per task
+    (task-identity names, tmp+rename — the WET/WAT contract), and the
+    reader is ALSO pure JVM (text source decompresses .gz; key split +
+    get_json_object). URL family exercises mixed case, ports, www,
+    unsorted query params, and an empty path (→ '/'). The oracle
+    recomputes key/digest/length/ts directly, so the hash proves SURT,
+    the JSON envelope, sha256, and the container roundtrip at once."""
+    from deepseek_ocr_api_rs_spark.functions.web import cdx_line
+    from deepseek_ocr_api_rs_spark.sources.warc import read_cdx, write_cdx
+
+    _ensure_shipped(spark)
+    out = _staging_dir("cdx_export_")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("https://WWW.Site"),
+                (d % 5).cast("string"),
+                F.lit(".Example.ORG:8080/Art/"),
+                ds,
+                F.lit("?b=2&a="),
+                (d % 9).cast("string"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("http://site"), (d % 5).cast("string"),
+                F.lit(".example.org/p/"), ds,
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example"), (d % 7).cast("string"), F.lit(".org"))
+        )
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .withColumn("url", url)
+        .withColumn("payload", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn(
+            "warc_ts", F.timestamp_seconds(F.lit(1704067200) + (d % 86400))
+        )
+        .withColumn(
+            "mime",
+            F.when(d % 3 == 0, "text/html")
+            .when(d % 3 == 1, "application/pdf")
+            .otherwise(F.lit("text/plain")),
+        )
+        .withColumn(
+            "filename",
+            F.concat(F.lit("seg-"), (d % 4).cast("string"), F.lit(".warc.gz")),
+        )
+    )
+    lines = docs.select(
+        cdx_line("url", "warc_ts", "payload", "mime", "filename").alias("cdx_line")
+    )
+    manifest = write_cdx(lines, out).collect()  # staging barrier
+    assert sum(m.n_records for m in manifest) > 0
+    return read_cdx(spark, out).orderBy("surt_key", "url")
+
+
+def _cdx_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.web import surt_key_duckdb
+
+    surt = surt_key_duckdb("url")
+    return f"""
+with pages as (
+  select doc_id, coalesce(text, '') as payload,
+    case when doc_id % 3 = 0
+           then 'https://WWW.Site' || (doc_id % 5) || '.Example.ORG:8080/Art/'
+                || doc_id || '?b=2&a=' || (doc_id % 9)
+         when doc_id % 3 = 1
+           then 'http://site' || (doc_id % 5) || '.example.org/p/' || doc_id
+         else 'https://example' || (doc_id % 7) || '.org' end as url,
+    case when doc_id % 3 = 0 then 'text/html'
+         when doc_id % 3 = 1 then 'application/pdf'
+         else 'text/plain' end as mime,
+    'seg-' || (doc_id % 4) || '.warc.gz' as filename
+  from documents
+)
+select {surt} as surt_key,
+  strftime(make_timestamp((1704067200 + doc_id % 86400) * 1000000),
+           '%Y%m%d%H%M%S') as ts14,
+  url, mime,
+  'sha256:' || sha256(payload) as digest,
+  strlen(payload) as length,
+  filename
+from pages
+order by surt_key, url
+"""
+
+
+_Q_CDX_SQL = _cdx_sql()
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video as a first-class multimodal column, REAL end to end: doc-dim-
     seeded MJPEG-in-AVI clips (RIFF container + our baseline-JPEG frames)
@@ -4011,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_og_meta": q_og_meta,
         "q_indexability": q_indexability,
         "q_page_date": q_page_date,
+        "q_cdx_roundtrip": q_cdx_roundtrip,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4175,6 +4285,7 @@ def oracle_sql() -> dict[str, str]:
         "q_og_meta": _Q_OG_META_SQL,
         "q_indexability": _Q_INDEXABILITY_SQL,
         "q_page_date": _Q_PAGE_DATE_SQL,
+        "q_cdx_roundtrip": _Q_CDX_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,

@@ -612,3 +612,109 @@ def extract_page_date_duckdb(html_expr: str, url_expr: str) -> str:
         f"when {u_date} != '' then 'url' else '' end)"
         "}"
     )
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDXJ lines (r7) — the index side of the Common Crawl
+# derivative family (WARC is the capture, WET the text, WAT the
+# metadata, CDX the URL index). SURT (Sort-friendly URI Reordering
+# Transform, public wayback/pywb convention): lowercase, scheme and
+# leading www. dropped, host labels REVERSED and comma-joined, ')' then
+# the path, query parameters sorted — so one lexicographic sort clusters
+# every capture of a host/path family. Documented subset (same policy as
+# canonicalize_url): no percent-decoding, no session-param stripping.
+#
+# Everything is codegen — split/reverse/array_sort/concat — so the CDX
+# line for 10^12 rows is built entirely JVM-side; Python appears only in
+# the file-writing sink (sources/warc.write_cdx).
+# ---------------------------------------------------------------------------
+
+_SCHEME_PREFIX_RE = r"^https?://"
+_HOST_OF_REST_RE = r"^([^/?#]*)"
+_PORT_SUFFIX_RE = r":[0-9]+$"
+_WWW_PREFIX_RE = r"^www\."
+_QUERY_OF_REST_RE = r"\?([^#]*)"
+
+
+def surt_key(url: str | Column) -> Column:
+    """URL → SURT key, e.g. ``https://www.Example.org:443/A/b?b=2&a=1``
+    → ``org,example)/a/b?a=1&b=2``. Empty path becomes '/'."""
+    u = F.lower(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, _SCHEME_PREFIX_RE, "")
+    host = F.regexp_replace(
+        F.regexp_extract(u, _HOST_OF_REST_RE, 1), _PORT_SUFFIX_RE, ""
+    )
+    host = F.regexp_replace(host, _WWW_PREFIX_RE, "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_replace(u, _HOST_OF_REST_RE, "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, _QUERY_OF_REST_RE, 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def surt_key_duckdb(url_expr: str) -> str:
+    """DuckDB mirror of surt_key (string_split is literal there, so the
+    host split needs no escaping)."""
+    u = f"regexp_replace(lower({url_expr}), '{_SCHEME_PREFIX_RE}', '')"
+    host = (
+        f"regexp_replace(regexp_replace(regexp_extract({u}, "
+        f"'{_HOST_OF_REST_RE}', 1), '{_PORT_SUFFIX_RE}', ''), "
+        f"'{_WWW_PREFIX_RE}', '')"
+    )
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    rest = f"regexp_replace({u}, '{_HOST_OF_REST_RE}', '')"
+    path = (
+        f"(case when regexp_extract({rest}, '^([^?#]*)', 1) = '' then '/' "
+        f"else regexp_extract({rest}, '^([^?#]*)', 1) end)"
+    )
+    query = f"regexp_extract({rest}, '\\?([^#]*)', 1)"
+    sorted_q = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    return (
+        f"({rev} || ')' || {path} || "
+        f"(case when {query} = '' then '' else '?' || {sorted_q} end))"
+    )
+
+
+def cdx_line(
+    url: str | Column,
+    ts: str | Column,
+    payload: str | Column,
+    mime: str | Column,
+    filename: str | Column,
+) -> Column:
+    """One CDXJ index line, fully codegen:
+    ``<surt key> <ts14> {"digest":...,"filename":...,"length":...,
+    "mime":...,"url":...}`` — JSON keys in sorted order, compact,
+    digest ``sha256:<hex>`` of the payload octets (the modern digest;
+    legacy sha1-b32 would drag the hash out of codegen on both
+    engines), length = payload OCTET length. URLs/mimes/filenames are
+    crawl-canonical tokens (no quotes/backslashes), so plain concat is
+    JSON-safe; anything else must be quoted upstream."""
+    u = F.col(url) if isinstance(url, str) else url
+    t = F.col(ts) if isinstance(ts, str) else ts
+    p = F.col(payload) if isinstance(payload, str) else payload
+    m = F.col(mime) if isinstance(mime, str) else mime
+    fn = F.col(filename) if isinstance(filename, str) else filename
+    return F.concat(
+        surt_key(u),
+        F.lit(" "),
+        F.date_format(t, "yyyyMMddHHmmss"),
+        F.lit(' {"digest":"sha256:'),
+        F.sha2(p.cast("binary"), 256),
+        F.lit('","filename":"'),
+        fn,
+        F.lit('","length":'),
+        F.octet_length(p).cast("string"),
+        F.lit(',"mime":"'),
+        m,
+        F.lit('","url":"'),
+        u,
+        F.lit('"}'),
+    )

@@ -713,3 +713,90 @@ def read_wat_metadata(spark: SparkSession, path: str) -> DataFrame:
         "title",
         "links",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX derivative (r7) — the index member of the Common Crawl family
+# (WARC capture / WET text / WAT metadata / CDX URL index). Segments are
+# ``cdx-{partitionId}.gz``: one gzip STREAM of newline-terminated CDXJ
+# lines, sorted by SURT key within the segment (a line BEGINS with its
+# key and keys contain no spaces, so sorting lines sorts keys). The
+# lines themselves are built entirely JVM-side (functions/web.cdx_line);
+# Python appears only here, streaming pre-built strings to the file.
+# For a globally sorted index, range-partition by key upstream:
+#   df.repartitionByRange(n, "cdx_line").sortWithinPartitions("cdx_line")
+# — then segment i's keys all precede segment i+1's.
+
+
+def write_cdx(df: DataFrame, out_dir: str, line_col: str = "cdx_line") -> DataFrame:
+    """Distributed CDX sink — the write_wet/write_wat contract: one
+    segment per task named from the task identity (a retried or
+    speculative attempt OVERWRITES, never duplicates), lines streamed to
+    a tmp file through one gzip stream (mtime pinned to 0 so equal
+    inputs give byte-identical segments), tmp + ``os.replace`` atomic
+    publish, lazy manifest (file, n_records) as the return frame.
+    Sorts within the partition here (Spark's sort, spill-aware) so the
+    per-task Python loop stays O(1) memory."""
+    import gzip as _gzip
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = df.select(line_col).sortWithinPartitions(line_col)
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        name = f"cdx-{pid:05d}.gz"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        n_recs = 0
+        gz = None
+        try:
+            for pdf in batches:
+                for line in pdf[line_col]:
+                    if gz is None:
+                        gz = _gzip.GzipFile(
+                            filename="", mode="wb", fileobj=open(tmp, "wb"),
+                            mtime=0,
+                        )
+                    gz.write(line.encode("utf-8") + b"\n")
+                    n_recs += 1
+        finally:
+            if gz is not None:
+                fh = gz.fileobj
+                gz.close()
+                fh.close()
+        if n_recs == 0:
+            yield pd.DataFrame({"file": [], "n_records": []})
+            return
+        os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame({"file": [name], "n_records": [n_recs]})
+
+    return src.mapInPandas(sink, schema="file string, n_records long")
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """``cdx-*.gz`` segments → (surt_key, ts14, url, mime, digest,
+    length, filename) rows. FULLY JVM-side: Spark's text reader
+    decompresses .gz transparently, the key/timestamp/JSON split is one
+    regexp_extract chain and the JSON fields come out of
+    get_json_object — no Python operator in the read plan."""
+    lines = (
+        spark.read.format("text")
+        .option("pathGlobFilter", "cdx-*.gz")
+        .load(path)
+    )
+    v = F.col("value")
+    js = F.regexp_extract(v, r"^\S+ \S+ (.*)$", 1)
+    return lines.select(
+        F.regexp_extract(v, r"^(\S+) ", 1).alias("surt_key"),
+        F.regexp_extract(v, r"^\S+ (\S+) ", 1).alias("ts14"),
+        F.get_json_object(js, "$.url").alias("url"),
+        F.get_json_object(js, "$.mime").alias("mime"),
+        F.get_json_object(js, "$.digest").alias("digest"),
+        F.get_json_object(js, "$.length").cast("long").alias("length"),
+        F.get_json_object(js, "$.filename").alias("filename"),
+    ).filter(F.col("surt_key") != "")
