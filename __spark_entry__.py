@@ -2064,6 +2064,79 @@ order by d.doc_id, page
 """
 
 
+def q_pdf_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF outline extraction (r7): a crawled PDF's own table of
+    contents (PDF 32000 §12.3.3) kept as section metadata, the way
+    heading outlines are kept for HTML. Per doc a REAL two-page classic
+    PDF gets a three-item outline — nested levels (sibling /Prev-/Next
+    chains + /First-/Last child spans), an ASCII literal title with
+    PARENS (the escape path), and a CJK title that the writer emits as a
+    BOM'd UTF-16BE hex string (§7.9.2.2) — then the production walker
+    (pdf_real.extract_pdf_outline) resolves /Dest page refs back to
+    0-based page order. Oracle reproduces title/level/page arithmetic,
+    proving the writer→parser tree roundtrip incl. both title
+    encodings. Two Arrow map stages, no shuffle after the spread."""
+    import pandas as pd
+
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        extract_pdf_outline,
+        make_pdf_bytes,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "idx": [], "level": [], "title": [],
+                   "page": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                spans = [
+                    {"page": p, "x0": 40.0, "y0": 90.0 + p, "x1": 200.0,
+                     "y1": 102.0 + p, "text": f"doc {d} page {p}"}
+                    for p in range(2)
+                ]
+                outline = [
+                    {"title": f"Doc {d} intro", "page": 0, "level": 0},
+                    {"title": f"Sec {d % 7} 概要", "page": d % 2,
+                     "level": 1},
+                    {"title": f"Results ({d % 5})", "page": 1, "level": 0},
+                ]
+                blob = make_pdf_bytes(
+                    spans, outline=outline, compress=d % 2 == 0
+                )
+                for it in extract_pdf_outline(blob) or []:
+                    out["doc_id"].append(d)
+                    out["idx"].append(it["idx"])
+                    out["level"].append(it["level"])
+                    out["title"].append(it["title"])
+                    out["page"].append(it["page"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, idx int, level int, title string, page int",
+    ).orderBy("doc_id", "idx")
+
+
+_Q_PDF_OUTLINE_SQL = """
+select d.doc_id, cast(k.k as int) as idx,
+  cast(case k.k when 1 then 1 else 0 end as int) as level,
+  case k.k
+    when 0 then 'Doc ' || d.doc_id || ' intro'
+    when 1 then 'Sec ' || (d.doc_id % 7) || ' 概要'
+    else 'Results (' || (d.doc_id % 5) || ')' end as title,
+  cast(case k.k when 0 then 0 when 1 then d.doc_id % 2 else 1 end as int)
+    as page
+from documents d, (values (0), (1), (2)) k(k)
+order by d.doc_id, idx
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate (r6): per-host robots bodies (two
     User-agent groups incl. a shared trainingbot/otherbot group, mixed-
@@ -4121,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_indexability": q_indexability,
         "q_page_date": q_page_date,
         "q_cdx_roundtrip": q_cdx_roundtrip,
+        "q_pdf_outline": q_pdf_outline,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4286,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "q_indexability": _Q_INDEXABILITY_SQL,
         "q_page_date": _Q_PAGE_DATE_SQL,
         "q_cdx_roundtrip": _Q_CDX_SQL,
+        "q_pdf_outline": _Q_PDF_OUTLINE_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,

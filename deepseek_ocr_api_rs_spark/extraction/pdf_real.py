@@ -1808,6 +1808,109 @@ def extract_pdf_links(data: bytes) -> list[dict] | None:
     return links
 
 
+_CATALOG_TYPE_RE = re.compile(rb"/Type\s*/Catalog\b")
+_OUTLINES_REF_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
+_TITLE_LIT_RE = re.compile(rb"/Title\s*\(")
+_TITLE_HEX_RE = re.compile(rb"/Title\s*<([0-9A-Fa-f\s]*)>")
+_FIRST_ITEM_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
+_NEXT_ITEM_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
+_DEST_PAGE_RE = re.compile(rb"/Dest\s*\[\s*(\d+)\s+\d+\s+R")
+_GOTO_PAGE_RE = re.compile(rb"/D\s*\[\s*(\d+)\s+\d+\s+R")
+
+
+def extract_pdf_outline(data: bytes) -> list[dict] | None:
+    """Document outline (bookmark tree, PDF 32000 §12.3.3) → flat
+    PRE-ORDER [{idx, level, title, page}]. ``page`` is the 0-based index
+    of the /Dest (or /A GoTo /D) target in the document's page order, -1
+    when an item has no resolvable destination. Titles decode per
+    §7.9.2.2: UTF-16BE when BOM'd, else the PDFDocEncoding subset
+    mapped through latin-1. The outline is a crawled PDF's own table of
+    contents — the section structure a training pipeline keeps as
+    document metadata, the way heading outlines are kept for HTML
+    (the reference ingests whole PDFs and keeps layout structure,
+    crates/server/src/generation.rs:276). Objects resolve through the
+    same xref-overlaid scan as parse_real_pdf; sibling/child chains are
+    cycle-guarded (a malformed /Next loop terminates, never hangs).
+    Returns None when the file has no catalog or outline tree."""
+    int_objs = _scan_int_objects(data)
+    objs = _extract_objects(data, int_objs)
+    xobjs, objstm_members = _xref_objects(data, int_objs)
+    objs.update(xobjs)
+    if not objs:
+        return None
+    if not _decrypt_objects(data, objs):
+        return None
+    _expand_object_streams(objs, authoritative=objstm_members)
+    root_ref = None
+    for _n, (h, _s) in sorted(objs.items()):
+        if _CATALOG_TYPE_RE.search(h):
+            m = _OUTLINES_REF_RE.search(h)
+            if m:
+                root_ref = int(m.group(1))
+                break
+    if root_ref is None or root_ref not in objs:
+        return None
+    pages_nodes = sorted(
+        n for n, (h, _) in objs.items() if _PAGES_TYPE_RE.search(h)
+    )
+    kid_order: list[int] = []
+    for n in pages_nodes:
+        km = _KIDS_RE.search(objs[n][0])
+        if km:
+            kid_order += [int(x) for x in _REF_RE.findall(km.group(1))]
+    page_objs = {n for n, (h, _) in objs.items() if _PAGE_TYPE_RE.search(h)}
+    ordered = [n for n in kid_order if n in page_objs]
+    ordered += sorted(page_objs - set(ordered))
+    page_idx = {n: i for i, n in enumerate(ordered)}
+
+    items: list[dict] = []
+    visited: set[int] = set()
+
+    def _title(head: bytes) -> str:
+        lm = _TITLE_LIT_RE.search(head)
+        if lm is not None:
+            raw, _end = _parse_literal_string(head, lm.end() - 1)
+        else:
+            hm = _TITLE_HEX_RE.search(head)
+            if hm is None:
+                return ""
+            hx = re.sub(rb"\s", b"", hm.group(1))
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                raw = bytes.fromhex(hx.decode())
+            except ValueError:
+                return ""
+        if raw[:2] == b"\xfe\xff":
+            return raw[2:].decode("utf-16-be", "replace")
+        return raw.decode("latin-1")
+
+    def _walk(num: int | None, level: int) -> None:
+        while num is not None and num in objs and num not in visited:
+            visited.add(num)
+            head = objs[num][0]
+            pm = _DEST_PAGE_RE.search(head) or _GOTO_PAGE_RE.search(head)
+            page = page_idx.get(int(pm.group(1)), -1) if pm else -1
+            items.append(
+                {
+                    "idx": len(items),
+                    "level": level,
+                    "title": _title(head),
+                    "page": page,
+                }
+            )
+            fm = _FIRST_ITEM_RE.search(head)
+            if fm is not None:
+                _walk(int(fm.group(1)), level + 1)
+            nm = _NEXT_ITEM_RE.search(head)
+            num = int(nm.group(1)) if nm is not None else None
+
+    fm = _FIRST_ITEM_RE.search(objs[root_ref][0])
+    if fm is not None:
+        _walk(int(fm.group(1)), 0)
+    return items
+
+
 # ---------------------------------------------------------------------------
 # image XObjects (§8.9) — the embedded raster payloads of a crawled PDF
 
@@ -2024,6 +2127,7 @@ def make_pdf_bytes(
     inline_image: bool = False,
     links: list[dict] | None = None,
     cid_cmap: str | None = None,
+    outline: list[dict] | None = None,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
@@ -2058,7 +2162,11 @@ def make_pdf_bytes(
     a tokenizer that does not skip it whole garbles the page. ``links``
     ({page, x0, y0, x1, y1, uri} dicts, top-down coords) writes /Annots
     link annotations (/Subtype /Link /A << /S /URI >>, §12.5.6.5) on
-    their pages.
+    their pages. ``outline`` ({title, page, level} dicts in PRE-ORDER)
+    writes a document outline tree (§12.3.3): /Outlines root wired into
+    the catalog, sibling /Prev-/Next chains, /First-/Last child spans
+    with open /Count, /Dest [page /Fit] targets; ASCII titles as literal
+    strings, non-ASCII as BOM'd UTF-16BE hex strings (§7.9.2.2).
     """
     import hashlib
 
@@ -2066,6 +2174,8 @@ def make_pdf_bytes(
         raise ValueError("use_form writes plain form streams; no encrypt")
     if links and encrypt:
         raise ValueError("links write plain URI strings; no encrypt")
+    if outline and encrypt:
+        raise ValueError("outline writes plain title strings; no encrypt")
 
     if stream_filter is None and compress:
         stream_filter = "flate"
@@ -2273,6 +2383,64 @@ def make_pdf_bytes(
                 f"[{float(ln['x0']):g} {ry0:g} {float(ln['x1']):g} {ry1:g}] "
                 f"/Border [0 0 0] /A << /S /URI /URI ({uri}) >> >>"
             ).encode("latin-1")
+    if outline:
+        first_outline = first_annot + n_annots
+        root_num = first_outline
+        item_nums = [first_outline + 1 + i for i in range(len(outline))]
+        parent: list[int] = [-1] * len(outline)  # -1 = the /Outlines root
+        lvl_stack: list[tuple[int, int]] = []  # (level, item index)
+        for i, it in enumerate(outline):
+            lv = int(it.get("level", 0))
+            while lvl_stack and lvl_stack[-1][0] >= lv:
+                lvl_stack.pop()
+            parent[i] = lvl_stack[-1][1] if lvl_stack else -1
+            lvl_stack.append((lv, i))
+        children: dict[int, list[int]] = {}
+        for i, pi in enumerate(parent):
+            children.setdefault(pi, []).append(i)
+
+        def _odesc(i: int) -> int:  # open /Count = all descendants
+            return sum(1 + _odesc(c) for c in children.get(i, []))
+
+        def _otitle(t: str) -> str:
+            if all(ord(ch) < 128 for ch in t):
+                return f"({_escape_literal(t)})"
+            return "<" + (b"\xfe\xff" + t.encode("utf-16-be")).hex().upper() + ">"
+
+        for i, it in enumerate(outline):
+            sibs = children[parent[i]]
+            pos = sibs.index(i)
+            prev_s = f" /Prev {item_nums[sibs[pos - 1]]} 0 R" if pos else ""
+            next_s = (
+                f" /Next {item_nums[sibs[pos + 1]]} 0 R"
+                if pos + 1 < len(sibs)
+                else ""
+            )
+            kids_i = children.get(i, [])
+            first_s = (
+                f" /First {item_nums[kids_i[0]]} 0 R "
+                f"/Last {item_nums[kids_i[-1]]} 0 R /Count {_odesc(i)}"
+                if kids_i
+                else ""
+            )
+            par_num = root_num if parent[i] == -1 else item_nums[parent[i]]
+            pg = first_page + int(it.get("page", 0))
+            objects[item_nums[i]] = (
+                f"<< /Title {_otitle(str(it['title']))} /Parent {par_num} 0 R"
+                f"{prev_s}{next_s}{first_s} /Dest [{pg} 0 R /Fit] >>"
+            ).encode("latin-1")
+        top = children.get(-1, [])
+        objects[root_num] = (
+            (
+                f"<< /Type /Outlines /First {item_nums[top[0]]} 0 R "
+                f"/Last {item_nums[top[-1]]} 0 R /Count {_odesc(-1)} >>"
+            ).encode("latin-1")
+            if top
+            else b"<< /Type /Outlines /Count 0 >>"
+        )
+        objects[1] = (
+            f"<< /Type /Catalog /Pages 2 0 R /Outlines {root_num} 0 R >>"
+        ).encode("latin-1")
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
