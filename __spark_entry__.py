@@ -2137,6 +2137,162 @@ order by d.doc_id, idx
 """
 
 
+def q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML heading outline (r7, the <h1>-<h6> pair of q_pdf_outline):
+    a page's heading sequence kept as section metadata — pre-order idx,
+    tag-level, nested-tag-stripped whitespace-collapsed title. Entirely
+    JVM-side (one DOTALL regexp_extract_all + posexplode + per-block
+    extracts, backreference-free so RE2 runs the identical patterns);
+    the oracle rebuilds the same html and mirrors the chain, so the
+    hash proves extraction on both engines."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_headings
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<html><body><h1 class="t">Doc '),
+        ds,
+        F.lit(" &amp; Intro</h1><p>body text</p><h2>\n Sec "),
+        (d % 7).cast("string"),
+        F.lit(" <b>alpha</b>\t</h2>"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("<H3>Deep "), (d % 5).cast("string"),
+                     F.lit("</H3>")),
+        ).otherwise(F.lit("")),
+        F.lit("<h2>Closing</h2></body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .withColumn("html", html)
+    )
+    return (
+        extract_headings(docs)
+        .select("doc_id", "idx", "level", "title")
+        .orderBy("doc_id", "idx")
+    )
+
+
+_Q_HTML_OUTLINE_SQL = r"""
+with pages as (
+  select doc_id,
+    '<html><body><h1 class="t">Doc ' || doc_id ||
+    ' &amp; Intro</h1><p>body text</p><h2>' || chr(10) || ' Sec ' ||
+    (doc_id % 7) || ' <b>alpha</b>' || chr(9) || '</h2>' ||
+    case when doc_id % 2 = 0
+         then '<H3>Deep ' || (doc_id % 5) || '</H3>' else '' end ||
+    '<h2>Closing</h2></body></html>' as html
+  from documents
+), t as (
+  select doc_id,
+    unnest(list_transform(
+      regexp_extract_all(html, '(?is)<h[1-6][^>]*>.*?</h[1-6]>'),
+      (b, i) -> struct_pack(
+        idx := i - 1,
+        lvl := cast(regexp_extract(b, '(?i)^<h([1-6])', 1) as int),
+        title := trim(regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'), '[\s]+', ' ', 'g'))))) as u
+  from pages
+)
+select doc_id, cast(u.idx as int) as idx, u.lvl as level, u.title as title
+from t
+order by doc_id, idx
+"""
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (r7): the texts of the links pointing AT
+    a url describe that url — the classic web-corpus derivative behind
+    query-document training pairs and entity aliases. Whole <a> blocks
+    out of one DOTALL extract (href AND inner text), pseudo-links
+    dropped, RFC 3986 resolution, then ONE hash aggregation keyed by
+    the resolved target — the only shuffle, moving (target, short
+    text) pairs, never pages. Hub targets shared across ~n/7 docs
+    prove real cross-document reduce; texts are sorted-joined so the
+    value hash checks the full multiset."""
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        extract_anchor_texts,
+    )
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = F.concat(
+        F.lit("https://site"), (d % 5).cast("string"),
+        F.lit(".example.org/a/b/"), ds, F.lit(".html"),
+    )
+    dq, sq = chr(34), chr(39)
+    html = F.concat(
+        F.lit("<html><body><p>see <a class=" + sq + "x" + sq
+              + " href=" + dq + "https://hub"),
+        (d % 7).cast("string"),
+        F.lit(".example.org/" + dq + ">hub <b>"),
+        (d % 7).cast("string"),
+        F.lit("</b> from "), ds,
+        F.lit("</a> then <A href=" + sq + "rel/"), ds,
+        F.lit(".html" + sq + ">next\npage</A> and "
+              + "<a href=" + dq + "mailto:x@example.org" + dq
+              + ">mail me</a> "
+              + "<a href=" + dq + "/home" + dq
+              + "><img src=x></a></p></body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .withColumn("url", base)
+        .withColumn("html", html)
+    )
+    return (
+        extract_anchor_texts(docs)
+        .groupBy("resolved")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.countDistinct("doc_id").alias("n_pages"),
+            F.array_join(
+                F.array_sort(F.collect_list("anchor_text")), "|"
+            ).alias("texts"),
+        )
+        .orderBy("resolved")
+    )
+
+
+_Q_ANCHOR_TEXT_SQL = r"""
+with pages as (
+  select doc_id,
+    'https://site' || (doc_id % 5) || '.example.org/a/b/' || doc_id || '.html' as url,
+    '<html><body><p>see <a class=''x'' href="https://hub' || (doc_id % 7) ||
+    '.example.org/">hub <b>' || (doc_id % 7) || '</b> from ' || doc_id ||
+    '</a> then <A href=''rel/' || doc_id || '.html''>next' || chr(10) ||
+    'page</A> and <a href="mailto:x@example.org">mail me</a> ' ||
+    '<a href="/home"><img src=x></a></p></body></html>' as html
+  from documents
+), blocks as (
+  select doc_id, url,
+    unnest(list_transform(
+      regexp_extract_all(html, '(?is)<a[\s][^>]*>.*?</a>'),
+      b -> struct_pack(
+        href := regexp_extract(b, '(?i)href[\s]*=[\s]*["'']([^"''<>]+)["'']', 1),
+        txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'), '[\s]+', ' ', 'g'))))) as u
+  from pages
+), anchors as (
+  select doc_id,
+    case
+      when regexp_matches(u.href, '^https?://') then u.href
+      when u.href like '//%' then regexp_extract(url, '^(https?):', 1) || ':' || u.href
+      when u.href like '/%' then regexp_extract(url, '^(https?://[^/?#]+)', 1) || u.href
+      else regexp_replace(regexp_replace(url, '[?#].*$', ''), '/[^/]*$', '/') || u.href
+    end as resolved,
+    u.txt as anchor_text
+  from blocks
+  where u.href <> '' and not regexp_matches(u.href, '^(javascript:|mailto:|tel:|data:|#)')
+)
+select resolved,
+  cast(count(*) as bigint) as n_anchors,
+  cast(count(distinct doc_id) as bigint) as n_pages,
+  string_agg(anchor_text, '|' order by anchor_text) as texts
+from anchors
+group by resolved
+order by resolved
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate (r6): per-host robots bodies (two
     User-agent groups incl. a shared trainingbot/otherbot group, mixed-
@@ -4195,6 +4351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_date": q_page_date,
         "q_cdx_roundtrip": q_cdx_roundtrip,
         "q_pdf_outline": q_pdf_outline,
+        "q_html_outline": q_html_outline,
+        "q_anchor_text": q_anchor_text,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4361,6 +4519,8 @@ def oracle_sql() -> dict[str, str]:
         "q_page_date": _Q_PAGE_DATE_SQL,
         "q_cdx_roundtrip": _Q_CDX_SQL,
         "q_pdf_outline": _Q_PDF_OUTLINE_SQL,
+        "q_html_outline": _Q_HTML_OUTLINE_SQL,
+        "q_anchor_text": _Q_ANCHOR_TEXT_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,

@@ -718,3 +718,112 @@ def cdx_line(
         u,
         F.lit('"}'),
     )
+
+
+# ---------------------------------------------------------------------------
+# heading outline (r7) — the HTML side of the document-outline pair
+# (pdf_real.extract_pdf_outline is the PDF side). A page's <h1>-<h6>
+# sequence IS its section outline; training pipelines keep it as
+# structure metadata (section titles for retrieval chunking, heading
+# density as a quality signal). Codegen-only: whole-tag blocks out of
+# one DOTALL regexp_extract_all (no backreference — RE2 has none, so
+# the closing tag matches any </hN> level), posexplode for the
+# pre-order index, then per-block level digit + tag-stripped
+# whitespace-collapsed title. No XML library, no Python operator.
+
+_HEADING_BLOCK_RE = r"(?is)<h[1-6][^>]*>.*?</h[1-6]>"
+_HEADING_LEVEL_RE = r"(?i)^<h([1-6])"
+_TAG_STRIP_RE = r"<[^>]*>"
+_WS_COLLAPSE_RE = r"[\s]+"
+
+
+def extract_headings(df, html_col: str = "html") -> "DataFrame":  # noqa: F821
+    """(…, html) rows → one row per heading with (idx, level, title):
+    ``idx`` the 0-based pre-order position in the page, ``level`` the
+    1-6 tag digit, ``title`` the inner text with nested tags stripped
+    and whitespace collapsed."""
+    blocks = F.regexp_extract_all(
+        F.col(html_col), F.lit(_HEADING_BLOCK_RE), F.lit(0)
+    )
+    b = F.col("_hblock")
+    return (
+        df.select("*", F.posexplode(blocks).alias("idx", "_hblock"))
+        .withColumn(
+            "level",
+            F.regexp_extract(b, _HEADING_LEVEL_RE, 1).cast("int"),
+        )
+        .withColumn(
+            "title",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(b, _TAG_STRIP_RE, ""),
+                    _WS_COLLAPSE_RE,
+                    " ",
+                )
+            ),
+        )
+        .drop("_hblock")
+    )
+
+
+def extract_headings_duckdb(html_expr: str) -> str:
+    """DuckDB mirror: a list of (idx, level, title) STRUCTs (unnest at
+    the call site; list_transform's 1-based index supplies idx)."""
+    return f"""list_transform(
+  regexp_extract_all({html_expr}, '{_HEADING_BLOCK_RE}'),
+  (b, i) -> struct_pack(
+    idx := i - 1,
+    lvl := cast(regexp_extract(b, '{_HEADING_LEVEL_RE}', 1) as int),
+    title := trim(regexp_replace(regexp_replace(b, '{_TAG_STRIP_RE}', '', 'g'), '{_WS_COLLAPSE_RE}', ' ', 'g'))))"""
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation (r7) — the classic web-corpus link derivative:
+# the anchor texts pointing AT a url describe that url (search ranking,
+# query-document training pairs, entity aliases). Whole <a>...</a>
+# blocks from one DOTALL extract (the href-only extractor above loses
+# the text), per-block href + tag-stripped text, RFC 3986 resolution,
+# then ONE hash aggregation keyed by the resolved target — the only
+# shuffle, and it moves (target, short text) pairs, never pages.
+
+_ANCHOR_BLOCK_RE = r"(?is)<a[\s][^>]*>.*?</a>"
+
+
+def extract_anchor_texts(
+    df, html_col: str = "html", base_col: str = "url"
+) -> "DataFrame":  # noqa: F821
+    """(base url, html) rows → one row per anchor with (href, resolved,
+    anchor_text). Pseudo-links (javascript:/mailto:/tel:/data:/#) and
+    hrefless anchors are dropped; text is tag-stripped and
+    whitespace-collapsed (may be '' for image anchors)."""
+    blocks = F.regexp_extract_all(
+        F.col(html_col), F.lit(_ANCHOR_BLOCK_RE), F.lit(0)
+    )
+    b = F.col("_ablock")
+    href = F.regexp_extract(b, "(?i)" + _HREF_ATTR_RE, 1)
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(b, _TAG_STRIP_RE, ""), _WS_COLLAPSE_RE, " "
+        )
+    )
+    return (
+        df.select("*", F.explode(blocks).alias("_ablock"))
+        .withColumn("href", href)
+        .filter((F.col("href") != "") & ~F.col("href").rlike(_NONLINK_RE))
+        .withColumn("resolved", absolutize_href(base_col, "href"))
+        .withColumn("anchor_text", text)
+        .drop("_ablock")
+    )
+
+
+def extract_anchor_texts_duckdb(
+    html_expr: str, base_expr: str
+) -> str:
+    """DuckDB mirror: a list of (href, text) STRUCTs — unnest, filter,
+    and resolve (absolutize_href_duckdb) at the call site."""
+    href_pat = ("(?i)" + _HREF_ATTR_RE).replace("'", "''")
+    return f"""list_transform(
+  regexp_extract_all({html_expr}, '{_ANCHOR_BLOCK_RE}'),
+  b -> struct_pack(
+    href := regexp_extract(b, '{href_pat}', 1),
+    txt := trim(regexp_replace(regexp_replace(b, '{_TAG_STRIP_RE}', '', 'g'), '{_WS_COLLAPSE_RE}', ' ', 'g'))))"""
