@@ -2293,6 +2293,95 @@ order by resolved
 """
 
 
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (r7): every crawled url collapsed to
+    its final destination via POINTER DOUBLING — ceil(log2(cap+1)) jump
+    rounds bound the walk regardless of table size (a linear walker
+    pays one pass per hop). Synthetic chains per 8-doc group: 3-hop
+    301 chains into a 200 terminal, a 302 exit off-crawl, a 307/301
+    two-cycle, and a lone 404 — exercising exact hop counts, external
+    exits, and the unresolved cap. Oracle = a DuckDB recursive CTE
+    walking the same functional graph linearly to the same 16-hop cap;
+    hash-equality proves hop arithmetic, terminal statuses, and all
+    three dispositions. NULLs are coalesced to sentinels on both sides
+    (cross-engine NULL-dtype discipline)."""
+    from deepseek_ocr_api_rs_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    d = F.col("doc_id")
+    r = d % 8
+    purl = lambda expr: F.concat(  # noqa: E731
+        F.lit("https://crawl.example.org/p/"), expr.cast("string")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(n_parts, "doc_id")
+        .select(
+            purl(d).alias("url"),
+            F.when(r == 3, 200).when(r == 7, 404).when(r == 4, 302)
+            .when(r == 6, 307).otherwise(301)
+            .cast("int")
+            .alias("status"),
+            F.when(r.isin(0, 1, 2, 5), purl(d + 1))
+            .when(r == 6, purl(d - 1))
+            .when(
+                r == 4,
+                F.concat(F.lit("https://offsite.example.net/x/"),
+                         d.cast("string")),
+            )
+            .alias("location"),
+        )
+    )
+    return (
+        resolve_redirects(pages, max_hops=16)
+        .select(
+            "url",
+            F.coalesce("final_url", F.lit("")).alias("final_url"),
+            F.coalesce("final_status", F.lit(-1)).cast("int")
+            .alias("final_status"),
+            "hops",
+            "disposition",
+        )
+        .orderBy("url")
+    )
+
+
+_Q_REDIRECT_CHAINS_SQL = r"""
+with recursive pages as (
+  select 'https://crawl.example.org/p/' || doc_id as url,
+    cast(case (doc_id % 8) when 3 then 200 when 7 then 404
+         when 4 then 302 when 6 then 307 else 301 end as int) as status,
+    case when doc_id % 8 in (0, 1, 2, 5) then 'https://crawl.example.org/p/' || (doc_id + 1)
+         when doc_id % 8 = 6 then 'https://crawl.example.org/p/' || (doc_id - 1)
+         when doc_id % 8 = 4 then 'https://offsite.example.net/x/' || doc_id
+         end as location
+  from documents
+), walk(url, cur, hops) as (
+  select url, url, cast(0 as bigint) from pages
+  union all
+  select w.url, p.location, w.hops + 1
+  from walk w join pages p on p.url = w.cur
+  where p.location is not null and w.hops < 16
+), fin as (
+  select w.url, w.cur, w.hops,
+    row_number() over (partition by w.url order by w.hops desc) as rn
+  from walk w
+)
+select f.url,
+  coalesce(case when p.url is null or p.location is null then f.cur end, '') as final_url,
+  cast(coalesce(case when p.url is not null and p.location is null then p.status end, -1) as int) as final_status,
+  cast(case when p.url is not null and p.location is not null then 16 else f.hops end as bigint) as hops,
+  case when p.url is not null and p.location is not null then 'unresolved'
+       when p.url is null then 'external' else 'ok' end as disposition
+from fin f left join pages p on p.url = f.cur
+where f.rn = 1
+order by f.url
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate (r6): per-host robots bodies (two
     User-agent groups incl. a shared trainingbot/otherbot group, mixed-
@@ -4353,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pdf_outline": q_pdf_outline,
         "q_html_outline": q_html_outline,
         "q_anchor_text": q_anchor_text,
+        "q_redirect_chains": q_redirect_chains,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4521,6 +4611,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pdf_outline": _Q_PDF_OUTLINE_SQL,
         "q_html_outline": _Q_HTML_OUTLINE_SQL,
         "q_anchor_text": _Q_ANCHOR_TEXT_SQL,
+        "q_redirect_chains": _Q_REDIRECT_CHAINS_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,
