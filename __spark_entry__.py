@@ -2382,6 +2382,112 @@ order by f.url
 """
 
 
+def q_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction + GPS scrub (r7): the image-side PII pass. Per
+    doc a REAL baseline JPEG gets a REAL APP1 Exif segment (TIFF IFD0 →
+    Exif sub-IFD, GPS IFD on every third doc; GPS rationals written
+    with fixed 1/1/1000 denominators so every field is integer-exact),
+    then the parser surfaces the fields and strip_gps canonically
+    rebuilds the APP1 WITHOUT the GPS IFD — orientation/timestamps
+    survive, the entropy stream is byte-identical (tail_unchanged
+    asserts it per doc), and the re-parse proves the coordinates are
+    gone. Oracle reproduces all fields with integer arithmetic. Two
+    Arrow stages after an explicit repartition."""
+    import pandas as pd
+
+    from deepseek_ocr_api_rs_spark.extraction.exif import (
+        insert_exif,
+        parse_exif,
+        strip_gps,
+    )
+    from deepseek_ocr_api_rs_spark.operators.multimodal import (
+        make_jpeg_bytes,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "make": [], "model": [], "orientation": [],
+                "datetime_original": [], "has_gps": [], "lat_deg": [],
+                "lat_min": [], "lat_sec_milli": [], "lat_ref": [],
+                "gps_after_scrub": [], "tail_unchanged": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                raw = make_jpeg_bytes(16 + d % 48, 16 + d % 32)
+                fields = {
+                    "make": f"Cam{d % 5}",
+                    "model": f"M{d % 3}",
+                    "orientation": 1 + d % 8,
+                    "datetime": f"2023:01:{1 + d % 28:02d} 12:{d % 60:02d}:05",
+                    "datetime_original":
+                        f"2023:01:{1 + d % 28:02d} 11:{d % 60:02d}:00",
+                }
+                if d % 3 == 0:
+                    fields["gps"] = {
+                        "lat_ref": "N" if d % 2 == 0 else "S",
+                        "lat": (d % 90, d % 60, (d * 37) % 60000),
+                        "lon_ref": "E" if d % 4 < 2 else "W",
+                        "lon": (d % 180, (d * 7) % 60, (d * 11) % 60000),
+                    }
+                tagged = insert_exif(raw, fields)
+                m = parse_exif(tagged)
+                scrubbed = strip_gps(tagged)
+                m2 = parse_exif(scrubbed)
+                g = m["gps"]
+                out["doc_id"].append(d)
+                out["make"].append(m["make"])
+                out["model"].append(m["model"])
+                out["orientation"].append(m["orientation"])
+                out["datetime_original"].append(m["datetime_original"])
+                out["has_gps"].append(int(g is not None))
+                out["lat_deg"].append(g["lat"][0] if g else -1)
+                out["lat_min"].append(g["lat"][1] if g else -1)
+                out["lat_sec_milli"].append(g["lat"][2] if g else -1)
+                out["lat_ref"].append(g["lat_ref"] if g else "")
+                out["gps_after_scrub"].append(
+                    int(m2["gps"] is not None)
+                )
+                out["tail_unchanged"].append(
+                    int(scrubbed.endswith(raw[2:]))
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, make string, model string, orientation int, "
+        "datetime_original string, has_gps int, lat_deg int, "
+        "lat_min int, lat_sec_milli int, lat_ref string, "
+        "gps_after_scrub int, tail_unchanged int"
+    )
+    return docs.mapInPandas(gen, schema=schema).orderBy("doc_id")
+
+
+_Q_EXIF_SQL = r"""
+select doc_id,
+  'Cam' || (doc_id % 5) as make,
+  'M' || (doc_id % 3) as model,
+  cast(1 + doc_id % 8 as int) as orientation,
+  '2023:01:' || lpad(cast(1 + doc_id % 28 as varchar), 2, '0')
+    || ' 11:' || lpad(cast(doc_id % 60 as varchar), 2, '0') || ':00'
+    as datetime_original,
+  cast(case when doc_id % 3 = 0 then 1 else 0 end as int) as has_gps,
+  cast(case when doc_id % 3 = 0 then doc_id % 90 else -1 end as int) as lat_deg,
+  cast(case when doc_id % 3 = 0 then doc_id % 60 else -1 end as int) as lat_min,
+  cast(case when doc_id % 3 = 0 then (doc_id * 37) % 60000 else -1 end as int) as lat_sec_milli,
+  case when doc_id % 3 = 0 then (case when doc_id % 2 = 0 then 'N' else 'S' end) else '' end as lat_ref,
+  cast(0 as int) as gps_after_scrub,
+  cast(1 as int) as tail_unchanged
+from documents
+order by doc_id
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate (r6): per-host robots bodies (two
     User-agent groups incl. a shared trainingbot/otherbot group, mixed-
@@ -4443,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_outline": q_html_outline,
         "q_anchor_text": q_anchor_text,
         "q_redirect_chains": q_redirect_chains,
+        "q_exif": q_exif,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4612,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
         "q_html_outline": _Q_HTML_OUTLINE_SQL,
         "q_anchor_text": _Q_ANCHOR_TEXT_SQL,
         "q_redirect_chains": _Q_REDIRECT_CHAINS_SQL,
+        "q_exif": _Q_EXIF_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,
