@@ -2488,6 +2488,81 @@ order by doc_id
 """
 
 
+def q_pdf_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF embedded files (r7, §7.11): crawled PDFs carry source
+    documents and datasets as attachments the page text never shows.
+    Per doc a REAL PDF gets two embedded files through the
+    /EmbeddedFiles name tree (sorted keys, /Filespec → /EF stream,
+    Flate on even docs), then extract_pdf_attachments resolves the tree
+    through the same xref-overlaid scan and filter chain as the text
+    parser. ASCII payloads are surfaced verbatim so the oracle
+    reproduces names, mimes, decoded sizes, and contents with string
+    arithmetic. Two Arrow stages, no shuffle after the spread."""
+    import pandas as pd
+
+    from deepseek_ocr_api_rs_spark.extraction.pdf_real import (
+        extract_pdf_attachments,
+        make_pdf_bytes,
+    )
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        n_parts, "doc_id"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "idx": [], "name": [], "mime": [],
+                   "size": [], "content": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                spans = [
+                    {"page": 0, "x0": 40.0, "y0": 90.0, "x1": 200.0,
+                     "y1": 102.0, "text": f"doc {d} body"}
+                ]
+                atts = [
+                    {"name": f"doc{d}-notes.txt", "mime": "text/plain",
+                     "data": (f"att,{d},1," + "x" * (d % 17)).encode()},
+                    {"name": f"data-{d % 7}.csv", "mime": "text/csv",
+                     "data": f"a,b\n{d},{d % 7}\n".encode()},
+                ]
+                blob = make_pdf_bytes(
+                    spans, attachments=atts, compress=d % 2 == 0
+                )
+                for a in extract_pdf_attachments(blob) or []:
+                    out["doc_id"].append(d)
+                    out["idx"].append(a["idx"])
+                    out["name"].append(a["name"])
+                    out["mime"].append(a["mime"])
+                    out["size"].append(a["size"])
+                    out["content"].append(a["data"].decode("ascii"))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gen,
+        schema="doc_id long, idx int, name string, mime string, "
+               "size int, content string",
+    ).orderBy("doc_id", "idx")
+
+
+_Q_PDF_ATTACHMENTS_SQL = r"""
+with rows as (
+  select d.doc_id, cast(k.k as int) as idx,
+    case k.k when 0 then 'data-' || (d.doc_id % 7) || '.csv'
+             else 'doc' || d.doc_id || '-notes.txt' end as name,
+    case k.k when 0 then 'text/csv' else 'text/plain' end as mime,
+    case k.k when 0 then 'a,b' || chr(10) || d.doc_id || ',' || (d.doc_id % 7) || chr(10)
+             else 'att,' || d.doc_id || ',1,' || repeat('x', d.doc_id % 17) end as content
+  from documents d, (values (0), (1)) k(k)
+)
+select doc_id, idx, name, mime,
+  cast(strlen(content) as int) as size, content
+from rows
+order by doc_id, idx
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate (r6): per-host robots bodies (two
     User-agent groups incl. a shared trainingbot/otherbot group, mixed-
@@ -4550,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": q_anchor_text,
         "q_redirect_chains": q_redirect_chains,
         "q_exif": q_exif,
+        "q_pdf_attachments": q_pdf_attachments,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4720,6 +4796,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anchor_text": _Q_ANCHOR_TEXT_SQL,
         "q_redirect_chains": _Q_REDIRECT_CHAINS_SQL,
         "q_exif": _Q_EXIF_SQL,
+        "q_pdf_attachments": _Q_PDF_ATTACHMENTS_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,

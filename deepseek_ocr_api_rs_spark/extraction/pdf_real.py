@@ -1911,6 +1911,143 @@ def extract_pdf_outline(data: bytes) -> list[dict] | None:
     return items
 
 
+_EMBEDDED_FILES_RE = re.compile(rb"/EmbeddedFiles\s+(\d+)\s+\d+\s+R")
+_EF_F_RE = re.compile(rb"/EF\s*<<[^>]*?/U?F\s+(\d+)\s+\d+\s+R")
+_SUBTYPE_NAME_RE = re.compile(rb"/Subtype\s*/([^\s/<>\[\]()]+)")
+_NAMES_ARR_RE = re.compile(rb"/Names\s*\[", re.S)
+_REF_AT_RE = re.compile(rb"\s*(\d+)\s+\d+\s+R")
+
+
+def _pdf_text(raw: bytes) -> str:
+    """§7.9.2.2 text-string decode: UTF-16BE when BOM'd, else the
+    PDFDocEncoding subset through latin-1."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+def _name_pairs(head: bytes) -> list[tuple[str, int]]:
+    """A name-tree node's /Names [ (key) ref ... ] pairs (literal or
+    hex keys). Malformed entries end the scan (never raise)."""
+    m = _NAMES_ARR_RE.search(head)
+    if m is None:
+        return []
+    i, n = m.end(), len(head)
+    pairs: list[tuple[str, int]] = []
+    while i < n:
+        while i < n and head[i] in b" \t\r\n":
+            i += 1
+        if i >= n or head[i : i + 1] == b"]":
+            break
+        if head[i : i + 1] == b"(":
+            raw, i = _parse_literal_string(head, i)
+        elif head[i : i + 1] == b"<" and head[i : i + 2] != b"<<":
+            j = head.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", head[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                raw = bytes.fromhex(hx.decode())
+            except ValueError:
+                break
+            i = j + 1
+        else:
+            break
+        rm = _REF_AT_RE.match(head, i)
+        if rm is None:
+            break
+        pairs.append((_pdf_text(raw), int(rm.group(1))))
+        i = rm.end()
+    return pairs
+
+
+def extract_pdf_attachments(data: bytes) -> list[dict] | None:
+    """Embedded files (PDF 32000 §7.11.4, the /EmbeddedFiles name tree)
+    → [{idx, name, mime, size, data}] in name-tree (sorted-key) order.
+    Crawled PDFs carry source documents, datasets and machine-readable
+    invoices as attachments — corpus-side, they are extractable
+    payloads the page text never shows (the reference renders pages
+    and would silently drop them, crates/server/src/generation.rs:276).
+    Each filespec's /EF stream is resolved through the same
+    xref-overlaid object scan and run through the standard filter
+    chain; ``mime`` decodes the /Subtype name's #xx escapes; ``size``
+    is the DECODED byte length (cross-checked against /Params /Size
+    when present — a mismatch keeps the decoded truth). /Kids nodes
+    recurse with a cycle guard. Returns None when the document has no
+    embedded-files tree."""
+    int_objs = _scan_int_objects(data)
+    objs = _extract_objects(data, int_objs)
+    xobjs, objstm_members = _xref_objects(data, int_objs)
+    objs.update(xobjs)
+    if not objs:
+        return None
+    if not _decrypt_objects(data, objs):
+        return None
+    _expand_object_streams(objs, authoritative=objstm_members)
+    node_ref = None
+    for _n, (h, _s) in sorted(objs.items()):
+        if _CATALOG_TYPE_RE.search(h):
+            m = _EMBEDDED_FILES_RE.search(h)
+            if m:
+                node_ref = int(m.group(1))
+                break
+    if node_ref is None or node_ref not in objs:
+        return None
+
+    pairs: list[tuple[str, int]] = []
+    seen: set[int] = set()
+
+    def _walk_node(num: int) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        head = objs[num][0]
+        km = _KIDS_RE.search(head)
+        if km is not None:
+            for r in _REF_RE.findall(km.group(1)):
+                _walk_node(int(r))
+        pairs.extend(_name_pairs(head))
+
+    _walk_node(node_ref)
+    out: list[dict] = []
+    for name, fs_num in pairs:
+        if fs_num not in objs:
+            continue
+        fs_head = objs[fs_num][0]
+        em = _EF_F_RE.search(fs_head)
+        if em is None:
+            continue
+        st_num = int(em.group(1))
+        if st_num not in objs:
+            continue
+        st_head, st_raw = objs[st_num]
+        if st_raw is None:
+            continue
+        dec = _decode_stream(st_head, st_raw)
+        if dec is None:
+            continue
+        sm = _SUBTYPE_NAME_RE.search(st_head)
+        mime = ""
+        if sm is not None:
+            mime = re.sub(
+                rb"#([0-9A-Fa-f]{2})",
+                lambda m: bytes([int(m.group(1), 16)]),
+                sm.group(1),
+            ).decode("latin-1")
+        out.append(
+            {
+                "idx": len(out),
+                "name": name,
+                "mime": mime,
+                "size": len(dec),
+                "data": dec,
+            }
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # image XObjects (§8.9) — the embedded raster payloads of a crawled PDF
 
@@ -2128,6 +2265,7 @@ def make_pdf_bytes(
     links: list[dict] | None = None,
     cid_cmap: str | None = None,
     outline: list[dict] | None = None,
+    attachments: list[dict] | None = None,
 ) -> bytes:
     """Assemble a real single/multi-page CLASSIC-dialect PDF from top-down
     span dicts: uncompressed dicts, classic xref table, literal strings.
@@ -2176,6 +2314,8 @@ def make_pdf_bytes(
         raise ValueError("links write plain URI strings; no encrypt")
     if outline and encrypt:
         raise ValueError("outline writes plain title strings; no encrypt")
+    if attachments and encrypt:
+        raise ValueError("attachments write plain streams; no encrypt")
 
     if stream_filter is None and compress:
         stream_filter = "flate"
@@ -2383,6 +2523,7 @@ def make_pdf_bytes(
                 f"[{float(ln['x0']):g} {ry0:g} {float(ln['x1']):g} {ry1:g}] "
                 f"/Border [0 0 0] /A << /S /URI /URI ({uri}) >> >>"
             ).encode("latin-1")
+    catalog_extras = ""
     if outline:
         first_outline = first_annot + n_annots
         root_num = first_outline
@@ -2438,8 +2579,50 @@ def make_pdf_bytes(
             if top
             else b"<< /Type /Outlines /Count 0 >>"
         )
+        catalog_extras += f" /Outlines {root_num} 0 R"
+    att_streams: list[tuple[int, str, bytes]] = []
+    if attachments:
+        first_att = (
+            first_annot + n_annots + (1 + len(outline) if outline else 0)
+        )
+        node_num = first_att
+        fs_nums = [first_att + 1 + 2 * i for i in range(len(attachments))]
+        st_nums = [first_att + 2 + 2 * i for i in range(len(attachments))]
+        def _str_tok(t: str) -> str:
+            # §7.9.2.2: ASCII as escaped literal, else BOM'd UTF-16BE hex
+            if all(ord(ch) < 128 for ch in t):
+                return f"({_escape_literal(t)})"
+            return (
+                "<" + (b"\xfe\xff" + t.encode("utf-16-be")).hex().upper()
+                + ">"
+            )
+
+        order = sorted(
+            range(len(attachments)),
+            key=lambda i: str(attachments[i]["name"]),
+        )
+        pairs = " ".join(
+            f"{_str_tok(str(attachments[i]['name']))} {fs_nums[i]} 0 R"
+            for i in order
+        )
+        objects[node_num] = f"<< /Names [{pairs}] >>".encode("latin-1")
+        for i, att in enumerate(attachments):
+            desc = att.get("desc", "")
+            desc_s = (
+                f" /Desc {_str_tok(str(desc))}" if desc else ""
+            )
+            nm = _str_tok(str(att["name"]))
+            objects[fs_nums[i]] = (
+                f"<< /Type /Filespec /F {nm} /UF {nm}"
+                f"{desc_s} /EF << /F {st_nums[i]} 0 R >> >>"
+            ).encode("latin-1")
+            att_streams.append(
+                (st_nums[i], str(att.get("mime", "")), bytes(att["data"]))
+            )
+        catalog_extras += f" /Names << /EmbeddedFiles {node_num} 0 R >>"
+    if catalog_extras:
         objects[1] = (
-            f"<< /Type /Catalog /Pages 2 0 R /Outlines {root_num} 0 R >>"
+            f"<< /Type /Catalog /Pages 2 0 R{catalog_extras} >>"
         ).encode("latin-1")
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -2505,7 +2688,33 @@ def make_pdf_bytes(
             + raw
             + b"\nendstream\nendobj\n"
         )
-    n_objs = first_form + len(form_pages) + n_annots
+    for num, mime, data in att_streams:
+        if compress:
+            payload = zlib.compress(data, 9)
+            filt = " /Filter /FlateDecode"
+        else:
+            payload, filt = data, ""
+        subtype = (
+            " /Subtype /" + "".join(
+                ch if (ch.isalnum() or ch in "-+.") else f"#{ord(ch):02X}"
+                for ch in mime
+            )
+            if mime
+            else ""
+        )
+        offsets[num] = len(out)
+        out += (
+            f"{num} 0 obj\n<< /Type /EmbeddedFile{subtype} "
+            f"/Length {len(payload)}{filt} "
+            f"/Params << /Size {len(data)} >> >>\nstream\n".encode()
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+    n_objs = (
+        first_form + len(form_pages) + n_annots
+        + (1 + len(outline) if outline else 0)
+        + (1 + 2 * len(attachments) if attachments else 0)
+    )
     trailer_extra = ""
     if enc_key is not None:
         enc_num = n_objs
