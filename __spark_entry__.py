@@ -2563,6 +2563,99 @@ order by doc_id, idx
 """
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (r7, the Web-Data-Commons web-tables
+    shape): relational data published as <table> markup, normalized to
+    one row per CELL — three codegen extract+posexplode levels (tables
+    → rows → cells), per-cell tag-strip, th/td header flag. Pages get a
+    variable-shape table (1 header + 1-3 data rows built with
+    sequence/transform — still pure JVM) plus a second one-cell table
+    on odd docs. The DuckDB oracle rebuilds the same html and mirrors
+    the chain with indexed list_transform+unnest, so the hash proves
+    block extraction, position arithmetic, and cell text on both
+    engines."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_tables
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    header = F.concat(
+        F.lit("<tr><th>name</th><th>v"), (d % 5).cast("string"),
+        F.lit("</th></tr>"),
+    )
+    data_rows = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), d % 3),
+            lambda r: F.concat(
+                F.lit("<tr><td>item "), ds, F.lit("-"), r.cast("string"),
+                F.lit("</td><td>"),
+                ((d * (r + 2)) % 97).cast("string"),
+                F.lit("</td></tr>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit("<html><body><p>pre</p><table id=x>"),
+        header, data_rows, F.lit("</table>"),
+        F.when(
+            d % 2 == 1,
+            F.concat(F.lit("<table><tr><td>solo "),
+                     (d % 9).cast("string"),
+                     F.lit("</td></tr></table>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .withColumn("html", html)
+    )
+    return (
+        extract_tables(docs)
+        .select("doc_id", "table_idx", "row_idx", "col_idx",
+                "is_header", "cell_text")
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    )
+
+
+_Q_HTML_TABLES_SQL = r"""
+with pages as (
+  select doc_id,
+    '<html><body><p>pre</p><table id=x>'
+    || '<tr><th>name</th><th>v' || (doc_id % 5) || '</th></tr>'
+    || array_to_string(list_transform(range(0, cast(doc_id % 3 as int) + 1),
+         r -> '<tr><td>item ' || doc_id || '-' || r || '</td><td>'
+           || ((doc_id * (r + 2)) % 97) || '</td></tr>'), '')
+    || '</table>'
+    || case when doc_id % 2 = 1
+       then '<table><tr><td>solo ' || (doc_id % 9) || '</td></tr></table>'
+       else '' end
+    || '</body></html>' as html
+  from documents
+), t1 as (
+  select doc_id, unnest(list_transform(
+    regexp_extract_all(html, '(?is)<table[^>]*>.*?</table>'),
+    (b, i) -> struct_pack(ti := i - 1, tbl := b))) as u
+  from pages
+), t2 as (
+  select doc_id, u.ti as table_idx, unnest(list_transform(
+    regexp_extract_all(u.tbl, '(?is)<tr[^>]*>.*?</tr>'),
+    (b, i) -> struct_pack(ri := i - 1, tr := b))) as v
+  from t1
+), t3 as (
+  select doc_id, table_idx, v.ri as row_idx, unnest(list_transform(
+    regexp_extract_all(v.tr, '(?is)<t[dh][^>]*>.*?</t[dh]>'),
+    (b, i) -> struct_pack(ci := i - 1, cell := b))) as w
+  from t2
+)
+select doc_id, cast(table_idx as int) as table_idx,
+  cast(row_idx as int) as row_idx, cast(w.ci as int) as col_idx,
+  cast(regexp_matches(w.cell, '(?i)^<th') as int) as is_header,
+  trim(regexp_replace(regexp_replace(w.cell, '<[^>]*>', '', 'g'), '[\s]+', ' ', 'g')) as cell_text
+from t3
+order by doc_id, table_idx, row_idx, col_idx
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness gate (r6): per-host robots bodies (two
     User-agent groups incl. a shared trainingbot/otherbot group, mixed-
@@ -4626,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirect_chains": q_redirect_chains,
         "q_exif": q_exif,
         "q_pdf_attachments": q_pdf_attachments,
+        "q_html_tables": q_html_tables,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4797,6 +4891,7 @@ def oracle_sql() -> dict[str, str]:
         "q_redirect_chains": _Q_REDIRECT_CHAINS_SQL,
         "q_exif": _Q_EXIF_SQL,
         "q_pdf_attachments": _Q_PDF_ATTACHMENTS_SQL,
+        "q_html_tables": _Q_HTML_TABLES_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,

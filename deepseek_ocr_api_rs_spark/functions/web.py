@@ -827,3 +827,54 @@ def extract_anchor_texts_duckdb(
   b -> struct_pack(
     href := regexp_extract(b, '{href_pat}', 1),
     txt := trim(regexp_replace(regexp_replace(b, '{_TAG_STRIP_RE}', '', 'g'), '{_WS_COLLAPSE_RE}', ' ', 'g'))))"""
+
+
+# ---------------------------------------------------------------------------
+# HTML table extraction (r7) — the Web-Data-Commons web-tables shape:
+# relational data published as <table> markup, normalized to one row per
+# CELL with (table_idx, row_idx, col_idx, is_header, text). Three
+# codegen extract+posexplode levels (tables → rows → cells), per-cell
+# tag-strip + whitespace-collapse. Regex-level scope: NON-NESTED tables
+# (an inner <table> inside a cell ends the outer block early — the
+# corpus writer never nests; a tree parser is the escalation path, not
+# a regex fix). No XML library, no Python operator.
+
+_TABLE_BLOCK_RE = r"(?is)<table[^>]*>.*?</table>"
+_TR_BLOCK_RE = r"(?is)<tr[^>]*>.*?</tr>"
+_CELL_BLOCK_RE = r"(?is)<t[dh][^>]*>.*?</t[dh]>"
+_TH_RE = r"(?i)^<th"
+
+
+def extract_tables(df, html_col: str = "html") -> "DataFrame":  # noqa: F821
+    """(…, html) rows → one row per table CELL: (table_idx, row_idx,
+    col_idx, is_header, cell_text), all 0-based pre-order positions."""
+    tables = F.regexp_extract_all(
+        F.col(html_col), F.lit(_TABLE_BLOCK_RE), F.lit(0)
+    )
+    step1 = df.select(
+        "*", F.posexplode(tables).alias("table_idx", "_tbl")
+    )
+    trs = F.regexp_extract_all(F.col("_tbl"), F.lit(_TR_BLOCK_RE), F.lit(0))
+    step2 = step1.select(
+        "*", F.posexplode(trs).alias("row_idx", "_tr")
+    ).drop("_tbl")
+    cells = F.regexp_extract_all(
+        F.col("_tr"), F.lit(_CELL_BLOCK_RE), F.lit(0)
+    )
+    c = F.col("_cell")
+    return (
+        step2.select("*", F.posexplode(cells).alias("col_idx", "_cell"))
+        .drop("_tr")
+        .withColumn("is_header", c.rlike(_TH_RE).cast("int"))
+        .withColumn(
+            "cell_text",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(c, _TAG_STRIP_RE, ""),
+                    _WS_COLLAPSE_RE,
+                    " ",
+                )
+            ),
+        )
+        .drop("_cell")
+    )

@@ -100,3 +100,43 @@ def test_outline_and_anchor_plans_are_pure_jvm(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                        "FlatMapGroupsInPandas"):
             assert marker not in plan, (name, plan[:2000])
+
+
+def test_table_cells_positions_header_flag_and_tag_strip(spark):
+    html = (
+        "<table><tr><th> H1 </th><th>H2</th></tr>"
+        "<tr><td>a</td><td><b>b</b> c</td></tr></table>"
+        "<p>x</p><table><tr><td>solo</td></tr></table>"
+    )
+    from deepseek_ocr_api_rs_spark.functions.web import extract_tables
+
+    rows = (
+        extract_tables(_page(spark, html))
+        .select("table_idx", "row_idx", "col_idx", "is_header",
+                "cell_text")
+        .orderBy("table_idx", "row_idx", "col_idx")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [
+        (0, 0, 0, 1, "H1"),
+        (0, 0, 1, 1, "H2"),
+        (0, 1, 0, 0, "a"),
+        (0, 1, 1, 0, "b c"),
+        (1, 0, 0, 0, "solo"),
+    ]
+
+
+def test_tableless_page_yields_no_rows(spark):
+    from deepseek_ocr_api_rs_spark.functions.web import extract_tables
+
+    assert extract_tables(_page(spark, "<p>nope</p>")).count() == 0
+
+
+def test_tables_plan_is_pure_jvm(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_html_tables"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
