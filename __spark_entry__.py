@@ -4591,6 +4591,102 @@ def q_extract_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-extraction over the snapshot log (r7) — THE 100 TB
+    lever composed end-to-end: when 1/7 of a 10^12-page table changes,
+    the pipeline must re-extract ONLY those pages, not the corpus.
+    Flow: pages v1 committed → full extraction committed as results v1 →
+    an update batch MERGEs new html for every 7th doc → the CHANGELOG
+    scan (net row changes from the manifest chain, no full-table diff)
+    names the changed urls → ONLY those pages re-extract (broadcast
+    semi-join; the big table never shuffles) → results MERGE in. The
+    proof columns are computed from REAL comparisons: ``recomputed``
+    comes from changelog membership and ``equal_to_full`` from a
+    column-wise join against a from-scratch recompute of v2 — so the
+    arithmetic oracle (changed = recomputed = doc_id%7==0, equal = 1
+    everywhere) certifies both the incremental plumbing and extractor
+    determinism."""
+    from deepseek_ocr_api_rs_spark.operators.extract import (
+        extract_documents,
+    )
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        merge_into,
+        read_changelog,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    _ensure_shipped(spark)
+    res_cols = ["url", "branch", "extracted_text", "n_chars",
+                "n_blocks_total", "n_blocks_accepted"]
+    pages = _synth_pages(spark, sf_dir).persist()
+    table = _staging_dir("incr_pages_") + "/pages"
+    res_table = _staging_dir("incr_res_") + "/results"
+    write_snapshot(pages.repartition(4, "url"), table, mode="append")
+    res_v1 = extract_documents(read_snapshot(spark, table)).select(*res_cols)
+    write_snapshot(res_v1.repartition(4, "url"), res_table, mode="append")
+
+    doc_num = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    updated_html = F.encode(
+        F.regexp_replace(
+            F.decode("html", "UTF-8"),
+            "</main>",
+            "<p>fresh update for this page brings new text and a"
+            " longer paragraph body</p></main>",
+        ),
+        "UTF-8",
+    )
+    changed_pages = pages.filter(doc_num % 7 == 0).withColumn(
+        "html", updated_html
+    )
+    merge_into(spark, table, changed_pages, key_col="url")
+
+    changed_urls = (
+        read_changelog(spark, table, from_version=1)
+        .filter(F.col("_change_type") == "insert")
+        .select("url")
+        .distinct()
+        .persist()
+    )
+    cur_pages = read_snapshot(spark, table)
+    inc = extract_documents(
+        cur_pages.join(F.broadcast(changed_urls), "url")
+    ).select(*res_cols)
+    merge_into(spark, res_table, inc, key_col="url")
+
+    final = read_snapshot(spark, res_table).select(*res_cols)
+    full = extract_documents(cur_pages).select(*res_cols)
+    a, b = final.alias("a"), full.alias("b")
+    eq = F.lit(True)
+    for c in res_cols[1:]:
+        eq = eq & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, "url")
+        .select("url", eq.cast("int").alias("equal_to_full"))
+        .join(
+            changed_urls.withColumn("recomputed", F.lit(1)), "url", "left"
+        )
+        .select(
+            "url",
+            (doc_num % 7 == 0).cast("int").alias("changed"),
+            F.coalesce("recomputed", F.lit(0)).cast("int")
+            .alias("recomputed"),
+            "equal_to_full",
+        )
+        .orderBy("url")
+    )
+
+
+_Q_INCREMENTAL_EXTRACT_SQL = r"""
+select 'https://synth.example.org/doc/' || doc_id as url,
+  cast(case when doc_id % 7 = 0 then 1 else 0 end as int) as changed,
+  cast(case when doc_id % 7 = 0 then 1 else 0 end as int) as recomputed,
+  cast(1 as int) as equal_to_full
+from documents
+order by url
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data quality gate (gopher-style rule stack):
     keep docs passing length + quality + repetition + lang-agreement rules,
@@ -4720,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exif": q_exif,
         "q_pdf_attachments": q_pdf_attachments,
         "q_html_tables": q_html_tables,
+        "q_incremental_extract": q_incremental_extract,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
         "q_politeness": q_politeness,
@@ -4892,6 +4989,7 @@ def oracle_sql() -> dict[str, str]:
         "q_exif": _Q_EXIF_SQL,
         "q_pdf_attachments": _Q_PDF_ATTACHMENTS_SQL,
         "q_html_tables": _Q_HTML_TABLES_SQL,
+        "q_incremental_extract": _Q_INCREMENTAL_EXTRACT_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,
         "q_politeness": _Q_POLITENESS_SQL,
