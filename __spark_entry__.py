@@ -4591,6 +4591,92 @@ def q_extract_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_page_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-asset inventory (r7): the subresources a page pulls in —
+    the page-requisites side of crawl planning. ONE codegen extract
+    over a combined img/script/iframe/link alternation (a single pass
+    over the html, not one scan per kind), per-block kind + src/href
+    fields, rel=stylesheet gating for <link>, RFC 3986 resolution.
+    Inline scripts (no src) drop; rel=icon links belong to
+    indexability, not here. Mirrored pattern-for-pattern in DuckDB."""
+    from deepseek_ocr_api_rs_spark.functions.web import extract_assets
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = F.concat(
+        F.lit("https://site"), (d % 5).cast("string"),
+        F.lit(".example.org/a/b/"), ds, F.lit(".html"),
+    )
+    dq, sq = chr(34), chr(39)
+    html = F.concat(
+        F.lit("<html><head><link rel=" + dq + "stylesheet" + dq
+              + " href=" + dq + "/css/main"),
+        (d % 3).cast("string"),
+        F.lit(".css" + dq + "><link rel=" + sq + "icon" + sq
+              + " href=" + sq + "/favicon.ico" + sq + ">"
+              + "<script>inline();</script>"
+              + "<script src=" + sq + "https://cdn"),
+        (d % 4).cast("string"),
+        F.lit(".example.net/app.js" + sq + "></script></head><body>"
+              + "<img alt=" + dq + "x" + dq + " src=" + dq + "img/"),
+        ds,
+        F.lit(".png" + dq + "><iframe src=" + sq + "//embed"),
+        (d % 2).cast("string"),
+        F.lit(".example.net/w" + sq + "></iframe></body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .withColumn("url", base)
+        .withColumn("html", html)
+    )
+    return (
+        extract_assets(docs)
+        .select("doc_id", "kind", "src", "resolved")
+        .orderBy("doc_id", "kind", "src")
+    )
+
+
+_Q_PAGE_ASSETS_SQL = r"""
+with pages as (
+  select doc_id,
+    'https://site' || (doc_id % 5) || '.example.org/a/b/' || doc_id || '.html' as url,
+    '<html><head><link rel="stylesheet" href="/css/main' || (doc_id % 3) ||
+    '.css"><link rel=''icon'' href=''/favicon.ico''>' ||
+    '<script>inline();</script>' ||
+    '<script src=''https://cdn' || (doc_id % 4) || '.example.net/app.js''></script></head><body>' ||
+    '<img alt="x" src="img/' || doc_id || '.png">' ||
+    '<iframe src=''//embed' || (doc_id % 2) || '.example.net/w''></iframe></body></html>' as html
+  from documents
+), blocks as (
+  select doc_id, url,
+    unnest(regexp_extract_all(html, '(?is)<(?:img|script|iframe|link)[\s][^>]*>')) as b
+  from pages
+), fields as (
+  select doc_id, url,
+    lower(regexp_extract(b, '(?i)^<(img|script|iframe|link)', 1)) as tag,
+    case when lower(regexp_extract(b, '(?i)^<(img|script|iframe|link)', 1)) = 'link'
+         then case when regexp_matches(b, '(?i)rel[\s]*=[\s]*["'']stylesheet["'']')
+                   then regexp_extract(b, '(?i)href[\s]*=[\s]*["'']([^"''<>]+)["'']', 1)
+                   else '' end
+         else regexp_extract(b, '(?i)[\s]src[\s]*=[\s]*["'']([^"''<>]+)["'']', 1)
+    end as src
+  from blocks
+)
+select doc_id,
+  case when tag = 'link' then 'stylesheet' else tag end as kind,
+  src,
+  case
+    when regexp_matches(src, '^https?://') then src
+    when src like '//%' then regexp_extract(url, '^(https?):', 1) || ':' || src
+    when src like '/%' then regexp_extract(url, '^(https?://[^/?#]+)', 1) || src
+    else regexp_replace(regexp_replace(url, '[?#].*$', ''), '/[^/]*$', '/') || src
+  end as resolved
+from fields
+where src <> ''
+order by doc_id, kind, src
+"""
+
+
 def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-extraction over the snapshot log (r7) — THE 100 TB
     lever composed end-to-end: when 1/7 of a 10^12-page table changes,
@@ -4816,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exif": q_exif,
         "q_pdf_attachments": q_pdf_attachments,
         "q_html_tables": q_html_tables,
+        "q_page_assets": q_page_assets,
         "q_incremental_extract": q_incremental_extract,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
@@ -4989,6 +5076,7 @@ def oracle_sql() -> dict[str, str]:
         "q_exif": _Q_EXIF_SQL,
         "q_pdf_attachments": _Q_PDF_ATTACHMENTS_SQL,
         "q_html_tables": _Q_HTML_TABLES_SQL,
+        "q_page_assets": _Q_PAGE_ASSETS_SQL,
         "q_incremental_extract": _Q_INCREMENTAL_EXTRACT_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,

@@ -878,3 +878,47 @@ def extract_tables(df, html_col: str = "html") -> "DataFrame":  # noqa: F821
         )
         .drop("_cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# page-asset inventory (r7) — the subresources a page pulls in (images,
+# scripts, stylesheets, iframes): the page-requisites side of crawl
+# planning (asset fetch queues, CDN/tracker analysis, weight audits).
+# ONE codegen extract over a combined tag alternation, then per-block
+# kind classification and src/href field extraction — a single pass
+# over the html, not one scan per tag kind.
+
+_ASSET_BLOCK_RE = r"(?is)<(?:img|script|iframe|link)[\s][^>]*>"
+_ASSET_KIND_RE = r"(?i)^<(img|script|iframe|link)"
+_SRC_ATTR_RE = r"""(?i)[\s]src[\s]*=[\s]*["']([^"'<>]+)["']"""
+_STYLESHEET_RE = r"""(?i)rel[\s]*=[\s]*["']stylesheet["']"""
+
+
+def extract_assets(
+    df, html_col: str = "html", base_col: str = "url"
+) -> "DataFrame":  # noqa: F821
+    """(base url, html) rows → one row per subresource with (kind, src,
+    resolved). ``kind`` is img/script/iframe/stylesheet; <link> tags
+    count only when rel=stylesheet (icons/canonicals belong to
+    extract_indexability); src-less tags (inline scripts) are
+    dropped."""
+    blocks = F.regexp_extract_all(
+        F.col(html_col), F.lit(_ASSET_BLOCK_RE), F.lit(0)
+    )
+    b = F.col("_asset")
+    tag = F.lower(F.regexp_extract(b, _ASSET_KIND_RE, 1))
+    src = F.when(
+        tag == "link",
+        F.when(
+            b.rlike(_STYLESHEET_RE),
+            F.regexp_extract(b, "(?i)" + _HREF_ATTR_RE, 1),
+        ).otherwise(F.lit("")),
+    ).otherwise(F.regexp_extract(b, _SRC_ATTR_RE, 1))
+    return (
+        df.select("*", F.explode(blocks).alias("_asset"))
+        .withColumn("kind", F.when(tag == "link", "stylesheet").otherwise(tag))
+        .withColumn("src", src)
+        .filter(F.col("src") != "")
+        .withColumn("resolved", absolutize_href(base_col, "src"))
+        .drop("_asset")
+    )

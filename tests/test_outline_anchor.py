@@ -140,3 +140,38 @@ def test_tables_plan_is_pure_jvm(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, plan[:2000]
+
+
+def test_assets_kinds_gating_and_resolution(spark):
+    html = (
+        '<link rel="stylesheet" href="/s.css">'
+        "<link rel='icon' href='/f.ico'>"
+        "<script>inline();</script>"
+        '<script src="https://cdn.example.net/a.js"></script>'
+        '<img src="img/p.png"><iframe src="//e.example.net/w"></iframe>'
+    )
+    from deepseek_ocr_api_rs_spark.functions.web import extract_assets
+
+    rows = (
+        extract_assets(_page(spark, html))
+        .select("kind", "src", "resolved")
+        .orderBy("kind", "src")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [
+        ("iframe", "//e.example.net/w", "https://e.example.net/w"),
+        ("img", "img/p.png", "https://h.example.org/a/b/img/p.png"),
+        ("script", "https://cdn.example.net/a.js",
+         "https://cdn.example.net/a.js"),
+        ("stylesheet", "/s.css", "https://h.example.org/s.css"),
+    ]
+
+
+def test_assets_plan_is_pure_jvm(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_page_assets"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
