@@ -4677,6 +4677,93 @@ order by doc_id, kind, src
 """
 
 
+def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wayback-style closest-capture lookup (r7): given (url, ts)
+    probes, find each url's latest capture at-or-before the probe —
+    the CDX-server query pattern, composed from two existing pieces:
+    SURT canonicalization (case/www/port/query-order noise collapses to
+    one key) and the AS-OF join operator (union + one window carry, ONE
+    shuffle — never per-probe scans). Three captures per url an hour
+    apart; probes land between captures, ON capture boundaries, and
+    (every 11th doc) before the first capture → no match, -1 sentinels.
+    The oracle mirrors SURT in SQL and takes max(capture <= probe) per
+    probe — hash-equality proves canonicalization AND as-of
+    semantics."""
+    from deepseek_ocr_api_rs_spark.functions.web import surt_key
+    from deepseek_ocr_api_rs_spark.operators.asof import asof_join
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www.Site"), (d % 5).cast("string"),
+        F.lit(".example.org:443/p/"), d.cast("string"),
+        F.lit("?b=2&a=1"),
+    )
+    base_ts = F.lit(1700000000) + (d % 97) * 7200
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "surt", surt_key(url)
+    )
+    caps = docs.select(
+        "doc_id",
+        "surt",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    ).select(
+        "surt",
+        (base_ts + F.col("k") * 3600).cast("long").alias("ts"),
+    ).withColumn("cap_ts", F.col("ts"))
+    probes = docs.select(
+        "doc_id",
+        "surt",
+        F.when(d % 11 == 0, base_ts - 10)
+        .otherwise(base_ts + (d % 5) * 1800)
+        .cast("long")
+        .alias("ts"),
+    )
+    out = asof_join(
+        probes, caps, key="surt", ts="ts",
+        right_payload=["cap_ts"], tiebreak="cap_ts", left_id="doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "surt",
+        F.col("ts").alias("probe_ts"),
+        F.coalesce(F.col("cap_ts"), F.lit(-1)).cast("long")
+        .alias("capture_ts"),
+        F.coalesce(F.col("ts") - F.col("cap_ts"), F.lit(-1)).cast("long")
+        .alias("age_sec"),
+    ).orderBy("doc_id")
+
+
+def _cdx_closest_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.web import surt_key_duckdb
+
+    surt = surt_key_duckdb(
+        "'https://www.Site' || (doc_id % 5) || '.example.org:443/p/'"
+        " || doc_id || '?b=2&a=1'"
+    )
+    return f"""
+with docs as (
+  select doc_id, {surt} as surt,
+    1700000000 + (doc_id % 97) * 7200 as base_ts
+  from documents
+), caps as (
+  select surt, base_ts + k.k * 3600 as cap_ts
+  from docs, (values (0), (1), (2)) k(k)
+), probes as (
+  select doc_id, surt,
+    case when doc_id % 11 = 0 then base_ts - 10
+         else base_ts + (doc_id % 5) * 1800 end as probe_ts
+  from docs
+)
+select p.doc_id, p.surt, cast(p.probe_ts as bigint) as probe_ts,
+  cast(coalesce(max(c.cap_ts), -1) as bigint) as capture_ts,
+  cast(coalesce(p.probe_ts - max(c.cap_ts), -1) as bigint) as age_sec
+from probes p
+left join caps c on c.surt = p.surt and c.cap_ts <= p.probe_ts
+group by p.doc_id, p.surt, p.probe_ts
+order by p.doc_id
+"""
+
+
 def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-extraction over the snapshot log (r7) — THE 100 TB
     lever composed end-to-end: when 1/7 of a 10^12-page table changes,
@@ -4903,6 +4990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pdf_attachments": q_pdf_attachments,
         "q_html_tables": q_html_tables,
         "q_page_assets": q_page_assets,
+        "q_cdx_closest": q_cdx_closest,
         "q_incremental_extract": q_incremental_extract,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
@@ -5077,6 +5165,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pdf_attachments": _Q_PDF_ATTACHMENTS_SQL,
         "q_html_tables": _Q_HTML_TABLES_SQL,
         "q_page_assets": _Q_PAGE_ASSETS_SQL,
+        "q_cdx_closest": _cdx_closest_sql(),
         "q_incremental_extract": _Q_INCREMENTAL_EXTRACT_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,

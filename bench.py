@@ -224,6 +224,13 @@ _HEADLINE_QUERIES = [
     "q_wat_roundtrip",
     "q_jsonld",
     "q_snapshot_changelog",
+    # round-7 session 3: per-cell table normalization and anchor-text
+    # aggregation (both pure JVM), pointer-doubling redirect resolution
+    # (5 bounded join rounds), EXIF parse + GPS scrub (Arrow stage)
+    "q_html_tables",
+    "q_anchor_text",
+    "q_redirect_chains",
+    "q_exif",
 ]
 
 
