@@ -4733,6 +4733,102 @@ def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_img_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption pair mining (r7, the LAION/alt-text pattern): an
+    <img>'s alt text is the human-written caption for its image — per
+    image the resolved url, the caption, and caption-quality features
+    (has_alt, word count); alt-less images keep their row as the
+    denominator of the page's alt-coverage quality signal. Pure JVM
+    block-then-fields extraction, img_idx from posexplode. Every third
+    image has no alt, every fifth an empty alt — both surface as
+    has_alt = 0 with distinct raw forms."""
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        extract_img_captions,
+    )
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    base = F.concat(
+        F.lit("https://site"), (d % 5).cast("string"),
+        F.lit(".example.org/g/"), ds, F.lit(".html"),
+    )
+    dq, sq = chr(34), chr(39)
+    html = F.concat(
+        F.lit("<html><body><img src=" + dq + "hero/"),
+        ds,
+        F.lit(".jpg" + dq + " alt=" + dq + "A photo of item "),
+        ds,
+        F.lit(" on a   table" + dq + ">"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<img src=" + sq + "/thumb/"),
+                     (d % 9).cast("string"),
+                     F.lit(".png" + sq + ">")),
+        ).otherwise(
+            F.concat(F.lit("<IMG alt=" + sq + "icon "),
+                     (d % 4).cast("string"),
+                     F.lit(sq + " src=" + sq + "//cdn"),
+                     (d % 2).cast("string"),
+                     F.lit(".example.net/i.gif" + sq + ">")),
+        ),
+        F.when(d % 5 == 0,
+               F.lit("<img src=" + dq + "e.png" + dq + " alt=" + dq
+                     + dq + ">")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .withColumn("url", base)
+        .withColumn("html", html)
+    )
+    return (
+        extract_img_captions(docs)
+        .select("doc_id", "img_idx", "src", "resolved", "alt",
+                "has_alt", "alt_words")
+        .orderBy("doc_id", "img_idx")
+    )
+
+
+_Q_IMG_CAPTIONS_SQL = r"""
+with pages as (
+  select doc_id,
+    'https://site' || (doc_id % 5) || '.example.org/g/' || doc_id || '.html' as url,
+    '<html><body><img src="hero/' || doc_id || '.jpg" alt="A photo of item ' ||
+    doc_id || ' on a   table">' ||
+    case when doc_id % 3 = 0
+         then '<img src=''/thumb/' || (doc_id % 9) || '.png''>'
+         else '<IMG alt=''icon ' || (doc_id % 4) || ''' src=''//cdn' || (doc_id % 2) || '.example.net/i.gif''>'
+    end ||
+    case when doc_id % 5 = 0 then '<img src="e.png" alt="">' else '' end ||
+    '</body></html>' as html
+  from documents
+), blocks as (
+  select doc_id, url, unnest(list_transform(
+    regexp_extract_all(html, '(?is)<img[\s][^>]*>'),
+    (b, i) -> struct_pack(ix := i - 1, b := b))) as u
+  from pages
+), fields as (
+  select doc_id, url, cast(u.ix as int) as img_idx,
+    regexp_extract(u.b, '(?i)[\s]src[\s]*=[\s]*["'']([^"''<>]+)["'']', 1) as src,
+    trim(regexp_replace(regexp_extract(u.b, '(?i)alt[\s]*=[\s]*["'']([^"''<>]*)["'']', 1), '[\s]+', ' ', 'g')) as alt
+  from blocks
+)
+select doc_id, img_idx, src,
+  case
+    when regexp_matches(src, '^https?://') then src
+    when src like '//%' then regexp_extract(url, '^(https?):', 1) || ':' || src
+    when src like '/%' then regexp_extract(url, '^(https?://[^/?#]+)', 1) || src
+    else regexp_replace(regexp_replace(url, '[?#].*$', ''), '/[^/]*$', '/') || src
+  end as resolved,
+  alt,
+  cast(case when alt <> '' then 1 else 0 end as int) as has_alt,
+  cast(case when alt = '' then 0 else len(regexp_split_to_array(alt, ' ')) end as int) as alt_words
+from fields
+where src <> ''
+order by doc_id, img_idx
+"""
+
+
 def _cdx_closest_sql() -> str:
     from deepseek_ocr_api_rs_spark.functions.web import surt_key_duckdb
 
@@ -4991,6 +5087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_tables": q_html_tables,
         "q_page_assets": q_page_assets,
         "q_cdx_closest": q_cdx_closest,
+        "q_img_captions": q_img_captions,
         "q_incremental_extract": q_incremental_extract,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
@@ -5166,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
         "q_html_tables": _Q_HTML_TABLES_SQL,
         "q_page_assets": _Q_PAGE_ASSETS_SQL,
         "q_cdx_closest": _cdx_closest_sql(),
+        "q_img_captions": _Q_IMG_CAPTIONS_SQL,
         "q_incremental_extract": _Q_INCREMENTAL_EXTRACT_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,

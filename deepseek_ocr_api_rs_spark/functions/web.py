@@ -922,3 +922,49 @@ def extract_assets(
         .withColumn("resolved", absolutize_href(base_col, "src"))
         .drop("_asset")
     )
+
+
+# ---------------------------------------------------------------------------
+# image-caption pairs (r7) — the multimodal training derivative: an
+# <img>'s alt text is the human-written caption for its image (the
+# LAION/alt-text mining pattern). Per-img rows with the resolved image
+# url, the alt text, and simple caption-quality features; pages also
+# get an alt-coverage rate (an accessibility/quality signal).
+
+_IMG_TAG_RE = r"(?is)<img[\s][^>]*>"
+_ALT_ATTR_RE = r"""(?i)alt[\s]*=[\s]*["']([^"'<>]*)["']"""
+
+
+def extract_img_captions(
+    df, html_col: str = "html", base_col: str = "url"
+) -> "DataFrame":  # noqa: F821
+    """(base url, html) rows → one row per <img> with (img_idx, src,
+    resolved, alt, has_alt, alt_words). Images without src drop (data
+    URIs are filtered as pseudo-links upstream of training pipelines);
+    alt-less or empty-alt images keep the row with has_alt = 0 — the
+    denominator of the page's alt-coverage rate."""
+    blocks = F.regexp_extract_all(
+        F.col(html_col), F.lit(_IMG_TAG_RE), F.lit(0)
+    )
+    b = F.col("_img")
+    src = F.regexp_extract(b, _SRC_ATTR_RE, 1)
+    alt = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(b, _ALT_ATTR_RE, 1), _WS_COLLAPSE_RE, " "
+        )
+    )
+    return (
+        df.select("*", F.posexplode(blocks).alias("img_idx", "_img"))
+        .withColumn("src", src)
+        .filter(F.col("src") != "")
+        .withColumn("resolved", absolutize_href(base_col, "src"))
+        .withColumn("alt", alt)
+        .withColumn("has_alt", (F.col("alt") != "").cast("int"))
+        .withColumn(
+            "alt_words",
+            F.when(F.col("alt") == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col("alt"), " "))
+            ).cast("int"),
+        )
+        .drop("_img")
+    )

@@ -175,3 +175,37 @@ def test_assets_plan_is_pure_jvm(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, plan[:2000]
+
+
+def test_img_captions_alt_handling(spark):
+    html = (
+        '<img src="a.jpg" alt="A  cat   sits">'
+        "<img src='/b.png'>"
+        '<img src="c.gif" alt="">'
+        "<img alt='no src here'>"
+    )
+    from deepseek_ocr_api_rs_spark.functions.web import (
+        extract_img_captions,
+    )
+
+    rows = (
+        extract_img_captions(_page(spark, html))
+        .select("img_idx", "src", "alt", "has_alt", "alt_words")
+        .orderBy("img_idx")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [
+        (0, "a.jpg", "A cat sits", 1, 3),
+        (1, "/b.png", "", 0, 0),
+        (2, "c.gif", "", 0, 0),
+    ]
+
+
+def test_img_captions_plan_is_pure_jvm(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_img_captions"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
