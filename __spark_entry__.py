@@ -4829,6 +4829,70 @@ order by doc_id, img_idx
 """
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair crawl-budget allocation (r7): a global fetch budget
+    of half the corpus spread across a skewed host distribution (two
+    hosts own a quarter of the urls each, 25 tail hosts ~2%) — small
+    hosts fully served, mega-hosts capped at ONE water level T =
+    max{t : sum(min(d, t)) <= B}, found in two window passes over the
+    host-cardinality demand table (never the url table). Integer
+    arithmetic throughout; the oracle reruns the identical
+    prefix-sum/first-overflow formula in SQL."""
+    from deepseek_ocr_api_rs_spark.operators.robots import (
+        allocate_crawl_budget,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select(
+        F.when(d % 4 == 0, F.lit("h0"))
+        .when(d % 4 == 1, F.lit("h1"))
+        .otherwise(
+            F.concat(F.lit("h"), (d % 25 + 2).cast("string"))
+        )
+        .alias("host")
+    )
+    budget = docs.count() // 2
+    return allocate_crawl_budget(hosts, budget).orderBy("host")
+
+
+_Q_CRAWL_BUDGET_SQL = r"""
+with hosts as (
+  select case when doc_id % 4 = 0 then 'h0'
+              when doc_id % 4 = 1 then 'h1'
+              else 'h' || (doc_id % 25 + 2) end as host
+  from documents
+), b as (
+  select count(*) // 2 as budget from documents
+), demands as (
+  select host, count(*) as demand from hosts group by host
+), ranked as (
+  select host, demand,
+    row_number() over (order by demand, host) as r,
+    count(*) over () as n,
+    coalesce(sum(demand) over (
+      order by demand, host
+      rows between unbounded preceding and 1 preceding), 0) as cumb
+  from demands
+), lvl as (
+  select ranked.*, b.budget,
+    cast(floor((b.budget - cumb) * 1.0 / (n - r + 1)) as bigint) as tcap
+  from ranked, b
+), fl as (
+  select *, min(case when demand > tcap then r end) over () as r_star
+  from lvl
+), tl as (
+  select *, max(case when r = r_star then tcap end) over () as t
+  from fl
+)
+select host, cast(demand as bigint) as demand,
+  cast(case when r_star is null or r < r_star then demand
+            else greatest(t, 0) end as bigint) as granted
+from tl
+order by host
+"""
+
+
 def _cdx_closest_sql() -> str:
     from deepseek_ocr_api_rs_spark.functions.web import surt_key_duckdb
 
@@ -5088,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_assets": q_page_assets,
         "q_cdx_closest": q_cdx_closest,
         "q_img_captions": q_img_captions,
+        "q_crawl_budget": q_crawl_budget,
         "q_incremental_extract": q_incremental_extract,
         "q_robots": q_robots,
         "q_sitemap": q_sitemap,
@@ -5264,6 +5329,7 @@ def oracle_sql() -> dict[str, str]:
         "q_page_assets": _Q_PAGE_ASSETS_SQL,
         "q_cdx_closest": _cdx_closest_sql(),
         "q_img_captions": _Q_IMG_CAPTIONS_SQL,
+        "q_crawl_budget": _Q_CRAWL_BUDGET_SQL,
         "q_incremental_extract": _Q_INCREMENTAL_EXTRACT_SQL,
         "q_robots": _Q_ROBOTS_SQL,
         "q_sitemap": _Q_SITEMAP_SQL,

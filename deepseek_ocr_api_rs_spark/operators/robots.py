@@ -256,3 +256,70 @@ def politeness_schedule(
         )
         out = out.filter(F.col("seq") < max_urls_per_host)
     return out
+
+
+def allocate_crawl_budget(
+    requests: DataFrame,
+    budget: int,
+    host_col: str = "host",
+) -> DataFrame:
+    """Max-min fair (waterfilling) allocation of a global fetch budget
+    across hosts: every host gets min(its demand, T) where the water
+    level T is the largest integer satisfying sum(min(d_i, T)) <=
+    budget — small hosts are fully served, big hosts are capped at one
+    fair level, and no host's grant depends on url order. The crawl-
+    planning primitive behind "fetch at most B pages this cycle without
+    letting two mega-hosts eat the budget".
+
+    Scale shape: one hash aggregation to demands (host cardinality,
+    not url cardinality), then TWO window passes over the tiny demand
+    table — the ascending-demand prefix sums give each rank a
+    candidate level floor((B - cum_before)/hosts_remaining); the first
+    rank whose demand exceeds its candidate fixes T (before that rank
+    the level function is nonincreasing, after it the cum_before basis
+    is invalid — hence first, never min/max over all overflow rows).
+    Integer arithmetic throughout (floor division loses at most
+    hosts-1 of budget; the remainder stays unspent by design — a
+    deterministic contract both engines reproduce bit-for-bit).
+
+    Returns (host, demand, granted); sum(granted) <= budget.
+    """
+    demands = requests.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("demand")
+    )
+    w_ord = Window.orderBy("demand", "host")
+    w_all = Window.partitionBy()
+    cum_before = F.coalesce(
+        F.sum("demand").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    r = F.row_number().over(w_ord)
+    n = F.count(F.lit(1)).over(w_all)
+    tcap = F.floor((F.lit(budget) - cum_before) / (n - r + 1))
+    flagged = demands.select(
+        "host", "demand", r.alias("r"), tcap.alias("tcap")
+    )
+    r_star = F.min(
+        F.when(F.col("demand") > F.col("tcap"), F.col("r"))
+    ).over(w_all)
+    t_level = F.max(
+        F.when(F.col("r") == r_star, F.col("tcap"))
+    ).over(w_all)
+    return (
+        flagged
+        .withColumn("_rs", r_star)
+        .withColumn("_t", t_level)
+        .select(
+            "host",
+            "demand",
+            F.when(
+                F.col("_rs").isNull() | (F.col("r") < F.col("_rs")),
+                F.col("demand"),
+            )
+            .otherwise(F.greatest(F.col("_t"), F.lit(0)))
+            .cast("long")
+            .alias("granted"),
+        )
+    )
