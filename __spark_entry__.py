@@ -1484,6 +1484,47 @@ order by documents.doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (r7): the MAXIMAL duplicated token ranges
+    a training-data scrub would cut — every position covered by a word
+    5-gram occurring ≥2× in the corpus, overlapping/adjacent windows merged
+    per document (operators/dedup.duplicated_spans). q_dup_passages counts
+    duplicated windows; this emits their [start, end] spans."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, k=5).orderBy("doc_id", "span_start")
+
+
+_Q_DUP_SPANS_SQL = """
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as t from documents
+), w as (
+  select doc_id, unnest(list_transform(
+    range(1, greatest(len(t) - 4, 0) + 1),
+    i -> struct_pack(pos := i, s := array_to_string(list_slice(t, i, i + 4), ' ')))) as u
+  from toks
+), dup as (
+  select u.s as s from w group by u.s having count(*) >= 2
+), m as (
+  select w.doc_id, w.u.pos as pos from w join dup on w.u.s = dup.s
+), lagged as (
+  select doc_id, pos,
+         lag(pos) over (partition by doc_id order by pos) as prev
+  from m
+), isl as (
+  select doc_id, pos,
+         sum(case when prev is null or pos - prev > 5 then 1 else 0 end)
+           over (partition by doc_id order by pos) as island
+  from lagged
+)
+select doc_id,
+       cast(min(pos) as int) as span_start,
+       cast(max(pos) + 4 as int) as span_end,
+       cast(max(pos) + 4 - min(pos) + 1 as int) as span_tokens
+from isl group by doc_id, island
+order by doc_id, span_start
+"""
+
+
 def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-log range read with manifest-level file pruning under the
     oracle gate: documents staged into a snapshot table as four
@@ -5129,8 +5170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r3 #4 — twice the newest flagship work fell outside the
     # window and needed manual judge verification).
     return {
-        # round 6 (this round's new/changed queries first — the driver's
-        # 50-row CORRECTNESS window checks registration order)
+        # round 7 tail additions first, then the rest of this round's new
+        # queries — the driver's 50-row CORRECTNESS window checks
+        # registration order
+        "q_dup_spans": q_dup_spans,
         "q_webp_meta": q_webp_meta,
         "q_pdf_images": q_pdf_images,
         "q_favicon": q_favicon,
@@ -5312,6 +5355,7 @@ def oracle_sql() -> dict[str, str]:
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,
         "q_webp_meta": _Q_WEBP_META_SQL,
+        "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_html_links": _Q_HTML_LINKS_SQL,
         "q_jsonld": _Q_JSONLD_SQL,

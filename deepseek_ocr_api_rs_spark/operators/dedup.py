@@ -478,3 +478,80 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return _with_deps(out, shingled, posts)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (maximal duplicated token spans)
+
+def duplicated_spans(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Maximal duplicated token spans per document — the exact-substring
+    dedup output (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): every token range covered by a word ``k``-gram that
+    occurs ≥2 times in the corpus (cross-document OR repeated within one
+    document), with overlapping/adjacent duplicated windows merged into one
+    maximal span. Unlike :func:`__spark_entry__.q_dup_passages` (which only
+    COUNTS duplicated windows) this yields the actual ``[start, end]``
+    token ranges a scrubbing pass would cut.
+
+    Plan (never all-pairs, no Python):
+      1. one projection explodes positioned k-gram windows (pos 1-based);
+      2. one hash-agg counts occurrences per shingle (map-side combine);
+      3. one semi join keeps positions whose shingle is duplicated —
+         semi join never multiplies rows, so a boilerplate shingle shared
+         by 10^6 docs still emits one row per position, not pairs;
+      4. islands-and-gaps per doc: a window over (doc, pos) starts a new
+         span when the previous duplicated window cannot touch this one
+         (pos - prev > k), then min/max per island.
+
+    The shingle join key is the raw k-gram string — EXACT semantics (no
+    hash collisions can mark a false span). At 10^12 docs the key would be
+    a 128-bit content hash to narrow the shuffle; 31-bit hashes (the pinned
+    cross-engine family) collide at corpus scale, so exactness here keeps
+    the string. Reference analogue: the no-repeat-ngram history map,
+    crates/core/src/sampling.rs:132-149, restated corpus-wide.
+
+    Returns one row per maximal span: (doc_id, span_start, span_end,
+    span_tokens), token positions 1-based inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    toks = f"regexp_extract_all(lower({text_col}), '{H.TOKEN_REGEX}', 0)"
+    windows = (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 0)), "
+        f"i -> struct(i as pos, array_join(slice({toks}, i, {k}), ' ') as s))"
+    )
+    positioned = _persist(
+        docs.select(F.col(id_col), F.explode(F.expr(windows)).alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.s").alias("s"))
+    )
+    dup_keys = positioned.groupBy("s").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 2
+    )
+    marked = positioned.join(dup_keys.select("s"), "s", "left_semi")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        marked.withColumn("prev", F.lag("pos").over(win))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_span").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+    return _with_deps(spans, positioned)

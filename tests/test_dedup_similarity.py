@@ -450,3 +450,40 @@ def test_trained_quantizers_beat_or_tie_fixed(spark):
     pq_trained = recall(S.pq_topk(vecs, qv, k=10, rerank=100, codebooks=Bt))
     assert pq_trained >= pq_fixed, (pq_trained, pq_fixed)
     assert pq_trained == 1.0, pq_trained
+
+
+def test_duplicated_spans_hand_case(spark):
+    """Exact-substring span semantics on a hand-built corpus: a shared
+    sentence yields one maximal span per holder covering exactly the shared
+    tokens; unique text yields no span; within-doc repetition counts; and
+    overlapping duplicated windows merge into ONE island."""
+    from deepseek_ocr_api_rs_spark.operators.dedup import (
+        duplicated_spans,
+        release_persisted,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon"),
+            (2, f"{shared} zeta eta theta iota kappa"),
+            (3, "totally unique words nobody else repeats anywhere at all"),
+            # within-doc repeat: same 5-gram twice, non-adjacent
+            (4, "one two three four five STOP filler words here one two three four five"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(docs, k=5).collect()
+    }
+    release_persisted()
+    # doc 1: shared tokens occupy positions 4..13 (1-based); doc 2: 1..10.
+    # doc 4: "one two three four five" at 1..5 and 10..14 — starts 1 and 10,
+    # gap 9 > k=5, so TWO spans (the repeat itself is the duplication).
+    assert got == {
+        (1, 4, 13, 10),
+        (2, 1, 10, 10),
+        (4, 1, 5, 5),
+        (4, 10, 14, 5),
+    }, got
