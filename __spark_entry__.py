@@ -24,6 +24,7 @@ from deepseek_ocr_api_rs_spark.fixtures import oracle_goldens as _goldens
 from deepseek_ocr_api_rs_spark.functions import hashing as H
 from deepseek_ocr_api_rs_spark.functions import text as T
 from deepseek_ocr_api_rs_spark.operators import dedup as D
+from deepseek_ocr_api_rs_spark.operators import frontier as FR
 from deepseek_ocr_api_rs_spark.operators import similarity as S
 from deepseek_ocr_api_rs_spark.operators import topk as K
 
@@ -1522,6 +1523,59 @@ select doc_id,
        cast(max(pos) + 4 - min(pos) + 1 as int) as span_tokens
 from isl group by doc_id, island
 order by doc_id, span_start
+"""
+
+
+def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter URL-frontier dedup (r7): crawled doc urls build a
+    pinned-hash Bloom filter (operators/frontier.py); a candidate batch of
+    one known + one novel url per doc probes it. The DuckDB oracle rebuilds
+    the identical bit words, so the verdicts — INCLUDING any false
+    positives — sit under the value-exact gate; false_positive is reported
+    per url as the filter-honesty column."""
+    docs = _t(spark, sf_dir, "documents")
+    crawled = docs.select(
+        F.concat(F.lit("https://synth.example.org/doc/"), F.col("doc_id")).alias("url")
+    )
+    candidates = docs.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://synth.example.org/doc/"), F.col("doc_id")),
+                F.concat(F.lit("https://synth.example.org/doc/new-"), F.col("doc_id")),
+            )
+        ).alias("url")
+    )
+    bloom = FR.build_bloom(crawled, m_bits=4096)
+    probed = FR.bloom_probe(candidates, bloom, m_bits=4096)
+    exact = crawled.withColumn("crawled", F.lit(1))
+    return (
+        probed.join(exact, "url", "left")
+        .select(
+            "url",
+            F.col("bloom_hit").cast("int").alias("bloom_hit"),
+            F.coalesce("crawled", F.lit(0)).alias("crawled"),
+            (F.col("bloom_hit").cast("int") * F.when(F.col("crawled").isNull(), 1).otherwise(0)).alias("false_positive"),
+        )
+        .orderBy("url")
+    )
+
+
+def _url_frontier_sql() -> str:
+    crawled = "select 'https://synth.example.org/doc/' || doc_id as url from documents"
+    cands = (
+        "select 'https://synth.example.org/doc/' || doc_id as url from documents "
+        "union all "
+        "select 'https://synth.example.org/doc/new-' || doc_id as url from documents"
+    )
+    return f"""
+with bloom as ({FR.bloom_words_duckdb(crawled, m_bits=4096)}),
+probe as ({FR.bloom_probe_duckdb(cands, m_bits=4096)})
+select p.url,
+       cast(p.bloom_hit as int) as bloom_hit,
+       cast(c.url is not null as int) as crawled,
+       cast(p.bloom_hit and c.url is null as int) as false_positive
+from probe p left join ({crawled}) c on p.url = c.url
+order by p.url
 """
 
 
@@ -5174,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries — the driver's 50-row CORRECTNESS window checks
         # registration order
         "q_dup_spans": q_dup_spans,
+        "q_url_frontier": q_url_frontier,
         "q_webp_meta": q_webp_meta,
         "q_pdf_images": q_pdf_images,
         "q_favicon": q_favicon,
@@ -5356,6 +5411,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mp4_meta": _Q_MP4_META_SQL,
         "q_webp_meta": _Q_WEBP_META_SQL,
         "q_dup_spans": _Q_DUP_SPANS_SQL,
+        "q_url_frontier": _url_frontier_sql(),
         "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_html_links": _Q_HTML_LINKS_SQL,
         "q_jsonld": _Q_JSONLD_SQL,

@@ -487,3 +487,52 @@ def test_duplicated_spans_hand_case(spark):
         (4, 1, 5, 5),
         (4, 10, 14, 5),
     }, got
+
+
+def test_bloom_frontier_properties(spark):
+    """Bloom frontier: NO false negatives ever (every crawled url probes
+    true — the structural guarantee), the words table is bounded by
+    m_bits/32 rows, rebuild is deterministic, and the q_url_frontier
+    false-positive column matches a pure-Python recompute of the same
+    pinned hashes."""
+    import pyspark.sql.functions as F
+
+    from deepseek_ocr_api_rs_spark.operators import frontier as FR
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    crawled = docs.select(
+        F.concat(F.lit("https://synth.example.org/doc/"), F.col("doc_id")).alias("url")
+    )
+    bloom = FR.build_bloom(crawled, m_bits=4096).persist()
+    words = {r.word: r.bits for r in bloom.collect()}
+    assert len(words) <= 4096 // 32
+    words2 = {r.word: r.bits for r in FR.build_bloom(crawled, m_bits=4096).collect()}
+    assert words == words2, "bloom build must be deterministic"
+
+    hits = FR.bloom_probe(crawled, bloom, m_bits=4096)
+    n_crawled = crawled.count()
+    assert hits.filter(F.col("bloom_hit")).count() == n_crawled, "false negative!"
+
+    # pure-Python recompute of probe verdicts for the novel urls
+    novel = docs.select(
+        F.concat(F.lit("https://synth.example.org/doc/new-"), F.col("doc_id")).alias("url")
+    )
+    got = {r.url: r.bloom_hit for r in FR.bloom_probe(novel, bloom, m_bits=4096).collect()}
+    bloom.unpersist()
+    from deepseek_ocr_api_rs_spark.functions.hashing import KEY_INIT, KEY_MULT, P
+
+    def k_(s):
+        acc = KEY_INIT
+        for ch in s:
+            acc = (acc * KEY_MULT + ord(ch)) % P
+        return acc
+
+    for url, hit in got.items():
+        expect = all(
+            words.get((((a * k_(url) + b) % P) % 4096) >> 5, 0)
+            & (1 << ((((a * k_(url) + b) % P) % 4096) & 31))
+            for a, b in FR.BLOOM_PARAMS
+        )
+        assert hit == expect, url
+    assert sum(got.values()) > 0, "undersized filter should show real FPs"

@@ -323,3 +323,18 @@ def test_jsonld_and_og_meta_plans_are_pure_jvm(spark):
                        "FlatMapGroupsInPandas"):
             assert marker not in plan, (name, plan[:2000])
         assert "Generate" in plan, name  # the explode
+
+
+def test_url_frontier_probe_is_broadcast_pure_jvm(spark):
+    """q_url_frontier's scale claims, executed: the bloom words table joins
+    the candidate probes via BroadcastHashJoin (candidates never shuffle to
+    meet the filter), and the whole plan — key fold, bit explode, bit_or
+    build, membership — has no Python evaluation operator."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_url_frontier"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
