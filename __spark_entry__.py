@@ -25,6 +25,7 @@ from deepseek_ocr_api_rs_spark.functions import hashing as H
 from deepseek_ocr_api_rs_spark.functions import text as T
 from deepseek_ocr_api_rs_spark.operators import dedup as D
 from deepseek_ocr_api_rs_spark.operators import frontier as FR
+from deepseek_ocr_api_rs_spark.operators import lm as LM
 from deepseek_ocr_api_rs_spark.operators import similarity as S
 from deepseek_ocr_api_rs_spark.operators import topk as K
 
@@ -1577,6 +1578,25 @@ select p.url,
 from probe p left join ({crawled}) c on p.url = c.url
 order by p.url
 """
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (r7): a character-trigram count
+    model trains on the lang='en' seed slice in one hash-agg, broadcasts,
+    and every document folds to a dyadically-quantized NLL (whole bits via
+    length(bin(T div c)) — no transcendental, hence engine-exact) with
+    head/middle/tail buckets (operators/lm.py)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    model = D._persist(LM.train_trigram_counts(docs.filter(F.col("lang") == "en")))
+    scored = LM.score_documents(docs, model)
+    # CCNet's real cut is corpus quantiles: tertiles over the per-doc score
+    # table (url-cardinality — tiny vs the corpus; at 10^12 docs the cutoffs
+    # come from a pinned sample instead of a global ntile). Tie-break on
+    # doc_id makes the window order total, hence engine-identical.
+    win = Window.orderBy("bits_per_ngram", "doc_id")
+    return scored.withColumn("tertile", F.ntile(3).over(win)).orderBy("doc_id")
 
 
 def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5229,6 +5249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registration order
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
+        "q_lm_quality": q_lm_quality,
         "q_webp_meta": q_webp_meta,
         "q_pdf_images": q_pdf_images,
         "q_favicon": q_favicon,
@@ -5412,6 +5433,10 @@ def oracle_sql() -> dict[str, str]:
         "q_webp_meta": _Q_WEBP_META_SQL,
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
+        "q_lm_quality": (
+            "select *, cast(ntile(3) over (order by bits_per_ngram, doc_id) as int)"
+            " as tertile from (" + LM.lm_score_sql("lang = 'en'") + ") order by doc_id"
+        ),
         "q_pdf_links": _Q_PDF_LINKS_SQL,
         "q_html_links": _Q_HTML_LINKS_SQL,
         "q_jsonld": _Q_JSONLD_SQL,

@@ -1,0 +1,58 @@
+"""Unit tests for the CCNet-style trigram LM quality scorer (tier-3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_api_rs_spark.operators import lm as LM
+
+
+def test_dyadic_cost_hand_computed(spark):
+    """Pin the exact dyadic NLL on a hand-countable corpus: seed 'aaaa'
+    gives model {aaa: 2}, T=2 → cost of 'aaa' = length(bin(2 div 2))-1 = 0
+    bits; an unseen trigram costs length(bin(2)) = 2 bits."""
+    seed = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    model = LM.train_trigram_counts(seed)
+    rows = {r.g: r.c for r in model.collect()}
+    assert rows == {"aaa": 2}
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "zzz"), (3, "a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_ngrams, r.sum_bits, r.bucket)
+           for r in LM.score_documents(docs, model).collect()}
+    assert got[1] == (2, 0, "head")          # two seen trigrams, 0 bits each
+    assert got[2] == (1, 2, "head")          # one unseen trigram, 2 bits
+    assert got[3] == (0, 0, "tail")          # too short for a trigram
+    # mean for doc 2 is exactly 2.0 bits (single IEEE division)
+    scored = {r.doc_id: r.bits_per_ngram
+              for r in LM.score_documents(docs, model).collect()}
+    assert scored[2] == 2.0
+
+
+def test_ilog2_exact_at_powers_of_two(spark):
+    """length(bin(x))-1 must equal floor(log2(x)) INCLUDING exact powers of
+    two, where float log2 (ln(x)/ln(2) in Spark) can land just below the
+    integer. This is the reason lm.py never uses log2()."""
+    df = spark.range(1, 130).select(
+        F.col("id"),
+        F.expr("length(bin(id)) - 1").alias("ilog2"),
+    )
+    for r in df.collect():
+        assert r.ilog2 == r.id.bit_length() - 1, (r.id, r.ilog2)
+
+
+def test_junk_scores_worse_than_seed_text(spark):
+    """A document made of seed-distribution text must cost fewer
+    bits/trigram than line noise under a model trained on the seed."""
+    seed_text = "the quick brown fox jumps over the lazy dog and runs away"
+    seed = spark.createDataFrame(
+        [(i, seed_text) for i in range(5)], "doc_id long, text string"
+    )
+    model = LM.train_trigram_counts(seed)
+    docs = spark.createDataFrame(
+        [(1, seed_text), (2, "qxz vkj wqp zzj xxk qqv jjz kkx")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bits_per_ngram
+           for r in LM.score_documents(docs, model).collect()}
+    assert got[1] < got[2], got
