@@ -111,7 +111,7 @@ class _BlockSink:
     __slots__ = (
         "stack", "blocks", "_parts", "_link_chars", "_tags_in_block",
         "_link_depth", "_skip_depth", "_boiler_depth",
-        "_ctx_stack", "_ctx_boiler",
+        "_ctx_stack", "_ctx_boiler", "_stack_cache", "_open_counts",
     )
 
     def __init__(self) -> None:
@@ -125,14 +125,28 @@ class _BlockSink:
         self._boiler_depth = 0
         self._ctx_stack: tuple[str, ...] = ()
         self._ctx_boiler = 0
+        # hot-path accelerators (pure caches — every observable value is
+        # still derived from `stack` exactly as before):
+        # memoized tuple(stack), invalidated on push/pop
+        self._stack_cache: tuple[str, ...] | None = ()
+        # multiset of open tags so endtag's `tag in stack` test is O(1)
+        self._open_counts: dict[str, int] = {}
 
     # -- block lifecycle -------------------------------------------------
     def _begin_block_context(self) -> None:
         # O(1) snapshot; the (rarer) flush pays the join/any cost instead
-        self._ctx_stack = tuple(self.stack)
+        t = self._stack_cache
+        if t is None:
+            t = self._stack_cache = tuple(self.stack)
+        self._ctx_stack = t
         self._ctx_boiler = self._boiler_depth
 
     def _flush(self) -> None:
+        if not self._parts:  # empty block: skip the join/split entirely
+            self._link_chars = 0
+            self._tags_in_block = 0
+            self._begin_block_context()
+            return
         text = " ".join("".join(self._parts).split())
         if text:
             n_words, n_stop, n_punct, n_digits = _word_stats(text)
@@ -168,6 +182,9 @@ class _BlockSink:
         self._tags_in_block += 1
         if tag not in _VOID and tag != "html":
             self.stack.append(tag)
+            self._stack_cache = None
+            counts = self._open_counts
+            counts[tag] = counts.get(tag, 0) + 1
             if tag in _BOILER_ANCESTORS:
                 self._boiler_depth += 1
         if tag in _BLOCK_BOUNDARY:
@@ -180,10 +197,14 @@ class _BlockSink:
             self._link_depth -= 1
         if tag in _SKIP_CONTENT and self._skip_depth > 0:
             self._skip_depth -= 1
-        # pop to the innermost matching open tag (forgiving, deterministic)
-        if tag in self.stack:
+        # pop to the innermost matching open tag (forgiving, deterministic;
+        # the open-tag multiset makes the membership test O(1))
+        counts = self._open_counts
+        if counts.get(tag, 0):
+            self._stack_cache = None
             while self.stack:
                 popped = self.stack.pop()
+                counts[popped] -= 1
                 if popped in _BOILER_ANCESTORS:
                     self._boiler_depth -= 1
                 if popped == tag:
