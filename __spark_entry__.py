@@ -1599,6 +1599,25 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("tertile", F.ntile(3).over(win)).orderBy("doc_id")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (r7): importance weight = dyadic bits under the
+    full-pool trigram model minus bits under the lang='en' target model
+    (integer-exact log-ratio, operators/lm.dsir_weights); the deterministic
+    resampling analogue keeps the top weight quartile via a totally-ordered
+    ntile(4) over the url-cardinality weight table."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    target = D._persist(LM.train_trigram_counts(docs.filter(F.col("lang") == "en")))
+    w = LM.dsir_weights(docs, target)
+    win = Window.orderBy(F.col("weight_bits").desc(), "doc_id")
+    return (
+        w.withColumn("quartile", F.ntile(4).over(win))
+        .withColumn("selected", (F.col("quartile") == 1).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-log range read with manifest-level file pruning under the
     oracle gate: documents staged into a snapshot table as four
@@ -5250,6 +5269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
+        "q_dsir_select": q_dsir_select,
         "q_webp_meta": q_webp_meta,
         "q_pdf_images": q_pdf_images,
         "q_favicon": q_favicon,
@@ -5433,6 +5453,7 @@ def oracle_sql() -> dict[str, str]:
         "q_webp_meta": _Q_WEBP_META_SQL,
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
+        "q_dsir_select": LM.dsir_sql("lang = 'en'"),
         "q_lm_quality": (
             "select *, cast(ntile(3) over (order by bits_per_ngram, doc_id) as int)"
             " as tertile from (" + LM.lm_score_sql("lang = 'en'") + ") order by doc_id"

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deepseek_ocr_api_rs_spark.operators.dedup import _persist, _with_deps
+
 # Bucket cuts in bits-per-trigram. A trigram drawn uniformly from the
 # ~46k-type alphabet costs ~15.5 bits; seed-typical text compresses far
 # below that. Cuts are deliberately round constants, not learned.
@@ -163,4 +165,108 @@ select d.{id_col},
 from (select {id_col} from documents) d
 left join scored s using ({id_col})
 order by d.{id_col}
+"""
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling"): log w(x) = log p_target(x) −
+    log p_source(x), estimated with hashed n-gram models. Here both models
+    are trigram count tables (target = the trusted seed slice, source = the
+    full pool) and the log-ratio is the dyadic-bit difference
+
+        weight_bits(x) = Σ_g [bits_source(g) − bits_target(g)]
+
+    — integer-exact cross-engine for the same reason as score_documents
+    (no transcendental; see the module docstring). One pass: each
+    document's trigrams join BOTH broadcast models; the pool never
+    shuffles for either model.
+
+    Returns (id, n_ngrams, weight_bits). Positive = more target-like than
+    pool-typical; DSIR resamples proportionally to w — the deterministic
+    analogue selects the top weight quantile (see q_dsir_select).
+    """
+    tgt = target.select(F.col("g"), F.col("c").alias("c_tgt"))
+    src = _persist(
+        train_trigram_counts(docs, text_col).select(
+            F.col("g"), F.col("c").alias("c_src")
+        )
+    )
+    t_tgt = target.agg(F.sum("c").cast("long").alias("T_tgt"))
+    t_src = src.agg(F.sum("c_src").cast("long").alias("T_src"))
+    grams = docs.select(
+        F.col(id_col), F.explode(F.expr(_trigrams_spark(text_col))).alias("g")
+    )
+    costed = (
+        grams.join(F.broadcast(tgt), "g", "left")
+        .join(F.broadcast(src), "g", "left")
+        .crossJoin(F.broadcast(t_tgt))
+        .crossJoin(F.broadcast(t_src))
+        .select(
+            id_col,
+            F.expr(
+                "cast((case when c_src is not null then length(bin(T_src div c_src)) - 1 "
+                "else length(bin(T_src)) end) - "
+                "(case when c_tgt is not null then length(bin(T_tgt div c_tgt)) - 1 "
+                "else length(bin(T_tgt)) end) as bigint)"
+            ).alias("dbits"),
+        )
+    )
+    scored = costed.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"), F.sum("dbits").alias("weight_bits")
+    )
+    out = (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("weight_bits", F.lit(0)).cast("long").alias("weight_bits"),
+        )
+    )
+    return _with_deps(out, src)
+
+
+def dsir_sql(seed_where: str, id_col: str = "doc_id",
+             text_col: str = "text") -> str:
+    """DuckDB mirror of dsir_weights + top-quartile selection."""
+    tg = _trigrams_duckdb(text_col)
+    return f"""
+with tgt as (
+  select g, count(*) as c_tgt
+  from (select unnest({tg}) as g from documents where {seed_where})
+  group by g
+), src as (
+  select g, count(*) as c_src
+  from (select unnest({tg}) as g from documents)
+  group by g
+), tt as (select cast(sum(c_tgt) as bigint) as T_tgt from tgt),
+ts as (select cast(sum(c_src) as bigint) as T_src from src),
+grams as (
+  select {id_col}, unnest({tg}) as g from documents
+), costed as (
+  select {id_col},
+    cast((case when s.c_src is not null then length(bin(ts.T_src // s.c_src)) - 1
+          else length(bin(ts.T_src)) end) -
+         (case when t.c_tgt is not null then length(bin(tt.T_tgt // t.c_tgt)) - 1
+          else length(bin(tt.T_tgt)) end) as bigint) as dbits
+  from grams left join tgt t using (g) left join src s using (g)
+  cross join tt cross join ts
+), scored as (
+  select {id_col}, cast(count(*) as bigint) as n_ngrams,
+         cast(sum(dbits) as bigint) as weight_bits
+  from costed group by {id_col}
+), weights as (
+  select d.{id_col},
+         coalesce(s.n_ngrams, 0) as n_ngrams,
+         coalesce(s.weight_bits, 0) as weight_bits
+  from (select {id_col} from documents) d
+  left join scored s using ({id_col})
+)
+select *,
+  cast(ntile(4) over (order by weight_bits desc, {id_col}) as int) as quartile,
+  cast(ntile(4) over (order by weight_bits desc, {id_col}) = 1 as int) as selected
+from weights
+order by {id_col}
 """

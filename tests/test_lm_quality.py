@@ -56,3 +56,27 @@ def test_junk_scores_worse_than_seed_text(spark):
     got = {r.doc_id: r.bits_per_ngram
            for r in LM.score_documents(docs, model).collect()}
     assert got[1] < got[2], got
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR sanity: under a target model trained on English-ish seed text
+    and a pool that also contains noise, the seed-like document's weight
+    (bits_source − bits_target) must exceed the noise document's."""
+    seed_like = "the cat sat on the mat and then the dog sat on the mat too"
+    noise = "zzq wxk vvj pqz kkj zzx qqw jjv zkq xwv"
+    # The pool is noise-dominated so p_source of seed trigrams is at least
+    # a power of two below p_target (dyadic costs only see ×2 steps).
+    docs = spark.createDataFrame(
+        [(i, seed_like, "en") for i in range(4)]
+        + [(10, seed_like, "de")]
+        + [(100 + i, noise, "de") for i in range(15)],
+        "doc_id long, text string, lang string",
+    )
+    from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+    from pyspark.sql import functions as F
+
+    target = LM.train_trigram_counts(docs.filter(F.col("lang") == "en"))
+    got = {r.doc_id: r.weight_bits
+           for r in LM.dsir_weights(docs, target).collect()}
+    release_persisted()
+    assert got[10] > 0 > got[100], got
