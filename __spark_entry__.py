@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from deepseek_ocr_api_rs_spark.fixtures import oracle_goldens as _goldens
 from deepseek_ocr_api_rs_spark.functions import hashing as H
 from deepseek_ocr_api_rs_spark.functions import text as T
+from deepseek_ocr_api_rs_spark.operators import bpe as BPE
 from deepseek_ocr_api_rs_spark.operators import dedup as D
 from deepseek_ocr_api_rs_spark.operators import frontier as FR
 from deepseek_ocr_api_rs_spark.operators import lm as LM
@@ -1030,6 +1031,240 @@ select id, min(r) as component from reach group by id order by id
 """
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection (r7) — the step a real dedup pipeline
+    runs AFTER clustering: every near-dup cluster keeps its best member
+    (highest quality score, doc_id tie-break) and drops the rest.
+    Composition of three already-exact operators: pinned-hash MinHash-LSH
+    pairs → pointer-jumping connected components → quality scores →
+    one row_number window per cluster (clusters are tiny — the window
+    shuffle moves (component, score) pairs, never text). Unpaired docs
+    are their own canonical (component = doc_id via the left join).
+    Ordering on the ROUNDED quality is engine-safe: q_quality_scores
+    already proves round(·, 4) is value-exact cross-engine."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import (
+        connected_components,
+    )
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, shingle_n=3)
+    comp = connected_components(pairs)
+    scored = docs.select(
+        "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+    )
+    j = (
+        scored.join(comp, scored.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "quality",
+        )
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        j.withColumn(
+            "is_canonical",
+            (F.row_number().over(win) == 1).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _canonical_docs_sql() -> str:
+    pairs = _minhash_lsh_sql()
+    return f"""
+with recursive pairs as ({pairs}),
+edges as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b as src, id_a as dst from pairs
+),
+reach(id, r) as (
+  select src, src from edges
+  union
+  select e.src, reach.r from edges e join reach on e.dst = reach.id
+),
+comp as (select id, min(r) as component from reach group by id),
+scored as (
+  select doc_id, round({T.quality_score_duckdb('text')}, 4) as quality
+  from documents
+)
+select s.doc_id,
+       coalesce(c.component, s.doc_id) as component,
+       s.quality,
+       cast(case when row_number() over (
+         partition by coalesce(c.component, s.doc_id)
+         order by s.quality desc, s.doc_id) = 1
+         then 1 else 0 end as int) as is_canonical
+from scored s left join comp c on s.doc_id = c.id
+order by s.doc_id
+"""
+
+
+def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (r7) — frontier hygiene: calendar pages,
+    faceted-search grids and session-id echoes generate unbounded URL
+    families that a template collapse exposes. Every digit run in the
+    synthesized URL collapses to 'N' (shared RE2-safe pattern, global
+    replace on both engines), then ONE hash agg per (host, template)
+    counts distinct members — a template whose cardinality crosses the
+    trap threshold flags the whole family. The url table shuffles once
+    on (host, template); output is template-cardinality-sized, the
+    frontier-filter broadcast side of the next crawl round."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = (
+        docs.select(
+            F.concat(
+                F.lit("https://site"), (d % 7).cast("string"),
+                F.lit(".example.org/article/"), ds,
+            ).alias("url")
+        )
+        .unionByName(
+            docs.select(
+                F.concat(
+                    F.lit("https://site"), (d % 7).cast("string"),
+                    F.lit(".example.org/cal/2026/"),
+                    ((d % 12) + 1).cast("string"),
+                    F.lit("/"), ((d % 28) + 1).cast("string"),
+                ).alias("url")
+            )
+        )
+        .unionByName(
+            docs.filter(d % 2 == 0).select(
+                F.concat(
+                    F.lit("https://site"), (d % 7).cast("string"),
+                    F.lit(".example.org/p/"), ds,
+                    F.lit("?session="), (d * 7919).cast("string"),
+                ).alias("url")
+            )
+        )
+    )
+    from deepseek_ocr_api_rs_spark.functions.web import url_host
+
+    tpl = F.regexp_replace(F.col("url"), "[0-9]+", "N")
+    agg = (
+        urls.select(url_host("url").alias("host"), tpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        (F.col("n_urls") >= 40).cast("int").alias("is_trap"),
+    ).orderBy("host", "template")
+
+
+def _crawl_traps_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.web import url_host_duckdb
+
+    host = url_host_duckdb("url")
+    return f"""
+with urls as (
+  select 'https://site' || cast(doc_id % 7 as varchar)
+         || '.example.org/article/' || cast(doc_id as varchar) as url
+  from documents
+  union all
+  select 'https://site' || cast(doc_id % 7 as varchar)
+         || '.example.org/cal/2026/' || cast((doc_id % 12) + 1 as varchar)
+         || '/' || cast((doc_id % 28) + 1 as varchar)
+  from documents
+  union all
+  select 'https://site' || cast(doc_id % 7 as varchar)
+         || '.example.org/p/' || cast(doc_id as varchar)
+         || '?session=' || cast(doc_id * 7919 as varchar)
+  from documents where doc_id % 2 = 0
+), tpl as (
+  select {host} as host,
+         regexp_replace(url, '[0-9]+', 'N', 'g') as template
+  from urls
+)
+select host, template, cast(count(*) as bigint) as n_urls,
+       cast(case when count(*) >= 40 then 1 else 0 end as int) as is_trap
+from tpl group by host, template
+order by host, template
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout planning (r7) — the Iceberg
+    OPTIMIZE ZORDER shape: interleave the bits of two clustering
+    dimensions (10 bits each — here a host-like and a time-like key
+    derived from doc_id) into one integer sort key, assign rows to
+    output files by ntile over the z order, and report per-file
+    min/max ranges of BOTH dimensions — the stats a scan planner
+    prunes on. Z-ordering keeps each file's x-range AND y-range
+    narrow simultaneously, which 1-D sorting cannot; the per-file
+    ranges in the output make that property hash-checkable. Pure
+    integer bit arithmetic (shifts + AND), identical on both engines.
+    At 10^12 rows the ntile window becomes repartitionByRange on the
+    same z key (documented scale path; ntile keeps the oracle exact
+    at test scale)."""
+    from pyspark.sql.window import Window
+
+    d = F.col("doc_id")
+    x = (d % 1024).alias("x")
+    y = ((d * 2654435761) % 1024).alias("y")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", x, y)
+    z = sum(
+        (
+            F.shiftleft(
+                F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i
+            )
+            + F.shiftleft(
+                F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+        for i in range(10)
+    )
+    win = Window.orderBy("z", "doc_id")
+    files = docs.withColumn("z", z.cast("long")).withColumn(
+        "file_id", F.ntile(16).over(win)
+    )
+    return (
+        files.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(10)
+    )
+    return f"""
+with base as (
+  select doc_id, doc_id % 1024 as x, (doc_id * 2654435761) % 1024 as y
+  from documents
+), zed as (
+  select doc_id, x, y, cast({terms} as bigint) as z from base
+), filed as (
+  select *, cast(ntile(16) over (order by z, doc_id) as int) as file_id
+  from zed
+)
+select file_id, cast(count(*) as bigint) as n_docs,
+       min(x) as x_min, max(x) as x_max,
+       min(y) as y_min, max(y) as y_max,
+       min(z) as z_min, max(z) as z_max
+from filed group by file_id order by file_id
+"""
+
+
 def q_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete median per event_type via deterministic row_number —
     identical semantics in both engines (no interpolation ambiguity)."""
@@ -1616,6 +1851,182 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("selected", (F.col("quartile") == 1).cast("int"))
         .orderBy("doc_id")
     )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (r7, operators/bpe.py): the corpus
+    collapses to a (word, freq) table in one corpus-sized pass, then each
+    merge round is one shuffle over that SMALL table — explode adjacent
+    token pairs weighted by word frequency, integer arg-max with a
+    lexicographic tie-break, greedy left-to-right fold applying the
+    winner. Per-round driver traffic is one row (the winning pair); the
+    DuckDB oracle replays the identical recurrence as chained CTEs
+    (arg-max via ORDER BY .. LIMIT 1, fold via list_reduce), so the
+    learned merge table is value-exact across engines."""
+    from deepseek_ocr_api_rs_spark.operators.bpe import bpe_learn_df
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_learn_df(spark, words, n_merges=12).orderBy("merge_rank")
+
+
+_Q_BPE_WORDS_CTE = (
+    "select w as word, cast(count(*) as bigint) as freq from "
+    "(select unnest(string_split(text, ' ')) as w from documents) t "
+    "where w <> '' group by w"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup + per-host boilerplate
+    removal (r7): pages synthesized from the documents table (host =
+    doc_id mod 7; lines = a host nav bar, four body chunks of the
+    document text, a global footer), then the two classic filters —
+    drop a line when it appears on ≥60% of its HOST's pages (site
+    template/boilerplate) or in ≥80% of the CORPUS (global chrome),
+    both thresholds integer-exact cross-multiplications. Plan: one
+    posexplode, two hash aggs over (host,line)/(line) fingerprint
+    cardinality — lines shuffle, pages never do — a broadcast-sized
+    host-page table, the corpus total as a 1-row broadcast crossJoin
+    (no driver count), and one reassembly agg that rebuilds the kept
+    text in original line order. The exploded frame feeds three
+    consumers, so it is persisted once."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (d % 7).cast("string")).alias("host"),
+        F.split("text", " ").alias("ws"),
+    )
+    chunks = [
+        F.array_join(
+            F.expr(
+                f"slice(ws, ({c} * size(ws)) DIV 4 + 1, "
+                f"(({c} + 1) * size(ws)) DIV 4 - ({c} * size(ws)) DIV 4)"
+            ),
+            " ",
+        )
+        for c in range(4)
+    ]
+    pages = docs.select(
+        "doc_id",
+        "host",
+        F.array(
+            F.concat(F.lit("home about contact "), F.col("host")),
+            *chunks,
+            F.lit("copyright 2026 example inc all rights reserved"),
+        ).alias("lines"),
+    )
+    lines = D._persist(
+        pages.select(
+            "doc_id", "host", F.posexplode("lines").alias("pos", "line")
+        ).filter(F.col("line") != "")
+    )
+    host_pages = lines.select("host", "doc_id").distinct().groupBy(
+        "host"
+    ).agg(F.count(F.lit(1)).alias("hp"))
+    host_freq = lines.groupBy("host", "line").agg(
+        F.countDistinct("doc_id").alias("hd")
+    )
+    global_freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("gd")
+    )
+    total = lines.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("td")
+    )
+    flagged = (
+        lines.join(host_freq, ["host", "line"])
+        .join(global_freq, "line")
+        .join(F.broadcast(host_pages), "host")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "removed",
+            (5 * F.col("hd") >= 3 * F.col("hp"))
+            | (10 * F.col("gd") >= 8 * F.col("td")),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("removed"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_LINE_DEDUP_SQL = """
+with base as (
+  select doc_id, 'site' || cast(doc_id % 7 as varchar) as host,
+         string_split(text, ' ') as ws
+  from documents
+), pages as (
+  select doc_id, host,
+    ['home about contact ' || host,
+     array_to_string(ws[(0 * len(ws)) // 4 + 1 : (1 * len(ws)) // 4], ' '),
+     array_to_string(ws[(1 * len(ws)) // 4 + 1 : (2 * len(ws)) // 4], ' '),
+     array_to_string(ws[(2 * len(ws)) // 4 + 1 : (3 * len(ws)) // 4], ' '),
+     array_to_string(ws[(3 * len(ws)) // 4 + 1 : (4 * len(ws)) // 4], ' '),
+     'copyright 2026 example inc all rights reserved'] as lns
+  from base
+), lines as (
+  select doc_id, host, u.pos, u.line
+  from (
+    select doc_id, host,
+           unnest(list_transform(lns, (x, i) ->
+             struct_pack(pos := i - 1, line := x))) as u
+    from pages
+  )
+  where u.line <> ''
+), host_pages as (
+  select host, cast(count(distinct doc_id) as bigint) as hp
+  from lines group by host
+), host_freq as (
+  select host, line, cast(count(distinct doc_id) as bigint) as hd
+  from lines group by host, line
+), global_freq as (
+  select line, cast(count(distinct doc_id) as bigint) as gd
+  from lines group by line
+), total as (
+  select cast(count(distinct doc_id) as bigint) as td from lines
+), flagged as (
+  select l.doc_id, l.host, l.pos, l.line,
+         (5 * hf.hd >= 3 * hp.hp or 10 * gf.gd >= 8 * total.td) as removed
+  from lines l
+  join host_freq hf on l.host = hf.host and l.line = hf.line
+  join global_freq gf on l.line = gf.line
+  join host_pages hp on l.host = hp.host
+  cross join total
+)
+select doc_id, host,
+       cast(count(*) as bigint) as n_lines,
+       cast(count(*) filter (removed) as bigint) as n_removed,
+       coalesce(
+         string_agg(case when not removed then line end, chr(10)
+                    order by pos),
+         '') as cleaned_text
+from flagged
+group by doc_id, host
+order by doc_id
+"""
 
 
 def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4611,6 +5022,51 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, n_iter=10).orderBy("node")
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS hubs & authorities (r7,
+    operators/hits.py): Kleinberg's other link-analysis recurrence over
+    the same synthetic link graph as q_pagerank, 8 exact integer
+    iterations with max-normalization (scores in BIGINT micro-units, the
+    top node pinned at exactly 1.0) — integer sums + integer scaling
+    make the result bit-identical across engines and partitionings.
+    Oracle: the identical recurrence as chained DuckDB CTEs."""
+    from deepseek_ocr_api_rs_spark.operators.hits import hits_fixed_point
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # one scalar driver action: the modulus
+    d = F.col("doc_id")
+    edges = (
+        docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+        .unionByName(
+            docs.select(d.alias("src"), ((d * 13 + 3) % n).alias("dst"))
+        )
+        .unionByName(
+            docs.filter(d % 3 == 0).select(
+                d.alias("src"), ((d * 31 + 5) % n).alias("dst")
+            )
+        )
+    )
+    return hits_fixed_point(edges, n_iter=8).orderBy("node")
+
+
+def _hits_oracle_sql() -> str:
+    from deepseek_ocr_api_rs_spark.operators.hits import hits_oracle_sql
+
+    cte = (
+        "select doc_id as src, (doc_id * 7 + 1) % n.c as dst "
+        "from documents, (select count(*) as c from documents) n "
+        "union all "
+        "select doc_id, (doc_id * 13 + 3) % n.c "
+        "from documents, (select count(*) as c from documents) n "
+        "union all "
+        "select doc_id, (doc_id * 31 + 5) % n.c "
+        "from documents, (select count(*) as c from documents) n "
+        "where doc_id % 3 = 0"
+    )
+    return hits_oracle_sql(cte, n_iter=8)
+
+
 def _pagerank_oracle_sql() -> str:
     from deepseek_ocr_api_rs_spark.operators.pagerank import (
         pagerank_oracle_sql,
@@ -5266,6 +5722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7 tail additions first, then the rest of this round's new
         # queries — the driver's 50-row CORRECTNESS window checks
         # registration order
+        "q_bpe_merges": q_bpe_merges,
+        "q_line_dedup": q_line_dedup,
+        "q_hits": q_hits,
+        "q_canonical_docs": q_canonical_docs,
+        "q_crawl_traps": q_crawl_traps,
+        "q_zorder_layout": q_zorder_layout,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -5451,6 +5913,12 @@ def oracle_sql() -> dict[str, str]:
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,
         "q_webp_meta": _Q_WEBP_META_SQL,
+        "q_bpe_merges": BPE.bpe_oracle_sql(_Q_BPE_WORDS_CTE, 12),
+        "q_line_dedup": _Q_LINE_DEDUP_SQL,
+        "q_hits": _hits_oracle_sql(),
+        "q_canonical_docs": _canonical_docs_sql(),
+        "q_crawl_traps": _crawl_traps_sql(),
+        "q_zorder_layout": _zorder_sql(),
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),

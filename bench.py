@@ -231,6 +231,14 @@ _HEADLINE_QUERIES = [
     "q_anchor_text",
     "q_redirect_chains",
     "q_exif",
+    # round-7 session 4: tokenizer-training fixed point (12 shuffles over
+    # the distinct-word table) and CCNet-style line dedup (one explode +
+    # two fingerprint aggs)
+    "q_bpe_merges",
+    "q_line_dedup",
+    "q_hits",
+    "q_crawl_traps",
+    "q_zorder_layout",
 ]
 
 

@@ -1,0 +1,171 @@
+"""Integer fixed-point HITS (hubs & authorities) over a link graph (r7).
+
+The second classic link-analysis pass next to PageRank
+(operators/pagerank.py): Kleinberg's HITS (JACM 1999, public) restated
+with the same exactness discipline — scores held in BIGINT MICRO-UNITS
+(1.0 == 1_000_000) and every step pure integer arithmetic:
+
+    auth_raw(v) = sum over edges u->v of hub(u)
+    auth(v)     = auth_raw(v) * 1_000_000 DIV max_w(auth_raw(w))
+    hub_raw(u)  = sum over edges u->v of auth(v)
+    hub(u)      = hub_raw(u) * 1_000_000 DIV max_w(hub_raw(w))
+
+Normalization by the MAX (not the float L2 norm) keeps the recurrence
+closed over integers: integer sums are associative, so the result is
+BIT-IDENTICAL across engines, partitionings, and parallelism — the
+property that lets the DuckDB oracle replay the identical recurrence as
+programmatically chained CTEs and the driver hash-compare values.
+The top-scoring node's score is exactly FP_ONE each iteration, so
+scores are directly comparable across iterations and graphs.
+
+Magnitude bound (documented, not checked per-row): auth_raw ≤
+max_in_degree * FP_ONE and the scaling multiply stays < 2^63 while
+max degree < ~9.2e6 — far above any per-host link graph this engine
+builds (ANSI mode would THROW on overflow rather than corrupt, the
+fail-safe default).
+
+Scale shape: two shuffles per iteration (the groupBy(dst) and
+groupBy(src) sums); the max is a broadcast-sized 1-row crossJoin (no
+driver action). Unlike PageRank, each half-iteration's sum table
+feeds TWO consumers (join + normalizer), so it is persisted and the
+joined result eagerly checkpointed — the lazy plan stays one level
+deep no matter how many iterations run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FP_ONE = 1_000_000
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst) edge frame → (node, auth_fp, hub_fp) in BIGINT
+    micro-units after ``n_iter`` exact integer iterations. Duplicate
+    edges count twice (multigraph convention, mirrored by the oracle);
+    nodes with no in-edges get auth 0, no out-edges hub 0.
+
+    Precondition: at least one edge (the max-normalizer is then ≥ 1;
+    an empty graph would divide by zero on both engines alike).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    scores = nodes.select(
+        "node",
+        F.lit(FP_ONE).cast("long").alias("auth_fp"),
+        F.lit(FP_ONE).cast("long").alias("hub_fp"),
+    )
+    for i in range(n_iter):
+        # each *_raw frame feeds TWO consumers (the left join and the
+        # max-normalizer) — persist it so the half-iteration computes
+        # once, and eagerly checkpoint the joined result so the lazy
+        # plan never stacks across iterations (iterative-loop
+        # discipline: materialize BEFORE unpersisting the producer).
+        auth_raw = (
+            e.join(
+                scores.select(F.col("node").alias("src"), "hub_fp"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_fp").alias("raw"))
+            .persist()
+        )
+        auth = (
+            nodes.join(auth_raw, "node", "left")
+            .crossJoin(
+                F.broadcast(auth_raw.agg(F.max("raw").alias("m")))
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(raw, 0L) * {FP_ONE} DIV m"
+                ).alias("auth_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        auth_raw.unpersist()
+        hub_raw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth_fp"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_fp").alias("raw"))
+            .persist()
+        )
+        scores = (
+            auth.join(hub_raw, "node", "left")
+            .crossJoin(
+                F.broadcast(hub_raw.agg(F.max("raw").alias("m")))
+            )
+            .select(
+                "node",
+                "auth_fp",
+                F.expr(
+                    f"coalesce(raw, 0L) * {FP_ONE} DIV m"
+                ).alias("hub_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hub_raw.unpersist()
+    return scores
+
+
+def hits_oracle_sql(edges_cte: str, n_iter: int = 8) -> str:
+    """The identical recurrence as chained DuckDB CTEs. ``edges_cte``
+    selects (src, dst).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines CTEs by default,
+    and unlike the PageRank chain (each CTE referenced ONCE — linear),
+    HITS references each half-iteration twice (the left join and the
+    max-normalizer scalar subquery), so inlining expands ~8× per
+    iteration — 8^n copies of the edge scan and an EMFILE blow-up at
+    n_iter 8. Materialization makes the oracle linear, matching the
+    Spark side's persist/checkpoint structure."""
+    parts = [
+        f"with e as materialized ({edges_cte})",
+        "nodes as materialized (select distinct node from "
+        "(select src as node from e union select dst from e))",
+        f"s0 as materialized (select node, "
+        f"cast({FP_ONE} as bigint) as auth_fp, "
+        f"cast({FP_ONE} as bigint) as hub_fp from nodes)",
+    ]
+    for i in range(n_iter):
+        p, n = i, i + 1
+        parts.append(
+            f"ar{n} as materialized (select e.dst as node, "
+            f"cast(sum(s{p}.hub_fp) as bigint) as raw "
+            f"from e join s{p} on e.src = s{p}.node group by e.dst)"
+        )
+        parts.append(
+            f"a{n} as materialized (select nodes.node, "
+            f"cast(coalesce(ar{n}.raw, 0) "
+            f"* {FP_ONE} // (select max(raw) from ar{n}) as bigint) "
+            f"as auth_fp from nodes left join ar{n} "
+            f"on nodes.node = ar{n}.node)"
+        )
+        parts.append(
+            f"hr{n} as materialized (select e.src as node, "
+            f"cast(sum(a{n}.auth_fp) as bigint) as raw "
+            f"from e join a{n} on e.dst = a{n}.node group by e.src)"
+        )
+        parts.append(
+            f"s{n} as materialized (select a{n}.node, a{n}.auth_fp, "
+            f"cast(coalesce(hr{n}.raw, 0) * {FP_ONE} "
+            f"// (select max(raw) from hr{n}) as bigint) as hub_fp "
+            f"from a{n} left join hr{n} on a{n}.node = hr{n}.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect node, auth_fp, hub_fp from s{n_iter} order by node"
+    )

@@ -1,0 +1,76 @@
+"""BPE merge learning (operators/bpe.py): greedy-fold semantics, arg-max
+tie-breaks, early stop, and a hand-computed merge chain. Cross-engine
+value-exactness of q_bpe_merges is covered by test_queries_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_api_rs_spark.operators.bpe import (
+    SEP,
+    _apply_merge,
+    bpe_learn,
+)
+
+
+def _words(spark, rows):
+    return spark.createDataFrame(rows, ["word", "freq"])
+
+
+def _tok_frame(spark, toks_rows):
+    return spark.createDataFrame(
+        [(1, SEP.join(t)) for t in toks_rows], ["freq", "toks"]
+    )
+
+
+def test_greedy_merge_overlap(spark):
+    """'aaa' + (a,a) merges left-to-right: ['aa','a'], never ['a','aa']
+    and never a chain into ['aaa']."""
+    w = _tok_frame(spark, [["a", "a", "a"], ["a", "a", "a", "a"]])
+    out = [
+        r.toks.split(SEP)
+        for r in _apply_merge(w, "a", "a").orderBy(F.length("toks")).collect()
+    ]
+    assert out == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_merge_respects_token_boundaries(spark):
+    """(a,b) must match whole TOKENS: after ab is one token, (a,b) no
+    longer matches inside it, and a trailing 'b' after 'ab' does not
+    merge with the 'b' suffix of the merged token."""
+    w = _tok_frame(spark, [["ab", "a", "b", "b"]])
+    out = _apply_merge(w, "a", "b").collect()[0].toks.split(SEP)
+    assert out == ["ab", "ab", "b"]
+
+
+def test_single_char_word_passthrough(spark):
+    w = _tok_frame(spark, [["x"]])
+    assert _apply_merge(w, "a", "b").collect()[0].toks == "x"
+
+
+def test_learn_hand_computed_chain(spark):
+    """words: 'abab'×2, 'ab'×3. Round 1 pair counts:
+    (a,b) = 2·2 + 3 = 7, (b,a) = 2. Winner (a,b). After the merge every
+    word is [ab,ab] / [ab]; round 2's only pair is (ab,ab) = 2."""
+    merges = bpe_learn(_words(spark, [("abab", 2), ("ab", 3)]), 3)
+    assert merges == [(1, "a", "b", 7), (2, "ab", "ab", 2)]
+    # round 3 has no pairs left -> early stop after 2 merges
+
+
+def test_learn_tiebreak_lexicographic(spark):
+    """'ab'×2 vs 'ba'×2: equal counts, (a,b) < (b,a) lexicographically."""
+    merges = bpe_learn(_words(spark, [("ab", 2), ("ba", 2)]), 1)
+    assert merges == [(1, "a", "b", 2)]
+
+
+def test_learn_no_pairs_returns_empty(spark):
+    assert bpe_learn(_words(spark, [("a", 5), ("b", 2)]), 4) == []
+
+
+def test_learn_weighting_by_freq(spark):
+    """Frequency outweighs raw pair multiplicity: 'cd'×10 beats the
+    (a,b) pairs from 'abab'×3 (count 6 < 10)."""
+    merges = bpe_learn(_words(spark, [("abab", 3), ("cd", 10)]), 1)
+    assert merges == [(1, "c", "d", 10)]
