@@ -338,3 +338,42 @@ def test_url_frontier_probe_is_broadcast_pure_jvm(spark):
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_line_dedup_plan_is_pure_jvm_with_broadcasts(spark):
+    """q_line_dedup's claims, executed: no Python evaluation operator
+    anywhere (synthesis, explode, fingerprint aggs and reassembly are
+    all codegen), and the host-page table + corpus total arrive via
+    broadcast joins — the big line table never shuffles for them."""
+    df = entrymod.queries()["q_line_dedup"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+
+    release_persisted()
+
+
+def test_crawl_traps_plan_is_pure_jvm_single_agg(spark):
+    """q_crawl_traps: template collapse + ONE hash aggregation, no
+    Python, no window, map-side partial aggregate present."""
+    df = entrymod.queries()["q_crawl_traps"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert "Window" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_zorder_plan_is_pure_jvm(spark):
+    """q_zorder_layout: the Morton interleave is integer codegen —
+    no Python operator; the ntile window is the documented test-scale
+    file-assignment device."""
+    df = entrymod.queries()["q_zorder_layout"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
