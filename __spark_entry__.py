@@ -1265,6 +1265,139 @@ from filed group by file_id order by file_id
 """
 
 
+_CDC_W = 8      # rolling-window width (chars)
+_CDC_MOD = 64   # boundary density: E[chunk] = 64 chars
+
+
+def _cdc_hash_terms(text: str, i: str) -> str:
+    """Polynomial hash of the W-char window ENDING at 1-based position
+    ``i`` — sum of ascii(char) * 31^(W-1-k); identical integer math on
+    both engines (max ≈ 3e12, no int64 overflow)."""
+    # cast to bigint BEFORE multiplying: ascii() is INT and 122 * 31^6
+    # overflows int32 (ANSI mode throws rather than wraps)
+    return " + ".join(
+        f"cast(ascii(substr({text}, {i} - {_CDC_W - 1 - k}, 1)) as bigint)"
+        f" * {KEY_MULT_POW[k]}"
+        for k in range(_CDC_W)
+    )
+
+
+KEY_MULT_POW = [31 ** (_CDC_W - 1 - k) for k in range(_CDC_W)]
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (r7) — the LBFS/rsync mechanism:
+    a chunk boundary falls wherever the rolling hash of the trailing
+    8-char window is ≡ 0 mod 64, so boundaries depend only on LOCAL
+    content and re-align after insertions — the property that lets
+    shared passages dedup across documents whose prefixes differ
+    (fixed-size blocks cannot). Pages are the document text plus a
+    host-shared footer (host = doc_id mod 7), so the footer's chunks
+    align and dedup across each host's pages while body chunks stay
+    unique. Everything is codegen: the boundary predicate is a
+    stateless per-position window hash (filter over sequence), chunks
+    are substrings between consecutive boundaries, chunk identity is
+    the pinned polynomial fold, and ONE hash agg counts cross-document
+    chunk frequency — chunk fingerprints shuffle, never documents.
+    Simplifications vs production CDC (documented): no min/max chunk
+    clamps and a fixed 8-char window — the boundary rule stays a pure
+    per-position predicate both engines evaluate identically."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.expr(
+                "repeat(concat('footer host', cast(doc_id % 7 as string),"
+                " ' promo deal '), 12)"
+            ),
+        ).alias("page"),
+    )
+    terms = _cdc_hash_terms("page", "i")
+    bpos = (
+        f"filter(if(length(page) >= {_CDC_W}, "
+        f"sequence({_CDC_W}, length(page)), array()), "
+        f"i -> ({terms}) % {_CDC_MOD} = 0)"
+    )
+    chunks_expr = (
+        f"filter(transform(arrays_zip("
+        f"concat(array(1), transform({bpos}, b -> b + 1)), "
+        f"concat({bpos}, array(length(page)))), "
+        f"z -> substr(page, z.`0`, z.`1` - z.`0` + 1)), c -> c <> '')"
+    )
+    ck = H.word_key_spark("c")
+    chunked = D._persist(
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(chunks_expr)).alias("c"),
+        ).select(
+            "doc_id",
+            F.expr(ck).alias("ckey"),
+            F.length("c").alias("clen"),
+        )
+    )
+    dfreq = chunked.groupBy("ckey").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunked.join(dfreq, "ckey")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("clen")).otherwise(0)
+            ).alias("dup_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cdc_chunks_sql() -> str:
+    terms = _cdc_hash_terms("page", "i")
+    return f"""
+with pages as (
+  select doc_id,
+         text || ' ' || repeat('footer host' || cast(doc_id % 7 as varchar)
+           || ' promo deal ', 12) as page
+  from documents
+), marked as (
+  select doc_id, page,
+         list_filter(range({_CDC_W}, length(page) + 1),
+                     i -> ({terms}) % {_CDC_MOD} = 0) as bpos
+  from pages
+), chunked as (
+  select doc_id, c
+  from (
+    select doc_id,
+           unnest(list_filter(list_transform(
+             range(1, len(bpos) + 2),
+             k -> substr(page,
+                         list_prepend(1, list_transform(bpos, b -> b + 1))[k],
+                         list_append(bpos, length(page))[k]
+                           - list_prepend(1,
+                               list_transform(bpos, b -> b + 1))[k] + 1)),
+             c -> c <> '')) as c
+    from marked
+  )
+), keyed as (
+  select doc_id, {H.word_key_duckdb('c')} as ckey, length(c) as clen
+  from chunked
+), dfreq as (
+  select ckey, count(distinct doc_id) as nd from keyed group by ckey
+)
+select k.doc_id,
+       cast(count(*) as bigint) as n_chunks,
+       cast(count(*) filter (d.nd >= 2) as bigint) as n_dup_chunks,
+       cast(coalesce(sum(k.clen) filter (d.nd >= 2), 0) as bigint)
+         as dup_chars
+from keyed k join dfreq d on k.ckey = d.ckey
+group by k.doc_id
+order by k.doc_id
+"""
+
+
 def q_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete median per event_type via deterministic row_number —
     identical semantics in both engines (no interpolation ambiguity)."""
@@ -5728,6 +5861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_docs": q_canonical_docs,
         "q_crawl_traps": q_crawl_traps,
         "q_zorder_layout": q_zorder_layout,
+        "q_cdc_chunks": q_cdc_chunks,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -5919,6 +6053,7 @@ def oracle_sql() -> dict[str, str]:
         "q_canonical_docs": _canonical_docs_sql(),
         "q_crawl_traps": _crawl_traps_sql(),
         "q_zorder_layout": _zorder_sql(),
+        "q_cdc_chunks": _cdc_chunks_sql(),
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),

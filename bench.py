@@ -239,6 +239,7 @@ _HEADLINE_QUERIES = [
     "q_hits",
     "q_crawl_traps",
     "q_zorder_layout",
+    "q_cdc_chunks",
 ]
 
 

@@ -377,3 +377,19 @@ def test_zorder_plan_is_pure_jvm(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, plan[:2000]
+
+
+def test_cdc_chunks_plan_is_pure_jvm(spark):
+    """q_cdc_chunks: the rolling-window boundary predicate, chunk
+    substring extraction and polynomial chunk keys are all codegen —
+    no Python evaluation operator; the chunk-frequency agg has a
+    map-side partial."""
+    df = entrymod.queries()["q_cdc_chunks"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert has_partial_aggregate(df)
+    from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+
+    release_persisted()
