@@ -2015,6 +2015,56 @@ _Q_BPE_WORDS_CTE = (
 )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train-then-apply (r7): the learned merge table (q_bpe_merges'
+    recurrence) applied back to the corpus in rank order — the standard
+    encode where each merge rewrites globally before the next. The
+    application is 12 chained codegen folds over the DISTINCT-word
+    table only; documents are then tokenized by a broadcast join of
+    that small vocab (word → n_tokens) against the exploded corpus —
+    the 10^12-document table never folds, never shuffles on anything
+    but its own doc_id agg. Output: per-doc word/char/token counts —
+    the compression the learned merges buy. Oracle: the same CTE chain
+    extended to the final word table, joined in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    doc_words = D._persist(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        ).filter(F.col("word") != "")
+    )
+    words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    merges = BPE.bpe_learn(words, 12)
+    vocab = BPE.bpe_apply(words, merges).select("word", "n_tokens")
+    return (
+        doc_words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    enc = BPE.bpe_encode_tokens_sql(_Q_BPE_WORDS_CTE, 12)
+    return f"""
+with dw as (
+  select doc_id, w as word from (
+    select doc_id, unnest(string_split(text, ' ')) as w from documents
+  ) t where w <> ''
+)
+select dw.doc_id,
+       cast(count(*) as bigint) as n_words,
+       cast(sum(length(dw.word)) as bigint) as n_chars,
+       cast(sum(v.n_tokens) as bigint) as n_tokens
+from dw join ({enc}) v on dw.word = v.word
+group by dw.doc_id
+order by dw.doc_id
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-document line dedup + per-host boilerplate
     removal (r7): pages synthesized from the documents table (host =
@@ -5862,6 +5912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_traps": q_crawl_traps,
         "q_zorder_layout": q_zorder_layout,
         "q_cdc_chunks": q_cdc_chunks,
+        "q_bpe_encode": q_bpe_encode,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -6054,6 +6105,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_traps": _crawl_traps_sql(),
         "q_zorder_layout": _zorder_sql(),
         "q_cdc_chunks": _cdc_chunks_sql(),
+        "q_bpe_encode": _bpe_encode_sql(),
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),

@@ -240,6 +240,7 @@ _HEADLINE_QUERIES = [
     "q_crawl_traps",
     "q_zorder_layout",
     "q_cdc_chunks",
+    "q_bpe_encode",
 ]
 
 

@@ -83,7 +83,8 @@ def _apply_merge(w: DataFrame, left: str, right: str) -> DataFrame:
     that already ends with the full token ``left`` — the merged token
     is their concatenation, and because ``left || right != left`` the
     fold never chain-merges through an overlap ('aaa' + (a,a) →
-    ['aa','a'], the reference greedy semantics)."""
+    ['aa','a'], the reference greedy semantics). All columns other
+    than ``toks`` pass through."""
     ts = F.split(F.col("toks"), SEP)
     merged = F.aggregate(
         F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
@@ -94,7 +95,7 @@ def _apply_merge(w: DataFrame, left: str, right: str) -> DataFrame:
             F.concat(acc, x),
         ).otherwise(F.concat(acc, F.lit(SEP), x)),
     )
-    return w.select("freq", merged.alias("toks"))
+    return w.withColumn("toks", merged)
 
 
 def bpe_learn(
@@ -150,38 +151,53 @@ def bpe_learn_df(
     return spark.createDataFrame(rows, _MERGES_SCHEMA)
 
 
-def bpe_oracle_sql(words_cte: str, n_merges: int) -> str:
-    """The identical recurrence as chained DuckDB CTEs — pair stats via
-    a lateral unnest over 1-based positions, arg-max via ORDER BY ..
-    LIMIT 1, greedy merge via ``list_reduce`` (left fold, accumulator =
-    first element: exactly Spark's ``aggregate`` with init toks[0]).
-    ``words_cte`` selects (word, freq)."""
+def _bpe_chain_ctes(
+    words_cte: str, n_merges: int, final_word_table: bool
+) -> list[str]:
+    """The shared CTE chain of the learn/encode oracles. Every CTE is
+    ``AS MATERIALIZED``: w{k-1} is referenced by BOTH p{k} and w{k}
+    (and b{k} by w{k} and the final projection), so default inlining
+    would expand the word table 2^n times — the HITS lesson.
+    ``final_word_table`` additionally emits w{n_merges} (the encode
+    oracle needs the post-merge token strings; the learn oracle stops
+    at b{n_merges})."""
     parts = [
-        f"with wf as ({words_cte})",
-        "w0 as (select freq, array_to_string("
+        f"with wf as materialized ({words_cte})",
+        "w0 as materialized (select word, freq, array_to_string("
         "list_transform(range(length(word)), i -> word[i + 1]),"
         " chr(31)) as toks from wf)",
     ]
     for k in range(1, n_merges + 1):
         prev = f"w{k - 1}"
         parts.append(
-            f"p{k} as (select l, r, cast(sum(freq) as bigint) as cnt "
+            f"p{k} as materialized (select l, r, "
+            "cast(sum(freq) as bigint) as cnt "
             f"from (select freq, ts[i] as l, ts[i + 1] as r from "
             f"(select freq, string_split(toks, chr(31)) as ts from {prev}),"
             " unnest(range(1, len(ts))) as u(i)) group by l, r)"
         )
         parts.append(
-            f"b{k} as (select l, r, cnt from p{k} "
+            f"b{k} as materialized (select l, r, cnt from p{k} "
             "order by cnt desc, l, r limit 1)"
         )
-        if k < n_merges:
+        if k < n_merges or final_word_table:
             parts.append(
-                f"w{k} as (select freq, list_reduce("
+                f"w{k} as materialized (select word, freq, list_reduce("
                 f"string_split(w.toks, chr(31)), (acc, x) -> case when "
                 f"string_split(acc, chr(31))[-1] = b.l and x = b.r "
                 "then acc || x else acc || chr(31) || x end) as toks "
                 f"from {prev} w cross join b{k} b)"
             )
+    return parts
+
+
+def bpe_oracle_sql(words_cte: str, n_merges: int) -> str:
+    """The identical recurrence as chained DuckDB CTEs — pair stats via
+    a lateral unnest over 1-based positions, arg-max via ORDER BY ..
+    LIMIT 1, greedy merge via ``list_reduce`` (left fold, accumulator =
+    first element: exactly Spark's ``aggregate`` with init toks[0]).
+    ``words_cte`` selects (word, freq)."""
+    parts = _bpe_chain_ctes(words_cte, n_merges, final_word_table=False)
     union = " union all ".join(
         f"select {k} as merge_rank, l as lhs, r as rhs, cnt as pair_count "
         f"from b{k}"
@@ -190,4 +206,38 @@ def bpe_oracle_sql(words_cte: str, n_merges: int) -> str:
     return (
         ",\n".join(parts)
         + f"\nselect * from ({union}) order by merge_rank"
+    )
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Apply a learned merge list to a (word, freq) table in rank order
+    (the standard BPE encode: each merge applies globally before the
+    next) → (word, freq, toks, n_tokens). Runs entirely as chained
+    codegen folds over the DISTINCT-word table — the corpus is
+    tokenized by joining this small result back, never by folding
+    every document."""
+    w = words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).cast("long").alias("freq"),
+        _char_toks(word_col).alias("toks"),
+    )
+    for _rank, l, r, _cnt in merges:
+        w = _apply_merge(w, l, r)
+    return w.withColumn("n_tokens", F.size(F.split("toks", SEP)))
+
+
+def bpe_encode_tokens_sql(words_cte: str, n_merges: int) -> str:
+    """Oracle half of bpe_apply: the same CTE chain, ending in the
+    final word table with per-word token counts."""
+    parts = _bpe_chain_ctes(words_cte, n_merges, final_word_table=True)
+    return (
+        ",\n".join(parts)
+        + f"\nselect word, freq, "
+        "cast(len(string_split(toks, chr(31))) as int) as n_tokens "
+        f"from w{n_merges}"
     )

@@ -74,3 +74,21 @@ def test_learn_weighting_by_freq(spark):
     (a,b) pairs from 'abab'×3 (count 6 < 10)."""
     merges = bpe_learn(_words(spark, [("abab", 3), ("cd", 10)]), 1)
     assert merges == [(1, "c", "d", 10)]
+
+
+def test_apply_learned_merges_in_rank_order(spark):
+    """bpe_apply encodes with each merge applied globally in rank
+    order: 'abab' under merges [(a,b) then (ab,ab)] collapses to ONE
+    token; 'aba' gets ['ab','a']."""
+    from deepseek_ocr_api_rs_spark.operators.bpe import bpe_apply
+
+    merges = [(1, "a", "b", 0), (2, "ab", "ab", 0)]
+    out = {
+        r.word: (r.toks.split(SEP), r.n_tokens)
+        for r in bpe_apply(
+            _words(spark, [("abab", 1), ("aba", 1), ("ba", 1)]), merges
+        ).collect()
+    }
+    assert out["abab"] == (["abab"], 1)
+    assert out["aba"] == (["ab", "a"], 2)
+    assert out["ba"] == (["b", "a"], 2)
