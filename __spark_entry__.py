@@ -1398,6 +1398,104 @@ order by k.doc_id
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings phrase search (r7) — the IR mechanism BM25
+    doesn't exercise: an exact phrase matches where the postings of its
+    words meet at CONSECUTIVE positions. The query phrase is itself
+    data-derived (the trigram with the highest document frequency,
+    lexicographic tie-break — a 1-row frame, no driver collect) and
+    BROADCAST, so each postings self-join leg is pre-filtered to one
+    word's postings list before joining on (doc, pos±1) — exactly how a
+    positional index evaluates phrases: three tiny lists, never the
+    corpus. The postings frame feeds three legs and is persisted once.
+    Overlapping matches all count (both engines agree)."""
+    docs = _t(spark, sf_dir, "documents")
+    posts = D._persist(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("pos", "tok"),
+        )
+    )
+    sh = docs.select(
+        F.explode(F.expr(H.shingles_spark("text", 3))).alias("s")
+    )
+    phrase = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "s")
+        .limit(1)
+        .select(
+            F.split("s", " ")[0].alias("w1"),
+            F.split("s", " ")[1].alias("w2"),
+            F.split("s", " ")[2].alias("w3"),
+        )
+    )
+    p1 = posts.crossJoin(F.broadcast(phrase)).filter(
+        F.col("tok") == F.col("w1")
+    )
+    p2 = posts.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("q2"),
+        F.col("tok").alias("t2"),
+    )
+    p3 = posts.select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("q3"),
+        F.col("tok").alias("t3"),
+    )
+    hits = (
+        p1.join(
+            p2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("q2") == F.col("pos") + 1)
+            & (F.col("t2") == F.col("w2")),
+        )
+        .join(
+            p3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("q3") == F.col("pos") + 2)
+            & (F.col("t3") == F.col("w3")),
+        )
+    )
+    return (
+        hits.groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+_Q_PHRASE_SEARCH_SQL = f"""
+with posts as materialized (
+  select doc_id, i - 1 as pos, ts[i] as tok
+  from (
+    select doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+    from documents
+  ), unnest(range(1, len(ts) + 1)) as u(i)
+), ph as materialized (
+  select string_split(s, ' ')[1] as w1,
+         string_split(s, ' ')[2] as w2,
+         string_split(s, ' ')[3] as w3
+  from (
+    select s, count(*) as df
+    from (select unnest({H.shingles_duckdb('text', 3)}) as s from documents)
+    group by s
+    order by df desc, s limit 1
+  )
+)
+select p1.doc_id, ph.w1, ph.w2, ph.w3,
+       cast(count(*) as bigint) as n_matches
+from posts p1
+join ph on p1.tok = ph.w1
+join posts p2 on p2.doc_id = p1.doc_id and p2.pos = p1.pos + 1
+             and p2.tok = ph.w2
+join posts p3 on p3.doc_id = p1.doc_id and p3.pos = p1.pos + 2
+             and p3.tok = ph.w3
+group by p1.doc_id, ph.w1, ph.w2, ph.w3
+order by p1.doc_id
+"""
+
+
 def q_value_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete median per event_type via deterministic row_number —
     identical semantics in both engines (no interpolation ambiguity)."""
@@ -5913,6 +6011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_layout": q_zorder_layout,
         "q_cdc_chunks": q_cdc_chunks,
         "q_bpe_encode": q_bpe_encode,
+        "q_phrase_search": q_phrase_search,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -6106,6 +6205,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_layout": _zorder_sql(),
         "q_cdc_chunks": _cdc_chunks_sql(),
         "q_bpe_encode": _bpe_encode_sql(),
+        "q_phrase_search": _Q_PHRASE_SEARCH_SQL,
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),

@@ -241,6 +241,7 @@ _HEADLINE_QUERIES = [
     "q_zorder_layout",
     "q_cdc_chunks",
     "q_bpe_encode",
+    "q_phrase_search",
 ]
 
 

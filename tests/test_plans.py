@@ -393,3 +393,18 @@ def test_cdc_chunks_plan_is_pure_jvm(spark):
     from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
 
     release_persisted()
+
+
+def test_phrase_search_plan_is_pure_jvm_with_broadcast_phrase(spark):
+    """q_phrase_search: the 1-row data-derived phrase arrives via
+    broadcast (no driver collect) and every join leg is codegen — no
+    Python evaluation operator in the plan."""
+    df = entrymod.queries()["q_phrase_search"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert "Broadcast" in plan
+    from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+
+    release_persisted()
