@@ -1269,15 +1269,19 @@ _CDC_W = 8      # rolling-window width (chars)
 _CDC_MOD = 64   # boundary density: E[chunk] = 64 chars
 
 
-def _cdc_hash_terms(text: str, i: str) -> str:
+def _cdc_hash_terms(cps: str, i: str, engine: str) -> str:
     """Polynomial hash of the W-char window ENDING at 1-based position
-    ``i`` — sum of ascii(char) * 31^(W-1-k); identical integer math on
-    both engines (max ≈ 3e12, no int64 overflow)."""
-    # cast to bigint BEFORE multiplying: ascii() is INT and 122 * 31^6
-    # overflows int32 (ANSI mode throws rather than wraps)
+    ``i`` over a precomputed CODEPOINT ARRAY — sum of cp * 31^(W-1-k);
+    identical integer math on both engines (max ≈ 3e12, no int64
+    overflow; elements are already bigint). Array lookups are O(1) and
+    1-based on both sides (Spark element_at / DuckDB list_extract —
+    bracket indexing would differ: Spark 0-based, DuckDB 1-based);
+    the first formulation used ascii(substr(page, i, 1)) per term,
+    which is O(i) on UTF-8 strings and made the scan O(len² · W) —
+    91 s/query at sf0.1 versus seconds with the array."""
+    at = "element_at" if engine == "spark" else "list_extract"
     return " + ".join(
-        f"cast(ascii(substr({text}, {i} - {_CDC_W - 1 - k}, 1)) as bigint)"
-        f" * {KEY_MULT_POW[k]}"
+        f"{at}({cps}, {i} - {_CDC_W - 1 - k}) * {KEY_MULT_POW[k]}"
         for k in range(_CDC_W)
     )
 
@@ -1314,21 +1318,35 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("page"),
     )
-    terms = _cdc_hash_terms("page", "i")
+    terms = _cdc_hash_terms("cps", "i", "spark")
     bpos = (
         f"filter(if(length(page) >= {_CDC_W}, "
         f"sequence({_CDC_W}, length(page)), array()), "
         f"i -> ({terms}) % {_CDC_MOD} = 0)"
     )
+    # staged + persisted: the persist is a projection-collapse BARRIER —
+    # without it Catalyst inlines the O(len) cps array build into every
+    # lambda reference (8 per position), re-creating the O(len²) scan
+    # the array exists to avoid. bpos itself is also staged so the
+    # starts/ends expressions below reference a materialized column.
+    staged = D._persist(
+        docs.select(
+            "doc_id",
+            "page",
+            F.expr(
+                "transform(split(page, ''), c -> cast(ascii(c) as bigint))"
+            ).alias("cps"),
+        ).select("doc_id", "page", F.expr(bpos).alias("bpos"))
+    )
     chunks_expr = (
-        f"filter(transform(arrays_zip("
-        f"concat(array(1), transform({bpos}, b -> b + 1)), "
-        f"concat({bpos}, array(length(page)))), "
-        f"z -> substr(page, z.`0`, z.`1` - z.`0` + 1)), c -> c <> '')"
+        "filter(transform(arrays_zip("
+        "concat(array(1), transform(bpos, b -> b + 1)), "
+        "concat(bpos, array(length(page)))), "
+        "z -> substr(page, z.`0`, z.`1` - z.`0` + 1)), c -> c <> '')"
     )
     ck = H.word_key_spark("c")
     chunked = D._persist(
-        docs.select(
+        staged.select(
             "doc_id",
             F.explode(F.expr(chunks_expr)).alias("c"),
         ).select(
@@ -1355,18 +1373,23 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_chunks_sql() -> str:
-    terms = _cdc_hash_terms("page", "i")
+    terms = _cdc_hash_terms("cps", "i", "duckdb")
     return f"""
-with pages as (
+with pages as materialized (
   select doc_id,
          text || ' ' || repeat('footer host' || cast(doc_id % 7 as varchar)
            || ' promo deal ', 12) as page
   from documents
-), marked as (
+), coded as materialized (
+  select doc_id, page,
+         list_transform(string_split(page, ''),
+                        c -> cast(ascii(c) as bigint)) as cps
+  from pages
+), marked as materialized (
   select doc_id, page,
          list_filter(range({_CDC_W}, length(page) + 1),
                      i -> ({terms}) % {_CDC_MOD} = 0) as bpos
-  from pages
+  from coded
 ), chunked as (
   select doc_id, c
   from (
