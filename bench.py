@@ -232,9 +232,10 @@ _HEADLINE_QUERIES = [
     "q_redirect_chains",
     "q_exif",
     # round-7 session 4: tokenizer-training fixed point (12 shuffles over
-    # the distinct-word table) and CCNet-style line dedup (one explode +
-    # two fingerprint aggs)
-    "q_bpe_merges",
+    # the distinct-word table; q_bpe_encode runs learn AND apply, so the
+    # merges-only query would double-pay the learner here — it stays in
+    # the correctness gate only) and CCNet-style line dedup (one explode
+    # + two fingerprint aggs)
     "q_line_dedup",
     "q_hits",
     "q_crawl_traps",
