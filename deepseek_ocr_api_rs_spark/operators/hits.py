@@ -94,15 +94,19 @@ def hits_fixed_point(
                     f"coalesce(raw, 0L) * {FP_ONE} DIV m"
                 ).alias("auth_fp"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        auth_raw.unpersist()
         hub_raw = (
             e.join(auth.select(F.col("node").alias("dst"), "auth_fp"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth_fp").alias("raw"))
             .persist()
         )
+        # ONE eager materialization per iteration: the scores checkpoint
+        # computes through the persisted auth/hub_raw (each hit by two
+        # consumers, cached on first touch), after which all three
+        # intermediates can be released — half the job count of
+        # checkpointing every half-iteration at the same plan depth.
         scores = (
             auth.join(hub_raw, "node", "left")
             .crossJoin(
@@ -117,7 +121,9 @@ def hits_fixed_point(
             )
             .localCheckpoint(eager=True)
         )
+        auth_raw.unpersist()
         hub_raw.unpersist()
+        auth.unpersist()
     return scores
 
 
