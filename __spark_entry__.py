@@ -852,6 +852,106 @@ order by id_a, id_b
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (r7) — syndication/quotation
+    detection: |A∩B| / min(|A|,|B|), the measure that fires when one
+    document IS a piece of another even though symmetric Jaccard stays
+    mid-range (an excerpt of 60% of a page has containment 1.0 but
+    Jaccard ≈ 0.6). The corpus gains excerpt rows (every 4th doc's
+    first 60% of words, id + 100000) so true containment pairs exist.
+    Same plan discipline as ngram_jaccard_pairs: distinct-shingle
+    postings self-join with the hot-key df cap (logged, exact at this
+    df), intersection counts fall out of the groupBy, one float
+    division at the end (engine-exact). Output keeps the integer
+    evidence (n_inter, n_min) beside the rounded score."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    exc = docs.filter(d % 4 == 0).select(
+        (d + 100000).alias("doc_id"),
+        F.array_join(
+            F.expr(
+                "slice(split(text, ' '), 1, (3 * size(split(text, ' ')))"
+                " DIV 5)"
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(exc)
+    shingled = D._persist(
+        corpus.select(
+            "doc_id",
+            F.expr(f"array_distinct({H.shingles_spark('text', 3)})").alias(
+                "sh"
+            ),
+        ).filter(F.size("sh") > 0)
+    )
+    posts = D._persist(
+        shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    )
+    capped = D._cap_hot_keys(posts, "shingle", D.DEFAULT_KEY_CAP,
+                             "containment_pairs")
+    sizes = shingled.select("doc_id", F.size("sh").alias("n_sh"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_min", F.least("n_a", "n_b").cast("long"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.col("n_min"), 6),
+        )
+        .filter(F.col("n_inter") / F.col("n_min") >= 0.8)
+        .select("id_a", "id_b", "n_inter", "n_min", "containment")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _containment_sql() -> str:
+    sh = H.shingles_duckdb("text", 3)
+    return f"""
+with corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000,
+         array_to_string(
+           (string_split(text, ' '))[1 : (3 * len(string_split(text, ' ')))
+             // 5], ' ')
+  from documents where doc_id % 4 = 0
+), sh as (
+  select doc_id, {sh} as s from corpus
+), sized as (
+  select doc_id, len(s) as n_sh from sh where len(s) > 0
+), posts as (
+  select doc_id, unnest(s) as shingle from sh where len(s) > 0
+), inter as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         cast(count(*) as bigint) as n_inter
+  from posts a join posts b on a.shingle = b.shingle
+                           and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b, n_inter,
+       cast(least(sa.n_sh, sb.n_sh) as bigint) as n_min,
+       round(n_inter * 1.0 / least(sa.n_sh, sb.n_sh), 6) as containment
+from inter
+join sized sa on id_a = sa.doc_id
+join sized sb on id_b = sb.doc_id
+where n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.8
+order by id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -6035,6 +6135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_chunks": q_cdc_chunks,
         "q_bpe_encode": q_bpe_encode,
         "q_phrase_search": q_phrase_search,
+        "q_containment": q_containment,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -6229,6 +6330,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdc_chunks": _cdc_chunks_sql(),
         "q_bpe_encode": _bpe_encode_sql(),
         "q_phrase_search": _Q_PHRASE_SEARCH_SQL,
+        "q_containment": _containment_sql(),
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),

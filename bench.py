@@ -243,6 +243,7 @@ _HEADLINE_QUERIES = [
     "q_cdc_chunks",
     "q_bpe_encode",
     "q_phrase_search",
+    "q_containment",
 ]
 
 

@@ -408,3 +408,18 @@ def test_phrase_search_plan_is_pure_jvm_with_broadcast_phrase(spark):
     from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
 
     release_persisted()
+
+
+def test_containment_plan_is_pure_jvm(spark):
+    """q_containment: shingle postings self-join + two size joins, all
+    codegen — no Python evaluation operator; map-side partial on the
+    intersection agg."""
+    df = entrymod.queries()["q_containment"](spark, SF)
+    plan = physical_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
+    assert has_partial_aggregate(df)
+    from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+
+    release_persisted()
