@@ -1521,6 +1521,72 @@ order by k.doc_id
 """
 
 
+_QSK_K = 256
+_QSK_A, _QSK_B = H.MINHASH_PARAMS[0]
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-reservoir quantile sketch (r7) — the
+    approximate-percentile sibling of the KMV distinct sketch: the
+    sample is the K rows with the SMALLEST pinned universal hash of
+    event_id (uniform over rows, engine-reproducible — unlike
+    approx_percentile/t-digest, whose internal state no other engine
+    can replay). Spark executes the bottom-K as TakeOrdered — a
+    per-partition top-K then one merge, the bounded-memory shape that
+    never sorts the table; quantile q is then the sample's element at
+    rank 1 + floor(q·(k−1)) (one float multiply + floor, bit-identical
+    both engines; ties broken by event_id). Exactness of the PLUMBING
+    is what the oracle certifies; the estimate's accuracy is the
+    standard reservoir bound (k=256 → ~±4% rank error)."""
+    ev = _t(spark, sf_dir, "events")
+    h = ((F.lit(_QSK_A) * F.col("event_id") + F.lit(_QSK_B)) % F.lit(H.P))
+    sample = (
+        ev.select("event_id", "value", h.alias("h"))
+        .orderBy("h", "event_id")
+        .limit(_QSK_K)
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.orderBy("value", "event_id")
+    ranked = sample.withColumn("rn", F.row_number().over(win)).crossJoin(
+        F.broadcast(sample.agg(F.count(F.lit(1)).alias("k")))
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*(F.lit(q) for q in (0.1, 0.25, 0.5, 0.75, 0.9)))
+        ).alias("q")
+    )
+    return (
+        qs.crossJoin(ranked)
+        .filter(
+            F.col("rn")
+            == F.floor(F.col("q") * (F.col("k") - 1)).cast("int") + 1
+        )
+        .select("q", F.col("value").alias("est_value"), F.col("k").cast("long").alias("k"))
+        .orderBy("q")
+    )
+
+
+_Q_QUANTILE_SKETCH_SQL = f"""
+with sample as materialized (
+  select event_id, value,
+         ({_QSK_A} * event_id + {_QSK_B}) % {H.P} as h
+  from events
+  order by h, event_id
+  limit {_QSK_K}
+), ranked as materialized (
+  select value,
+         row_number() over (order by value, event_id) as rn,
+         (select cast(count(*) as bigint) from sample) as k
+  from sample
+)
+select q, value as est_value, k
+from (select unnest([0.1, 0.25, 0.5, 0.75, 0.9]) as q), ranked
+where rn = cast(floor(q * (k - 1)) as int) + 1
+order by q
+"""
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-postings phrase search (r7) — the IR mechanism BM25
     doesn't exercise: an exact phrase matches where the postings of its
@@ -6136,6 +6202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_phrase_search": q_phrase_search,
         "q_containment": q_containment,
+        "q_quantile_sketch": q_quantile_sketch,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -6331,6 +6398,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_encode": _bpe_encode_sql(),
         "q_phrase_search": _Q_PHRASE_SEARCH_SQL,
         "q_containment": _containment_sql(),
+        "q_quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),

@@ -244,6 +244,7 @@ _HEADLINE_QUERIES = [
     "q_bpe_encode",
     "q_phrase_search",
     "q_containment",
+    "q_quantile_sketch",
 ]
 
 

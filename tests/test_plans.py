@@ -423,3 +423,15 @@ def test_containment_plan_is_pure_jvm(spark):
     from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
 
     release_persisted()
+
+
+def test_quantile_sketch_uses_take_ordered(spark):
+    """q_quantile_sketch's scale claim, executed: the bottom-K sample
+    runs as TakeOrdered (per-partition top-K + merge), never a global
+    sort of the table; no Python operator anywhere."""
+    df = entrymod.queries()["q_quantile_sketch"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrdered" in plan, plan[:2000]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan[:2000]
