@@ -1521,6 +1521,100 @@ order by k.doc_id
 """
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-index maintenance (r7) — the dedup-index
+    side of the q_incremental_extract lever: at 10^12 documents the
+    signature table must FOLLOW the corpus, not be rebuilt. Flow:
+    documents v1 committed → full signature build committed → an update
+    batch MERGEs new text for every 9th doc → the CHANGELOG names the
+    changed doc_ids (manifest chain, no full diff) → ONLY those docs
+    re-hash (broadcast semi-join — the corpus never shuffles) → the
+    signature table MERGEs the fresh rows in. Proof columns from REAL
+    comparisons: ``recomputed`` = changelog membership,
+    ``equal_to_full`` = signature-wise join against a from-scratch
+    rebuild of the final state — the arithmetic oracle (changed =
+    recomputed = doc_id%9==0, equal = 1 everywhere) certifies the
+    incremental plumbing AND the pinned-hash determinism at once."""
+    from deepseek_ocr_api_rs_spark.sources.snapshots import (
+        merge_into,
+        read_changelog,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    _ensure_shipped(spark)
+    n_h = len(H.MINHASH_PARAMS)
+
+    def sig_cols(frame):
+        sigs = D.minhash_signatures(frame, shingle_n=3)
+        return sigs.select(
+            "doc_id", *(F.col("sig")[i].alias(f"mh_{i}") for i in range(n_h))
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    table = _staging_dir("incr_docs_") + "/docs"
+    sig_table = _staging_dir("incr_sigs_") + "/sigs"
+    write_snapshot(docs.repartition(4, "doc_id"), table, mode="append")
+    write_snapshot(
+        sig_cols(read_snapshot(spark, table)).repartition(4, "doc_id"),
+        sig_table,
+        mode="append",
+    )
+
+    changed = docs.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" fresh update paragraph with new shingle material"),
+        ),
+    )
+    merge_into(spark, table, changed, key_col="doc_id")
+
+    changed_ids = (
+        read_changelog(spark, table, from_version=1)
+        .filter(F.col("_change_type") == "insert")
+        .select("doc_id")
+        .distinct()
+        .persist()
+    )
+    cur = read_snapshot(spark, table)
+    inc_sigs = sig_cols(cur.join(F.broadcast(changed_ids), "doc_id"))
+    merge_into(spark, sig_table, inc_sigs, key_col="doc_id")
+
+    final = read_snapshot(spark, sig_table)
+    full = sig_cols(cur)
+    a, b = final.alias("a"), full.alias("b")
+    eq = F.lit(True)
+    for i in range(n_h):
+        eq = eq & (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", eq.cast("int").alias("equal_to_full"))
+        .join(
+            changed_ids.withColumn("recomputed", F.lit(1)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 9 == 0).cast("int").alias("changed"),
+            F.coalesce("recomputed", F.lit(0)).cast("int")
+            .alias("recomputed"),
+            "equal_to_full",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q_INCREMENTAL_MINHASH_SQL = """
+select doc_id,
+       cast(case when doc_id % 9 = 0 then 1 else 0 end as int) as changed,
+       cast(case when doc_id % 9 = 0 then 1 else 0 end as int)
+         as recomputed,
+       cast(1 as int) as equal_to_full
+from documents
+order by doc_id
+"""
+
+
 _QSK_K = 256
 _QSK_A, _QSK_B = H.MINHASH_PARAMS[0]
 
@@ -6203,6 +6297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_search": q_phrase_search,
         "q_containment": q_containment,
         "q_quantile_sketch": q_quantile_sketch,
+        "q_incremental_minhash": q_incremental_minhash,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -6399,6 +6494,7 @@ def oracle_sql() -> dict[str, str]:
         "q_phrase_search": _Q_PHRASE_SEARCH_SQL,
         "q_containment": _containment_sql(),
         "q_quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
+        "q_incremental_minhash": _Q_INCREMENTAL_MINHASH_SQL,
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),
