@@ -92,3 +92,48 @@ def test_apply_learned_merges_in_rank_order(spark):
     assert out["abab"] == (["abab"], 1)
     assert out["aba"] == (["ab", "a"], 2)
     assert out["ba"] == (["b", "a"], 2)
+
+
+def _scalar_bpe(words: dict[str, int], k: int):
+    """Independent scalar reference: same counting (overlaps included),
+    same (count desc, lexicographic) arg-max, same greedy apply."""
+    toks = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in words.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        for w in toks:
+            t, out, i = toks[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[w] = out
+    return merges
+
+
+def test_learn_matches_scalar_reference_on_random_tables(spark):
+    import random
+
+    for seed in (7, 40, 1234):
+        rng = random.Random(seed)
+        vocab = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 7)))
+            for _ in range(30)
+        ]
+        words = {}
+        for w in vocab:
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        expected = _scalar_bpe(dict(words), 6)
+        got = bpe_learn(_words(spark, list(words.items())), 6)
+        assert got == expected, (seed, got, expected)
