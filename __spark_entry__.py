@@ -793,7 +793,7 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(docs, shingle_n=3).orderBy("id_a", "id_b")
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(source: str = "documents") -> str:
     keys = H.keys_duckdb("text", shingle_n=3)
     sig = H.minhash_duckdb(keys)
     band_rows = ", ".join(
@@ -802,7 +802,7 @@ def _minhash_lsh_sql() -> str:
     return f"""
 with s as (
   select doc_id, {sig} as sig, len({H.tokens_duckdb('text')}) as n_tok
-  from documents
+  from {source}
 ), bands as (
   select doc_id, unnest([{band_rows}]) as band_key from s where n_tok >= 3
 )
@@ -1201,6 +1201,118 @@ select s.doc_id,
          then 1 else 0 end as int) as is_canonical
 from scored s left join comp c on s.doc_id = c.id
 order by s.doc_id
+"""
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DECISION pipeline in one query (r7) — the order a
+    real training-data build runs it: (1) exact dedup by full text
+    (hash-agg keeper = min doc_id; republished copies, synthesized as
+    every 10th doc under id+200000, die here), (2) MinHash-LSH
+    candidates + connected components over the exact-SURVIVORS only
+    (never wasted on rows already dead), (3) quality-canonical
+    selection per near-dup cluster. Every doc gets a disposition
+    (exact_dup / near_dup / kept) and its survivor_id — the keeper for
+    exact dups, the cluster canonical for near-dups (one level, no
+    transitive chase — documented). Composes only already-exact
+    operators, so the chained oracle holds the whole pipeline
+    hash-exact end-to-end."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import (
+        connected_components,
+    )
+    from pyspark.sql.window import Window
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs.filter(d % 10 == 0).select(
+        (d + 200000).alias("doc_id"), "text"
+    )
+    corpus = D._persist(docs.unionByName(rep))
+    keepers = corpus.groupBy("text").agg(F.min("doc_id").alias("keeper"))
+    tagged = D._persist(corpus.join(keepers, "text"))
+    kept = tagged.filter(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id", "text"
+    )
+    comp = connected_components(D.minhash_lsh_candidates(kept, shingle_n=3))
+    scored = kept.select(
+        "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+    )
+    clustered = (
+        scored.join(comp, scored.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "quality",
+        )
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    canon = clustered.withColumn(
+        "canonical_id", F.first("doc_id").over(win)
+    ).select("doc_id", "canonical_id")
+    return (
+        tagged.select("doc_id", "keeper")
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keeper"), "exact_dup")
+            .when(F.col("doc_id") != F.col("canonical_id"), "near_dup")
+            .otherwise("kept")
+            .alias("disposition"),
+            F.when(F.col("doc_id") != F.col("keeper"), F.col("keeper"))
+            .otherwise(F.col("canonical_id"))
+            .alias("survivor_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_pipeline_sql() -> str:
+    pairs = _minhash_lsh_sql("kept")
+    return f"""
+with recursive corpus as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 200000, text from documents where doc_id % 10 = 0
+), keepers as (
+  select text, min(doc_id) as keeper from corpus group by text
+), tagged as (
+  select c.doc_id, c.text, k.keeper
+  from corpus c join keepers k on c.text = k.text
+), kept as (
+  select doc_id, text from tagged where doc_id = keeper
+), pairs as ({pairs}),
+edges as (
+  select id_a as src, id_b as dst from pairs
+  union
+  select id_b as src, id_a as dst from pairs
+),
+reach(id, r) as (
+  select src, src from edges
+  union
+  select e.src, reach.r from edges e join reach on e.dst = reach.id
+),
+comp as (select id, min(r) as component from reach group by id),
+scored as (
+  select doc_id, round({T.quality_score_duckdb('text')}, 4) as quality
+  from kept
+),
+canon as (
+  select doc_id,
+         first_value(doc_id) over (
+           partition by coalesce(c.component, s.doc_id)
+           order by s.quality desc, s.doc_id) as canonical_id
+  from scored s left join comp c on s.doc_id = c.id
+)
+select t.doc_id,
+       case when t.doc_id <> t.keeper then 'exact_dup'
+            when t.doc_id <> canon.canonical_id then 'near_dup'
+            else 'kept' end as disposition,
+       case when t.doc_id <> t.keeper then t.keeper
+            else canon.canonical_id end as survivor_id
+from tagged t left join canon on t.doc_id = canon.doc_id
+order by t.doc_id
 """
 
 
@@ -6298,6 +6410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_quantile_sketch": q_quantile_sketch,
         "q_incremental_minhash": q_incremental_minhash,
+        "q_dedup_pipeline": q_dedup_pipeline,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -6495,6 +6608,7 @@ def oracle_sql() -> dict[str, str]:
         "q_containment": _containment_sql(),
         "q_quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
         "q_incremental_minhash": _Q_INCREMENTAL_MINHASH_SQL,
+        "q_dedup_pipeline": _dedup_pipeline_sql(),
         "q_dup_spans": _Q_DUP_SPANS_SQL,
         "q_url_frontier": _url_frontier_sql(),
         "q_dsir_select": LM.dsir_sql("lang = 'en'"),
