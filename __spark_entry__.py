@@ -1322,8 +1322,11 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     families that a template collapse exposes. Every digit run in the
     synthesized URL collapses to 'N' (shared RE2-safe pattern, global
     replace on both engines), then ONE hash agg per (host, template)
-    counts distinct members — a template whose cardinality crosses the
-    trap threshold flags the whole family. The url table shuffles once
+    counts members (rows == distinct urls here — the synthesized urls
+    are unique by construction; a real frontier would dedup first,
+    which q_url_frontier covers) — a template whose cardinality
+    crosses the trap threshold flags the whole family. The url table
+    shuffles once
     on (host, template); output is template-cardinality-sized, the
     frontier-filter broadcast side of the next crawl round."""
     d = F.col("doc_id")
@@ -2516,7 +2519,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table only; documents are then tokenized by a broadcast join of
     that small vocab (word → n_tokens) against the exploded corpus —
     the 10^12-document table never folds, never shuffles on anything
-    but its own doc_id agg. Output: per-doc word/char/token counts —
+    but its own doc_id agg. (At web scale the vocab is ~10^7 short
+    rows ≈ a few hundred MB — still broadcastable with executor
+    headroom; past that, bucket BOTH sides on word so the corpus side
+    shuffles once, never per-merge.) Output: per-doc word/char/token
+    counts —
     the compression the learned merges buy. Oracle: the same CTE chain
     extended to the final word table, joined in SQL."""
     docs = _t(spark, sf_dir, "documents")
