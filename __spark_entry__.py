@@ -5730,7 +5730,13 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return hits_fixed_point(edges, n_iter=8).orderBy("node")
+    # iteration tables are node-cardinality (5k rows here, ~10^9 on a
+    # full host graph) — size their shuffles to the graph, not to the
+    # session's corpus-sized default (values unchanged: integer sums
+    # are partitioning-independent, which the oracle re-proves)
+    return hits_fixed_point(
+        edges, n_iter=8, shuffle_partitions=16
+    ).orderBy("node")
 
 
 def _hits_oracle_sql() -> str:

@@ -34,10 +34,32 @@ deep no matter how many iterations run.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FP_ONE = 1_000_000
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark, n: int | None):
+    """Scoped spark.sql.shuffle.partitions override (the streaming
+    state_partitions pattern): the iteration tables are NODE-cardinality
+    — far smaller than the corpus whatever the scale — so sizing their
+    shuffles to the graph instead of the session default removes pure
+    task-scheduling overhead (16 stages/iteration at the corpus-sized
+    default). Eagerly-materialized frames bypass AQE's coalescing, so
+    the conf is the effective lever here."""
+    if n is None:
+        yield
+        return
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def hits_fixed_point(
@@ -45,6 +67,7 @@ def hits_fixed_point(
     n_iter: int = 8,
     src_col: str = "src",
     dst_col: str = "dst",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(src, dst) edge frame → (node, auth_fp, hub_fp) in BIGINT
     micro-units after ``n_iter`` exact integer iterations. Duplicate
@@ -54,6 +77,15 @@ def hits_fixed_point(
     Precondition: at least one edge (the max-normalizer is then ≥ 1;
     an empty graph would divide by zero on both engines alike).
     """
+    with _scoped_shuffle_partitions(
+        edges.sparkSession, shuffle_partitions
+    ):
+        return _hits_loop(edges, n_iter, src_col, dst_col)
+
+
+def _hits_loop(
+    edges: DataFrame, n_iter: int, src_col: str, dst_col: str
+) -> DataFrame:
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
