@@ -2501,7 +2501,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    return bpe_learn_df(spark, words, n_merges=12).orderBy("merge_rank")
+    return bpe_learn_df(
+        spark, words, n_merges=12, shuffle_partitions=16
+    ).orderBy("merge_rank")
 
 
 _Q_BPE_WORDS_CTE = (
@@ -2533,7 +2535,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.col("word") != "")
     )
     words = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    merges = BPE.bpe_learn(words, 12)
+    merges = BPE.bpe_learn(words, 12, shuffle_partitions=16)
     vocab = BPE.bpe_apply(words, merges).select("word", "n_tokens")
     return (
         doc_words.join(F.broadcast(vocab), "word")

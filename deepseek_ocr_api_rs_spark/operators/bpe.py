@@ -103,11 +103,29 @@ def bpe_learn(
     n_merges: int,
     word_col: str = "word",
     freq_col: str = "freq",
+    shuffle_partitions: int | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """(word, freq) frame → learned merge list
     [(merge_rank, lhs, rhs, pair_count), ...] (≤ n_merges entries;
     stops early when no adjacent pair remains). Each round collects
-    exactly ONE row (the arg-max pair)."""
+    exactly ONE row (the arg-max pair). ``shuffle_partitions`` scopes
+    the per-round pair-count shuffles to the WORD-table cardinality —
+    far smaller than the corpus at any scale (the iterative-operator
+    lever shared with HITS)."""
+    from deepseek_ocr_api_rs_spark.operators.partitioning import (
+        scoped_shuffle_partitions,
+    )
+
+    with scoped_shuffle_partitions(words.sparkSession, shuffle_partitions):
+        return _bpe_learn_loop(words, n_merges, word_col, freq_col)
+
+
+def _bpe_learn_loop(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str,
+    freq_col: str,
+) -> list[tuple[int, str, str, int]]:
     w = words.select(
         F.col(freq_col).cast("long").alias("freq"),
         _char_toks(word_col).alias("toks"),
@@ -145,9 +163,11 @@ def bpe_learn_df(
     n_merges: int,
     word_col: str = "word",
     freq_col: str = "freq",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """bpe_learn as a small (≤ n_merges)-row result frame."""
-    rows = bpe_learn(words, n_merges, word_col, freq_col)
+    rows = bpe_learn(words, n_merges, word_col, freq_col,
+                     shuffle_partitions)
     return spark.createDataFrame(rows, _MERGES_SCHEMA)
 
 

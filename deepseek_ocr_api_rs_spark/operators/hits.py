@@ -34,32 +34,14 @@ deep no matter how many iterations run.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deepseek_ocr_api_rs_spark.operators.partitioning import (
+    scoped_shuffle_partitions as _scoped_shuffle_partitions,
+)
+
 FP_ONE = 1_000_000
-
-
-@contextmanager
-def _scoped_shuffle_partitions(spark, n: int | None):
-    """Scoped spark.sql.shuffle.partitions override (the streaming
-    state_partitions pattern): the iteration tables are NODE-cardinality
-    — far smaller than the corpus whatever the scale — so sizing their
-    shuffles to the graph instead of the session default removes pure
-    task-scheduling overhead (16 stages/iteration at the corpus-sized
-    default). Eagerly-materialized frames bypass AQE's coalescing, so
-    the conf is the effective lever here."""
-    if n is None:
-        yield
-        return
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def hits_fixed_point(

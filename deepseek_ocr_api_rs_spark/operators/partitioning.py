@@ -12,6 +12,8 @@ All hashing is JVM-side ``xxhash64`` — no Python in the partitioning path.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,3 +55,24 @@ def repartition_by_url(
 def partition_id_col() -> F.Column:
     """Physical partition id — the checkpoint-manifest key."""
     return F.spark_partition_id().alias("partition_id")
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: int | None):
+    """Scoped spark.sql.shuffle.partitions override — the lever for
+    ITERATIVE operators whose per-round tables are much smaller than
+    the corpus (HITS/PageRank node tables, the BPE distinct-word
+    table): their shuffles should be sized to that table, not to the
+    session's corpus-sized default, and eagerly-materialized frames
+    bypass AQE's runtime coalescing, so the conf is the effective
+    control. Mirrors streaming.jobs._state_partitions. No-op when n
+    is None; always restores the prior value."""
+    if n is None:
+        yield
+        return
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
