@@ -84,23 +84,39 @@ def build_exif_app1(fields: dict) -> bytes:
 
     Keys: make, model, orientation, datetime, datetime_original, and
     optionally gps = {lat_ref, lat (deg, min, sec_milli), lon_ref,
-    lon}. Little-endian TIFF, IFD0 → Exif sub-IFD (+ GPS IFD)."""
+    lon}. Little-endian TIFF, IFD0 → Exif sub-IFD (+ GPS IFD).
+
+    Absent-sentinel fields are OMITTED, not written as zero/empty tags
+    (ADVICE r7): '' for the ASCII tags and 0 for orientation are
+    exactly what parse_exif returns for a MISSING tag, so the
+    strip_gps rebuild (build(parse(x)) minus gps) never adds tags the
+    source image lacked — orientation=0 is outside the spec's 1–8
+    range and a present-but-empty DateTime is a metadata mutation
+    beyond the GPS removal. An Exif sub-IFD with nothing to hold is
+    likewise omitted entirely (no dangling pointer tag)."""
     gps = fields.get("gps")
-    ifd0_entries = [
-        (_TAG_MAKE, 2, fields["make"]),
-        (_TAG_MODEL, 2, fields["model"]),
-        (_TAG_ORIENTATION, 3, fields["orientation"]),
-        (_TAG_DATETIME, 2, fields["datetime"]),
-        (_TAG_EXIF_IFD, 4, 0),  # patched below
-    ]
+    ifd0_entries = []
+    if fields.get("make"):
+        ifd0_entries.append((_TAG_MAKE, 2, fields["make"]))
+    if fields.get("model"):
+        ifd0_entries.append((_TAG_MODEL, 2, fields["model"]))
+    if int(fields.get("orientation") or 0):
+        ifd0_entries.append((_TAG_ORIENTATION, 3, fields["orientation"]))
+    if fields.get("datetime"):
+        ifd0_entries.append((_TAG_DATETIME, 2, fields["datetime"]))
+    has_exif_ifd = bool(fields.get("datetime_original"))
+    if has_exif_ifd:
+        ifd0_entries.append((_TAG_EXIF_IFD, 4, 0))  # patched below
     if gps is not None:
         ifd0_entries.append((_TAG_GPS_IFD, 4, 0))
     # sizes are layout-independent of pointer VALUES, so compute the
     # block offsets with dummy pointers first, then rebuild
     ifd0, heap0 = _build_ifd(ifd0_entries, 8)
     exif_base = 8 + len(ifd0) + len(heap0)
-    exif_entries = [(_TAG_DT_ORIGINAL, 2, fields["datetime_original"])]
-    exif_ifd, exif_heap = _build_ifd(exif_entries, exif_base)
+    exif_ifd, exif_heap = b"", b""
+    if has_exif_ifd:
+        exif_entries = [(_TAG_DT_ORIGINAL, 2, fields["datetime_original"])]
+        exif_ifd, exif_heap = _build_ifd(exif_entries, exif_base)
     gps_base = exif_base + len(exif_ifd) + len(exif_heap)
     gps_blob = b""
     if gps is not None:

@@ -51,10 +51,17 @@ DEFAULT_M_BITS = 8192  # test-scale default; callers size by expected n
 
 def _key_spark(col: str) -> str:
     """Polynomial key over the RAW url string (no lowercase/tokenize —
-    frontier identity is byte precise)."""
+    frontier identity is byte precise).
+
+    Empty-string guard (ADVICE r7, same footgun operators/lm.py
+    documents): Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``
+    — an unguarded fold would accumulate ascii('')=0 twice, while the
+    DuckDB mirror's ``range(1, 1)`` is empty and leaves the key at
+    KEY_INIT. Guard so both engines agree: key('') = KEY_INIT."""
     return (
+        f"if(length({col}) = 0, cast({H.KEY_INIT} as bigint), "
         f"aggregate(sequence(1, length({col})), cast({H.KEY_INIT} as bigint), "
-        f"(acc, i) -> (acc * {H.KEY_MULT} + ascii(substr({col}, i, 1))) % {H.P})"
+        f"(acc, i) -> (acc * {H.KEY_MULT} + ascii(substr({col}, i, 1))) % {H.P}))"
     )
 
 

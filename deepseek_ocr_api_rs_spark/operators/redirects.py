@@ -14,9 +14,11 @@ Scale shape: the naive per-url walk is O(chain length) sequential joins
 frame jumps POINTER-DOUBLING style (the same path-halving trick as
 ``sessions.connected_components``): each round rewrites every
 unresolved url's cursor to its cursor's cursor, summing hop counts, so
-round r covers 2^r hops and ``ceil(log2(max_hops))`` rounds bound the
-whole resolution — 4 shuffle rounds for the crawler-standard 16-hop
-cap, independent of table size. State rows are (url, cur, hops, done):
+round r covers 2^r hops and ``ceil(log2(max_hops + 1))`` rounds bound
+the whole resolution (the +1 buys the final done-flag propagation a
+capped walker needs to distinguish hop-16-terminal from unresolved) —
+5 shuffle rounds for the crawler-standard 16-hop cap, independent of
+table size. State rows are (url, cur, hops, done):
 one row per url, never per hop, so no frame ever exceeds the input
 cardinality.
 

@@ -434,7 +434,9 @@ def write_wet(
     the segment — and the segment name derives from the TASK IDENTITY
     (``part-{partitionId}``), so a retried or speculative attempt
     ``os.replace``-overwrites the first attempt's identical output
-    instead of committing a duplicate uuid-named segment."""
+    instead of committing a duplicate uuid-named segment. The TMP path
+    additionally carries ``taskAttemptId()`` so two live attempts of
+    the same partition never write into one file (ADVICE r7)."""
     import os
 
     import pandas as pd
@@ -446,8 +448,15 @@ def write_wet(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else os.getpid()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         name = f"part-{pid:05d}.warc.wet.gz"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        # tmp is keyed by ATTEMPT id, not just partition id: a speculative
+        # attempt (or a zombie task racing its retry) must never share a
+        # tmp path with another live attempt — 'wb' on a shared path would
+        # interleave writes and os.replace could publish a corrupt gzip.
+        # Each attempt writes privately; whichever replaces last wins with
+        # identical content (the segment NAME stays partition-keyed).
+        tmp = os.path.join(out_dir, f".{name}.{attempt}.tmp")
         n_recs = 0
         fh = None
         try:
@@ -605,8 +614,11 @@ def write_wat(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else os.getpid()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         name = f"part-{pid:05d}.warc.wat.gz"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        # attempt-private tmp (see write_wet): concurrent speculative /
+        # zombie attempts must not interleave into one tmp file.
+        tmp = os.path.join(out_dir, f".{name}.{attempt}.tmp")
         n_recs = 0
         fh = None
         try:
@@ -750,8 +762,11 @@ def write_cdx(df: DataFrame, out_dir: str, line_col: str = "cdx_line") -> DataFr
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else os.getpid()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         name = f"cdx-{pid:05d}.gz"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        # attempt-private tmp (see write_wet): concurrent speculative /
+        # zombie attempts must not interleave into one tmp file.
+        tmp = os.path.join(out_dir, f".{name}.{attempt}.tmp")
         n_recs = 0
         gz = None
         try:

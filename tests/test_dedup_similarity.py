@@ -536,3 +536,37 @@ def test_bloom_frontier_properties(spark):
         )
         assert hit == expect, url
     assert sum(got.values()) > 0, "undersized filter should show real FPs"
+
+
+def test_frontier_key_empty_url_cross_engine(spark):
+    """ADVICE r7: Spark's sequence(1, 0) is the DESCENDING [1, 0] — the
+    unguarded fold accumulated ascii('')=0 twice for an empty url while
+    DuckDB's range(1, 1) is empty (key = KEY_INIT). The guard makes both
+    engines return KEY_INIT for ''. Non-empty keys must be untouched."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from deepseek_ocr_api_rs_spark.operators import frontier as FR
+    from deepseek_ocr_api_rs_spark.functions.hashing import KEY_INIT, KEY_MULT, P
+
+    urls = ["", "a", "https://x.example/p?q=1"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = {
+        r.url: r.k
+        for r in df.select("url", F.expr(FR._key_spark("url")).alias("k")).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        u: con.execute(
+            f"select {FR._key_duckdb('url')} from (select ? as url)", [u]
+        ).fetchone()[0]
+        for u in urls
+    }
+    def k_(s):
+        acc = KEY_INIT
+        for ch in s:
+            acc = (acc * KEY_MULT + ord(ch)) % P
+        return acc
+    for u in urls:
+        assert got_spark[u] == got_duck[u] == k_(u), u
+    assert got_spark[""] == KEY_INIT

@@ -119,3 +119,58 @@ def test_app1_not_first_segment_still_found():
     scrubbed = strip_gps(jpeg)
     assert parse_exif(scrubbed)["gps"] is None
     assert scrubbed[:cut] == raw[:cut] and scrubbed.endswith(raw[cut:])
+
+
+def _ifd0_entry_count(jpeg: bytes) -> int:
+    """Entry count of IFD0 in the APP1 right after SOI (writer layout)."""
+    (seg_len,) = struct.unpack_from(">H", jpeg, 4)
+    tiff = jpeg[2 + 4 + 6 : 2 + 2 + seg_len]
+    (ifd0_off,) = struct.unpack_from("<I", tiff, 4)
+    (n,) = struct.unpack_from("<H", tiff, ifd0_off)
+    return n
+
+
+def test_scrub_does_not_invent_absent_tags():
+    # ADVICE r7: a source image missing Orientation/DateTime must not come
+    # back from strip_gps with orientation=0 (invalid; spec range 1-8) or
+    # present-but-empty ASCII tags — absent stays ABSENT in the rebuilt IFD.
+    raw = _jpeg()
+    gps_only = {
+        "make": "",
+        "model": "",
+        "orientation": 0,
+        "datetime": "",
+        "datetime_original": "",
+        "gps": FIELDS["gps"],
+    }
+    tagged = insert_exif(raw, gps_only)
+    assert parse_exif(tagged)["gps"] is not None
+    # writer side: only the GPS pointer tag is present
+    assert _ifd0_entry_count(tagged) == 1
+    scrubbed = strip_gps(tagged)
+    m2 = parse_exif(scrubbed)
+    assert m2["gps"] is None
+    assert m2["orientation"] == 0 and m2["make"] == "" and m2["datetime"] == ""
+    assert m2["datetime_original"] == ""
+    # scrubbed IFD0 holds ZERO tags — nothing invented
+    assert _ifd0_entry_count(scrubbed) == 0
+    assert scrubbed.endswith(raw[2:])
+
+
+def test_scrub_partial_fields_keep_only_what_existed():
+    raw = _jpeg()
+    partial = {
+        "make": "CamX",
+        "model": "",
+        "orientation": 3,
+        "datetime": "",
+        "datetime_original": "",
+        "gps": FIELDS["gps"],
+    }
+    scrubbed = strip_gps(insert_exif(raw, partial))
+    m = parse_exif(scrubbed)
+    assert m["gps"] is None
+    assert m["make"] == "CamX" and m["orientation"] == 3
+    assert m["model"] == "" and m["datetime"] == ""
+    # make + orientation only
+    assert _ifd0_entry_count(scrubbed) == 2
