@@ -1107,7 +1107,8 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(docs, shingle_n=3)
-    return connected_components(pairs).orderBy("id")
+    # pair graph ≪ corpus → scope the iteration shuffles (VERDICT r7 #2)
+    return connected_components(pairs, shuffle_partitions=16).orderBy("id")
 
 
 def _dup_clusters_sql() -> str:
@@ -1149,7 +1150,9 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(docs, shingle_n=3)
-    comp = connected_components(pairs)
+    # pair graph ≪ corpus → scope the iteration shuffles (VERDICT r7 #2:
+    # unscoped rounds at corpus width were the whole 161 s pathology)
+    comp = connected_components(pairs, shuffle_partitions=16)
     scored = docs.select(
         "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
     )
@@ -1233,7 +1236,9 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = tagged.filter(F.col("doc_id") == F.col("keeper")).select(
         "doc_id", "text"
     )
-    comp = connected_components(D.minhash_lsh_candidates(kept, shingle_n=3))
+    comp = connected_components(
+        D.minhash_lsh_candidates(kept, shingle_n=3), shuffle_partitions=16
+    )
     scored = kept.select(
         "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
     )
@@ -2071,6 +2076,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     B = S.train_pq_codebooks(vecs)
     return S.pq_topk(vecs, _query_vec(spark, sf_dir), k=10, rerank=100, codebooks=B)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (r8) — the embedding-space pruning step a
+    real LLM pipeline runs AFTER MinHash (catches paraphrases with no
+    shared shingles): assign every embedding to its nearest TRAINED
+    centroid (broadcast, map-only), find near-dup pairs WITHIN clusters
+    only (join bucketed on the cluster id — never all-pairs), group them
+    with scoped connected components, and keep each group's most
+    centroid-distant member (the paper's diversity rule). Pinned-VALUES
+    oracle: deterministic end-to-end (RNG-free k-means over the pinned
+    sample, in-order JVM cosine folds, pointer-jumping CC)."""
+    _ensure_shipped(spark)
+    vecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    C = S.train_ivf_centroids(vecs)
+    return S.semdedup(vecs, threshold=0.45, centroids=C)
 
 
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3117,6 +3138,101 @@ select 'https://warc.example.org/doc/' || cast(doc_id as varchar) as url,
   cast(length('<html><body><p>doc ' || cast(doc_id as varchar)
        || ' café body</p></body></html>') as bigint) as n_text_chars
 from documents order by url
+"""
+
+
+def q_warc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record-level RANDOM ACCESS (r8) — the wayback primitive the
+    CDX quartet implies, and the last piece of the derivative ecosystem:
+    every document is staged into real ``.warc.gz`` segments (one gzip
+    member per record, the Common Crawl layout), a DISTRIBUTED offset
+    index is built over the segment directory (binaryFile scan →
+    per-member (filename, offset, length) rows — this job is how CDX
+    offset columns get made), a deterministic subset of urls is selected
+    from the INDEX ALONE, and each selected record is fetched by a point
+    read — seek + read exactly ``length`` bytes + inflate that single
+    member, never scanning the container (on object storage: a byte-range
+    GET). Work for the fetch stage is O(selected), independent of archive
+    size. The oracle recomputes url/byte-length/sha256 from ``documents``,
+    so the hash proves index offsets, the point-read path, and payload
+    fidelity at once."""
+    import datetime as _dt
+
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        fetch_warc_records_at,
+        index_warc_segments,
+        make_warc_gz,
+    )
+
+    _ensure_shipped(spark)
+    warc_dir = _staging_dir("warc_lookup_")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+    )
+    epoch = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def stage(batches):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for d, text in sorted(
+                zip((int(x) for x in pdf["doc_id"]), pdf["text"])
+            ):
+                recs.append({
+                    "type": "response",
+                    "url": f"https://warc.example.org/doc/{d}",
+                    "date": epoch + _dt.timedelta(seconds=d),
+                    "payload": (text or "").encode("utf-8"),
+                    "content_type": "text/html; charset=utf-8",
+                })
+            # task-identity segment name + tmp/atomic-replace (the WET/WAT
+            # sink contract): a retried attempt rewrites the SAME file
+            name = _os.path.join(
+                warc_dir,
+                f"seg-{min(int(x) for x in pdf['doc_id']):010d}.warc.gz",
+            )
+            tmp = _os.path.join(warc_dir, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "wb") as f:
+                f.write(make_warc_gz(recs))
+            _os.replace(tmp, name)
+            yield pd.DataFrame({"file": [name], "n": [len(recs)]})
+
+    staged = docs.mapInPandas(stage, schema="file string, n long").collect()
+    assert sum(m.n for m in staged) > 0  # staging barrier
+
+    idx = index_warc_segments(spark, warc_dir)
+    wanted = (
+        idx.filter(F.col("record_type") == "response")
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long"),
+        )
+        .filter(F.col("doc_id") % 11 == 0)
+    )
+    fetched = fetch_warc_records_at(spark, wanted, warc_dir)
+    return fetched.select(
+        "url",
+        F.col("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    ).orderBy("url")
+
+
+_Q_WARC_LOOKUP_SQL = """
+select 'https://warc.example.org/doc/' || cast(doc_id as varchar) as url,
+  cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
+  sha256(coalesce(text, '')) as digest
+from documents
+where doc_id % 11 = 0
+order by url
 """
 
 
@@ -6404,19 +6520,103 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order = the driver's CORRECTNESS window order (first 50
-    # rows get the full oracle check): NEWEST / highest-risk queries first,
-    # the TPC-ish workhorses that haven't changed in three rounds last
-    # (VERDICT r3 #4 — twice the newest flagship work fell outside the
-    # window and needed manual judge verification).
     return {
-        # round 7 tail additions first, then the rest of this round's new
-        # queries — the driver's 50-row CORRECTNESS window checks
-        # registration order
+        # Registration order == the driver's 50-row CORRECTNESS window.
+        # Generated by scripts/apply_rotation.py from the LRU-by-
+        # certification policy in scripts/rotation_order.py: new queries,
+        # then never-driver-certified, then changed-this-round, then
+        # ascending last-certified round — every query earns a fresh
+        # driver row at least once per ceil(n/50) rounds. Do not hand-
+        # order; edit rotation_order.py's round inputs and re-run.
+        # --- new r8 (window rows 1-50) ---
+        "q_semdedup": q_semdedup,
+        "q_warc_lookup": q_warc_lookup,
+        # --- never driver-certified (window rows 1-50) ---
+        "q_extract_html_pipeline": q_extract_html_pipeline,
+        "q_video_frame_sample": q_video_frame_sample,
+        "q_video_mp4_frames": q_video_mp4_frames,
+        "q_gif_anim_frames": q_gif_anim_frames,
+        "q_jpeg_progressive_resize": q_jpeg_progressive_resize,
+        "q_png_resize": q_png_resize,
+        "q_audio_aiff": q_audio_aiff,
+        "q_pagerank": q_pagerank,
+        "q_grounding_boxes": q_grounding_boxes,
+        "q_minhash_lsh_fast": q_minhash_lsh_fast,
+        "q_simhash_fast": q_simhash_fast,
+        "q_neardup_lsh": q_neardup_lsh,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_pq": q_ann_pq,
+        "q_stream_click_purchase_left_join": q_stream_click_purchase_left_join,
+        # --- changed r8 (window rows 1-50) ---
+        "q_canonical_docs": q_canonical_docs,
+        "q_dedup_pipeline": q_dedup_pipeline,
+        "q_dup_clusters": q_dup_clusters,
+        # --- last certified r3 (window rows 1-50) ---
+        "q_quality_scores": q_quality_scores,
+        "q_quality_filter": q_quality_filter,
+        "q_lang_id": q_lang_id,
+        "q_fingerprints": q_fingerprints,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_nation_revenue": q05_region_nation_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_topk_orders_per_priority": q_topk_orders_per_priority,
+        "q_cumshare_users_per_type": q_cumshare_users_per_type,
+        "q_stage_totals": q_stage_totals,
+        "q_hourly_windows": q_hourly_windows,
+        "q_value_median_disc": q_value_median_disc,
+        "q_set_ops": q_set_ops,
+        "q_customers_without_orders": q_customers_without_orders,
+        "q_distinct_users": q_distinct_users,
+        "q_revenue_rollup": q_revenue_rollup,
+        "q_pivot_event_values": q_pivot_event_values,
+        "q_grouping_sets": q_grouping_sets,
+        # --- last certified r4 (window rows 1-50) ---
+        "q_bpe_tokens": q_bpe_tokens,
+        # --- last certified r5 (window rows 1-50) ---
+        "q_sessionize_stream": q_sessionize_stream,
+        "q_asof_click_before_purchase": q_asof_click_before_purchase,
+        "q_range_join_clicks_after_purchase": q_range_join_clicks_after_purchase,
+        "q_branch_dispatch": q_branch_dispatch,
+        "q_salted_host_rollup": q_salted_host_rollup,
+        "q_resume_filter": q_resume_filter,
+        "q_seeded_sample": q_seeded_sample,
+        "q_repetition_metrics": q_repetition_metrics,
+        "q_sessionize_stats": q_sessionize_stats,
+        "q_token_stats": q_token_stats,
+        # --- last certified r6 (queued for r9+) ---
+        "q_warc_ingest": q_warc_ingest,
+        "q_video_meta": q_video_meta,
+        "q_pii_redact": q_pii_redact,
+        "q_contamination": q_contamination,
+        "q_kmv_distinct_users": q_kmv_distinct_users,
+        "q_hypertable_rollup": q_hypertable_rollup,
+        "q_url_canonical": q_url_canonical,
+        "q_pdf_real_roundtrip": q_pdf_real_roundtrip,
+        "q_bm25_search": q_bm25_search,
+        "q_dup_passages": q_dup_passages,
+        "q_audio_spectrum": q_audio_spectrum,
+        "q_sequence_packing": q_sequence_packing,
+        "q_image_meta": q_image_meta,
+        "q_stratified_sample": q_stratified_sample,
+        "q_unbase64_roundtrip": q_unbase64_roundtrip,
+        "q_markdown_polish": q_markdown_polish,
+        "q_extract_normalize": q_extract_normalize,
+        "q_cosine_topk_pandas": q_cosine_topk_pandas,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "q_simhash": q_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_cosine_topk": q_cosine_topk,
+        "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
+        "q_stream_hourly_counts": q_stream_hourly_counts,
+        "q_stream_hourly_counts_append": q_stream_hourly_counts_append,
+        "q_stream_click_purchase_join": q_stream_click_purchase_join,
+        # --- last certified r7 (queued for r9+) ---
         "q_bpe_merges": q_bpe_merges,
         "q_line_dedup": q_line_dedup,
         "q_hits": q_hits,
-        "q_canonical_docs": q_canonical_docs,
         "q_crawl_traps": q_crawl_traps,
         "q_zorder_layout": q_zorder_layout,
         "q_cdc_chunks": q_cdc_chunks,
@@ -6425,7 +6625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_quantile_sketch": q_quantile_sketch,
         "q_incremental_minhash": q_incremental_minhash,
-        "q_dedup_pipeline": q_dedup_pipeline,
         "q_dup_spans": q_dup_spans,
         "q_url_frontier": q_url_frontier,
         "q_lm_quality": q_lm_quality,
@@ -6462,86 +6661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed": q_feed,
         "q_snapshot_merge": q_snapshot_merge,
         "q_snapshot_changelog": q_snapshot_changelog,
-        # round 5
         "q_snapshot_prune": q_snapshot_prune,
-        # round 4
-        "q_warc_ingest": q_warc_ingest,
-        "q_video_meta": q_video_meta,
-        "q_pii_redact": q_pii_redact,
-        "q_contamination": q_contamination,
-        "q_video_frame_sample": q_video_frame_sample,
-        "q_video_mp4_frames": q_video_mp4_frames,
-        "q_gif_anim_frames": q_gif_anim_frames,
-        "q_jpeg_progressive_resize": q_jpeg_progressive_resize,
-        "q_kmv_distinct_users": q_kmv_distinct_users,
-        "q_hypertable_rollup": q_hypertable_rollup,
-        "q_url_canonical": q_url_canonical,
-        "q_pdf_real_roundtrip": q_pdf_real_roundtrip,
-        # round 3
-        "q_bm25_search": q_bm25_search,
-        "q_dup_passages": q_dup_passages,
-        "q_png_resize": q_png_resize,
-        "q_audio_spectrum": q_audio_spectrum,
-        "q_audio_aiff": q_audio_aiff,
-        "q_pagerank": q_pagerank,
-        "q_sequence_packing": q_sequence_packing,
-        "q_image_meta": q_image_meta,
-        "q_grounding_boxes": q_grounding_boxes,
-        "q_stratified_sample": q_stratified_sample,
-        "q_extract_html_pipeline": q_extract_html_pipeline,
-        "q_unbase64_roundtrip": q_unbase64_roundtrip,
-        "q_markdown_polish": q_markdown_polish,
-        "q_extract_normalize": q_extract_normalize,
-        "q_dup_clusters": q_dup_clusters,
-        "q_cosine_topk_pandas": q_cosine_topk_pandas,
-        # round 2 operators (dedup/similarity/streaming families)
-        "q_dedup_exact": q_dedup_exact,
-        "q_minhash_signatures": q_minhash_signatures,
-        "q_minhash_lsh_candidates": q_minhash_lsh_candidates,
-        "q_simhash": q_simhash,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_minhash_lsh_fast": q_minhash_lsh_fast,
-        "q_simhash_fast": q_simhash_fast,
-        "q_neardup_lsh": q_neardup_lsh,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_pq": q_ann_pq,
-        "q_cosine_topk": q_cosine_topk,
-        "q_cosine_threshold_pairs": q_cosine_threshold_pairs,
-        "q_stream_hourly_counts": q_stream_hourly_counts,
-        "q_stream_hourly_counts_append": q_stream_hourly_counts_append,
-        "q_stream_click_purchase_join": q_stream_click_purchase_join,
-        "q_stream_click_purchase_left_join": q_stream_click_purchase_left_join,
-        "q_sessionize_stream": q_sessionize_stream,
-        "q_asof_click_before_purchase": q_asof_click_before_purchase,
-        "q_range_join_clicks_after_purchase": q_range_join_clicks_after_purchase,
-        "q_branch_dispatch": q_branch_dispatch,
-        "q_salted_host_rollup": q_salted_host_rollup,
-        "q_resume_filter": q_resume_filter,
-        "q_seeded_sample": q_seeded_sample,
-        "q_repetition_metrics": q_repetition_metrics,
-        "q_sessionize_stats": q_sessionize_stats,
-        "q_token_stats": q_token_stats,
-        "q_bpe_tokens": q_bpe_tokens,
-        "q_quality_scores": q_quality_scores,
-        "q_quality_filter": q_quality_filter,
-        "q_lang_id": q_lang_id,
-        "q_fingerprints": q_fingerprints,
-        # stable since round 1 — unchanged for three rounds, parked last
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_nation_revenue": q05_region_nation_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "q_topk_orders_per_priority": q_topk_orders_per_priority,
-        "q_cumshare_users_per_type": q_cumshare_users_per_type,
-        "q_stage_totals": q_stage_totals,
-        "q_hourly_windows": q_hourly_windows,
-        "q_value_median_disc": q_value_median_disc,
-        "q_set_ops": q_set_ops,
-        "q_customers_without_orders": q_customers_without_orders,
-        "q_distinct_users": q_distinct_users,
-        "q_revenue_rollup": q_revenue_rollup,
-        "q_pivot_event_values": q_pivot_event_values,
-        "q_grouping_sets": q_grouping_sets,
     }
 
 
@@ -6607,6 +6727,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _pii_sql(),
         "q_contamination": _Q_CONTAMINATION_SQL,
         "q_warc_ingest": _Q_WARC_INGEST_SQL,
+        "q_warc_lookup": _Q_WARC_LOOKUP_SQL,
         "q_snapshot_prune": _Q_SNAPSHOT_PRUNE_SQL,
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,

@@ -245,6 +245,12 @@ _HEADLINE_QUERIES = [
     "q_phrase_search",
     "q_containment",
     "q_quantile_sketch",
+    # round 8: canonical-doc selection and the end-to-end dedup decision
+    # pipeline — benchable once connected_components runs its iteration
+    # shuffles at the pair-graph width (scoped_shuffle_partitions; the
+    # unscoped corpus-width rounds were 161 s at sf0.1)
+    "q_canonical_docs",
+    "q_dedup_pipeline",
 ]
 
 

@@ -36,6 +36,16 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # Cap plan-string generation (diagnostics only — explain/UI events).
+    # Iterative operators (connected components, HITS, PageRank) stack
+    # joins over cached frames between lineage cuts, and Spark's tree
+    # printer expands every InMemoryRelation body RECURSIVELY — ~5×
+    # branching per round makes the unbounded default an exponential
+    # driver-heap hazard (observed: java.lang.OutOfMemoryError inside
+    # generateTreeString while localCheckpoint'ing round 5 of a CC loop).
+    # 64 KB keeps explain output useful and the driver safe at any
+    # iteration depth/cluster size.
+    "spark.sql.maxPlanStringLength": "65536",
 }
 
 

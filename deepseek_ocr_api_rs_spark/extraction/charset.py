@@ -133,7 +133,17 @@ def route_decode(data: bytes, truncate_payload) -> tuple[str, bool] | None:
     multi-byte legacy codec — cutting Shift_JIS bytes mid-sequence
     before decoding would turn a big valid page into an error).
     Returns (text, truncated) or None for the error branch."""
-    if bom_encoding(data) is None:
+    # Fast-path gate: a BOM can only start with EF/FF/FE, so one leading-
+    # byte compare keeps the ~95% ASCII/UTF-8 slice on the historical
+    # truncate-then-decode path with near-zero added cost (a false hit,
+    # e.g. latin-1 'ï' bytes, just takes the full sniff — same result).
+    if data[:1] not in (b"\xef", b"\xff", b"\xfe"):
+        cut, trunc = truncate_payload(data)
+        try:
+            return cut.decode("utf-8"), trunc
+        except UnicodeDecodeError:
+            pass
+    elif bom_encoding(data) is None:
         cut, trunc = truncate_payload(data)
         try:
             return cut.decode("utf-8"), trunc

@@ -50,6 +50,7 @@ def hits_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(src, dst) edge frame → (node, auth_fp, hub_fp) in BIGINT
     micro-units after ``n_iter`` exact integer iterations. Duplicate
@@ -58,15 +59,32 @@ def hits_fixed_point(
 
     Precondition: at least one edge (the max-normalizer is then ≥ 1;
     an empty graph would divide by zero on both engines alike).
+
+    ``checkpoint_dir`` switches the per-iteration lineage cut from
+    ``localCheckpoint`` (executor-local blocks — executor loss kills the
+    job, lineage is already truncated) to fault-tolerant ``checkpoint()``
+    into that (shared/HDFS-visible) directory — same contract as
+    ``connected_components(checkpoint_dir=…)``: on a 1000-node cluster a
+    lost executor mid-iteration recovers from the checkpointed blocks at
+    the cost of one distributed write per iteration.
     """
+    if checkpoint_dir is not None:
+        # ONCE, up front: setCheckpointDir stores <dir>/<uuid>, so a
+        # per-iteration equality guard could never match (see
+        # connected_components)
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     with _scoped_shuffle_partitions(
         edges.sparkSession, shuffle_partitions
     ):
-        return _hits_loop(edges, n_iter, src_col, dst_col)
+        return _hits_loop(edges, n_iter, src_col, dst_col, checkpoint_dir)
 
 
 def _hits_loop(
-    edges: DataFrame, n_iter: int, src_col: str, dst_col: str
+    edges: DataFrame,
+    n_iter: int,
+    src_col: str,
+    dst_col: str,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -133,7 +151,11 @@ def _hits_loop(
                     f"coalesce(raw, 0L) * {FP_ONE} DIV m"
                 ).alias("hub_fp"),
             )
-            .localCheckpoint(eager=True)
+        )
+        scores = (
+            scores.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else scores.localCheckpoint(eager=True)
         )
         auth_raw.unpersist()
         hub_raw.unpersist()

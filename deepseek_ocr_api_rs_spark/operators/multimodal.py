@@ -157,19 +157,6 @@ def _decode_dims_batch(
     return n_bytes, width, height, mode
 
 
-def real_decode_stub(payload: bytes) -> tuple[int, int, str]:
-    """HISTORICAL seam, no longer a stub: every supported image format now
-    has a REAL pixel decode (extraction.raster.decode_image_pixels — PNG
-    inflate+unfilter, GIF LZW, baseline JPEG Huffman+IDCT in
-    extraction/jpeg.py). Kept only so older callers get a pointer instead
-    of an ImportError; new code should call decode_image_pixels."""
-    raise NotImplementedError(
-        "real_decode_stub is retired: use "
-        "deepseek_ocr_api_rs_spark.extraction.raster.decode_image_pixels — "
-        "PNG, GIF and baseline JPEG all decode for real now"
-    )
-
-
 # ---------------------------------------------------------------------------
 # deterministic REAL-format image synthesizers (fixtures + roundtrip queries)
 

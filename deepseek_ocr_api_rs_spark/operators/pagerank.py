@@ -43,11 +43,25 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(src, dst) edge frame → (node, rank_fp) with ranks in BIGINT
     micro-units after ``n_iter`` exact integer iterations. Duplicate
     edges count twice (the multigraph convention — the oracle mirrors
-    it); self-loops are legal."""
+    it); self-loops are legal.
+
+    ``checkpoint_dir`` switches the periodic lineage cut from
+    ``localCheckpoint`` (executor-local blocks; executor loss kills the
+    job) to fault-tolerant ``checkpoint()`` into that (shared/
+    HDFS-visible) directory — same contract as
+    ``connected_components(checkpoint_dir=…)``: a 10-iteration job on a
+    1000-node cluster survives executor loss at the cost of one
+    distributed write per ``checkpoint_every`` iterations."""
+    if checkpoint_dir is not None:
+        # ONCE, up front: setCheckpointDir stores <dir>/<uuid>, so a
+        # per-cut equality guard could never match (see
+        # connected_components)
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -86,7 +100,11 @@ def pagerank_fixed_point(
                 )
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = (
+                    ranks.checkpoint(eager=True)
+                    if checkpoint_dir is not None
+                    else ranks.localCheckpoint(eager=True)
+                )
         return ranks
     finally:
         pass  # persisted inputs are released by the caller's session GC

@@ -510,3 +510,103 @@ def train_pq_codebooks(
             for c in np.unique(a):
                 C[m][c] = P[a == c].mean(axis=0)
     return C
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) near-duplicate pruning
+
+
+def semdedup(
+    vecs: DataFrame,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    cc_shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    — public): the pruning step real LLM pipelines run AFTER MinHash,
+    catching paraphrases that share no shingles.
+
+    Pipeline (every stage bucketed — never an all-pairs join):
+
+    1. assign each embedding to its nearest centroid (``ivf_assign``; the
+       trained spherical-k-means centroids ride into the Arrow UDF as a
+       task broadcast — map-only, zero shuffle);
+    2. WITHIN-CLUSTER near-dup pairs only: self-join keyed on the cluster
+       id, cosine ≥ ``threshold`` via the in-order JVM fold
+       (``cosine_expr`` — deterministic, engine-exact). Work is
+       O(sum cluster² ) not O(n²); at 10^12 rows n_centroids scales with
+       the corpus so each inverted list stays bounded, and the join
+       shuffles on the cluster id (hash-bucketed, AQE-skew-splittable);
+    3. duplicate groups = connected components over the pair graph
+       (pointer jumping, shuffles scoped to the PAIR-graph cardinality
+       via ``cc_shuffle_partitions`` — the q_canonical_docs lever);
+    4. per group keep ONE representative — the member with the LOWEST
+       cosine to its cluster centroid (the paper's diversity-keeping
+       rule), ties broken by id. The ranking window moves only
+       (component, rounded scalar) pairs, never embeddings.
+
+    cos_centroid is computed through a 16-row BROADCAST join against the
+    centroid table using the same in-order fold (NOT a numpy matmul —
+    BLAS reassociates, the fold is bit-stable across batch splits).
+
+    Returns one disposition row per vector: (id, centroid, component,
+    cos_centroid ROUND 6, keep) ordered by id.
+    """
+    from pyspark.sql.window import Window
+
+    from deepseek_ocr_api_rs_spark.operators.sessions import (
+        connected_components,
+    )
+
+    spark = vecs.sparkSession
+    C = fixed_centroids(dim, n_centroids) if centroids is None else centroids
+    assigned = ivf_assign(
+        vecs, dim, n_centroids, id_col, vec_col, centroids=C
+    ).persist()
+
+    cent_rows = [(int(i), [float(x) for x in C[i]]) for i in range(len(C))]
+    cent_df = spark.createDataFrame(
+        cent_rows, "centroid int, cvec array<double>"
+    )
+    scored = assigned.join(F.broadcast(cent_df), "centroid").select(
+        F.col(id_col),
+        "centroid",
+        F.round(F.expr(cosine_expr(vec_col, "cvec")), 6).alias(
+            "cos_centroid"
+        ),
+    )
+
+    a = assigned.select(
+        "centroid", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        "centroid", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "centroid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(cosine_expr("va", "vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs, shuffle_partitions=cc_shuffle_partitions
+    )
+    labeled = scored.join(
+        comp, scored[id_col] == comp.id, "left"
+    ).select(
+        F.col(id_col),
+        "centroid",
+        F.coalesce("component", F.col(id_col)).alias("component"),
+        "cos_centroid",
+    )
+    win = Window.partitionBy("component").orderBy("cos_centroid", id_col)
+    return (
+        labeled.withColumn(
+            "keep", (F.row_number().over(win) == 1).cast("int")
+        )
+        .orderBy(id_col)
+    )

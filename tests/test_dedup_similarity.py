@@ -354,6 +354,30 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert partial.count() == 65
 
 
+def test_connected_components_scoped_shuffle_partitions(spark):
+    """``shuffle_partitions`` scopes the per-round iteration shuffles to the
+    pair-graph cardinality (the q_canonical_docs 161 s fix): labels must be
+    identical to the default path, and the session conf must be restored
+    after the call (the scope is a contextmanager, not a leak)."""
+    from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)] + [(1000 + i, 1000 + i + 1) for i in range(50)],
+        "id_a long, id_b long",
+    ).coalesce(4)
+    base = {r.id: r.component for r in connected_components(df, max_iter=25).collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            df, max_iter=25, shuffle_partitions=4
+        ).collect()
+    }
+    assert got == base
+    assert set(got.values()) == {0, 1000}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_kmv_estimate_accuracy(spark):
     """KMV with k=64 over 1000 planted distinct ids: the estimator must land
     within the ~1/sqrt(k) error band (deterministic — pinned mix hash)."""
@@ -570,3 +594,55 @@ def test_frontier_key_empty_url_cross_engine(spark):
     for u in urls:
         assert got_spark[u] == got_duck[u] == k_(u), u
     assert got_spark[""] == KEY_INIT
+
+
+def test_semdedup_planted_duplicates_and_keep_rule(spark):
+    """SemDeDup (r8): planted exact-duplicate embeddings land in one
+    component and exactly one survives; the survivor is the group member
+    with the LOWEST cosine to its cluster centroid (ties by id); vectors
+    with no semantic twin keep themselves."""
+    import numpy as np
+
+    from deepseek_ocr_api_rs_spark.operators.similarity import semdedup
+
+    rng_free = []
+    # 18 distinct singletons (the vector formula has period 19 in i —
+    # staying inside one period keeps them pairwise non-identical)
+    for i in range(1, 19):
+        v = [((i * 37 + j * 11) % 19) - 9.0 for j in range(8)]
+        rng_free.append((i, [float(x) for x in v]))
+    # plant a duplicate trio: ids 101/102/103 share one direction
+    base = [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5]
+    for i in (101, 102, 103):
+        rng_free.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rng_free, "vec_id long, embedding array<float>")
+    out = semdedup(df, threshold=0.999, dim=8, n_centroids=4).collect()
+    rows = {r.vec_id: r for r in out}
+    assert len(rows) == 21
+    trio = [rows[i] for i in (101, 102, 103)]
+    assert len({r.component for r in trio}) == 1
+    assert sum(r.keep for r in trio) == 1
+    # identical cos_centroid → tie broken by lowest id
+    assert rows[101].keep == 1
+    singles = [r for i, r in rows.items() if i <= 18]
+    assert all(r.keep == 1 for r in singles)
+
+
+def test_semdedup_plan_broadcast_and_no_all_pairs(spark):
+    """Scale-shape assertions (VERDICT r7 #7 'Done' criteria): the
+    centroid-score join is a BROADCAST hash join (16-row table), and the
+    within-cluster pair join is a hash join keyed on the cluster id —
+    the plan contains NO cartesian/nested-loop product anywhere."""
+    from deepseek_ocr_api_rs_spark.operators.similarity import semdedup
+    from deepseek_ocr_api_rs_spark.plans.explain import physical_plan
+
+    rows = [
+        (i, [float(((i * 31 + j * 7) % 17) - 8) for j in range(8)])
+        for i in range(1, 60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, threshold=0.95, dim=8, n_centroids=4)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

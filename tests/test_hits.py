@@ -55,3 +55,28 @@ def test_dangling_nodes_zero(spark):
     got = _run(spark, [(1, 2)], n_iter=3)
     assert got[1][0] == 0 and got[2][1] == 0
     assert got[1][1] == FP_ONE and got[2][0] == FP_ONE
+
+
+def test_hits_reliable_checkpoint_dir(spark, tmp_path):
+    """``checkpoint_dir`` switches the per-iteration lineage cut to
+    fault-tolerant ``checkpoint()``: scores identical to the default
+    path, and checkpoint blocks actually land under the given directory
+    (proof the cut went through the reliable path)."""
+    import os
+
+    from deepseek_ocr_api_rs_spark.operators.hits import hits_fixed_point
+
+    edges = [(1, 2), (1, 3), (4, 3), (3, 2), (2, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ckpt = str(tmp_path / "hits_ckpt")
+    got = {
+        r.node: (r.auth_fp, r.hub_fp)
+        for r in hits_fixed_point(e, 4, checkpoint_dir=ckpt).collect()
+    }
+    base = {
+        r.node: (r.auth_fp, r.hub_fp)
+        for r in hits_fixed_point(e, 4).collect()
+    }
+    assert got == base
+    files = [os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "checkpoint() should have written blocks under checkpoint_dir"

@@ -85,3 +85,24 @@ def test_total_rank_bounded(spark):
             r.rank_fp for r in pagerank_fixed_point(e, it).collect()
         )
         assert total <= 6 * FP_ONE
+
+
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """``checkpoint_dir`` switches the periodic lineage cut to
+    fault-tolerant ``checkpoint()``: ranks identical to the default
+    path, and checkpoint blocks actually land under the given directory
+    (proof the cut went through the reliable path)."""
+    import os
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    ckpt = str(tmp_path / "pr_ckpt")
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(
+            e, 10, checkpoint_every=2, checkpoint_dir=ckpt
+        ).collect()
+    }
+    base = {r.node: r.rank_fp for r in pagerank_fixed_point(e, 10).collect()}
+    assert got == base
+    files = [os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "checkpoint() should have written blocks under checkpoint_dir"

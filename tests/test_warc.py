@@ -410,3 +410,95 @@ def test_wet_iri_url_percent_encoded_not_crashing():
         "?q=%D0%B7%D0%BD%D0%B0%D1%87%D0%B5%D0%BD%D0%B8%D0%B5"
     )
     assert got[1] == "https://example.org/a%20b?x=1#frag"
+
+
+def test_warc_member_index_covers_container_exactly():
+    """iter_gzip_members walks the one-member-per-record layout with exact
+    (offset, length) bookkeeping: members tile the container with no gaps,
+    and each indexed record's url/type matches the sequential parse."""
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        iter_gzip_members,
+        warc_member_index,
+    )
+
+    records, _ = _fixture_records()
+    data = make_warc_gz(records)
+    idx = warc_member_index(data)
+    assert len(idx) == len(records)
+    pos = 0
+    for e in idx:
+        assert e["offset"] == pos
+        pos += e["length"]
+    assert pos == len(data)
+    assert [e["record_type"] for e in idx] == [r["type"] for r in records]
+    assert [e["url"] for e in idx] == [r["url"] for r in records]
+    # inflated member == the record the sequential parser sees
+    members = list(iter_gzip_members(data))
+    assert len(members) == len(records)
+    seq = list(iter_warc_records(data))
+    assert [next(iter_warc_records(m[2]))["payload"] for m in members] == [
+        r["payload"] for r in seq
+    ]
+
+
+def test_warc_point_read_touches_only_its_byte_range(tmp_path):
+    """read_warc_record_at is a true point lookup: with every byte OUTSIDE
+    the target member overwritten with garbage, the target record still
+    reads back intact (the access path can only have touched
+    [offset, offset+length))."""
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        read_warc_record_at,
+        warc_member_index,
+    )
+
+    records, html = _fixture_records()
+    data = make_warc_gz(records)
+    idx = warc_member_index(data)
+    target = idx[1]  # the first response record
+    lo, hi = target["offset"], target["offset"] + target["length"]
+    corrupted = b"\xde" * lo + data[lo:hi] + b"\xad" * (len(data) - hi)
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(corrupted)
+    rec = read_warc_record_at(str(p), lo, hi - lo)
+    assert rec is not None
+    assert rec["url"] == "https://ex.org/a"
+    assert rec["type"] == "response"
+    assert rec["payload"] == html
+
+
+def test_warc_index_and_fetch_distributed(spark, tmp_path):
+    """index_warc_segments builds the offset index over a directory of
+    segments; fetch_warc_records_at point-reads a selected subset and
+    returns the exact payload bytes."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_api_rs_spark.sources.warc import (
+        fetch_warc_records_at,
+        index_warc_segments,
+        make_warc_gz,
+    )
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    for seg in range(3):
+        recs = [
+            {
+                "type": "response",
+                "url": f"https://ex.org/s{seg}/d{i}",
+                "date": DATE,
+                "payload": f"<html><body><p>seg {seg} doc {i}</p></body></html>".encode(),
+            }
+            for i in range(4)
+        ]
+        (d / f"seg-{seg}.warc.gz").write_bytes(make_warc_gz(recs))
+    idx = index_warc_segments(spark, str(d))
+    assert idx.count() == 12
+    wanted = idx.filter(F.col("url").endswith("/d2"))
+    got = fetch_warc_records_at(spark, wanted, str(d)).collect()
+    assert sorted(r.url for r in got) == [f"https://ex.org/s{s}/d2" for s in range(3)]
+    for r in got:
+        seg = r.url.split("/s")[1].split("/")[0]
+        assert bytes(r.payload) == (
+            f"<html><body><p>seg {seg} doc 2</p></body></html>".encode()
+        )
+        assert r.n_bytes == len(r.payload)
