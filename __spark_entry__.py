@@ -2078,6 +2078,32 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(vecs, _query_vec(spark, sf_dir), k=10, rerank=100, codebooks=B)
 
 
+def q_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (r8) — the fastText-filter pipeline
+    stage as distributed CART: hashed token-RATIO features (the
+    cross-engine polynomial hash % 32, ratios in 1/1024 integer units),
+    depth-2 tree grown by an exact integer correct-count arg-max (the
+    BPE-learner shape: one aggregation per level, lexicographic
+    tie-breaks, winning splits broadcast — no driver action), labels
+    from a deterministic distant-supervision rule the tree must
+    rediscover from buckets alone. Bit-identical across engines; the
+    oracle replays the identical recurrence in SQL (operators/
+    classifier.py). Output: one (doc_id, label, leaf, pred) row per
+    document."""
+    from deepseek_ocr_api_rs_spark.operators.classifier import (
+        quality_tree_dispositions,
+    )
+
+    _ensure_shipped(spark)
+    return quality_tree_dispositions(_t(spark, sf_dir, "documents"))
+
+
+def _quality_tree_sql() -> str:
+    from deepseek_ocr_api_rs_spark.operators.classifier import quality_tree_sql
+
+    return quality_tree_sql()
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (r8) — the embedding-space pruning step a
     real LLM pipeline runs AFTER MinHash (catches paraphrases with no
@@ -6529,6 +6555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row at least once per ceil(n/50) rounds. Do not hand-
         # order; edit rotation_order.py's round inputs and re-run.
         # --- new r8 (window rows 1-50) ---
+        "q_quality_tree": q_quality_tree,
         "q_semdedup": q_semdedup,
         "q_warc_lookup": q_warc_lookup,
         # --- never driver-certified (window rows 1-50) ---
@@ -6728,6 +6755,7 @@ def oracle_sql() -> dict[str, str]:
         "q_contamination": _Q_CONTAMINATION_SQL,
         "q_warc_ingest": _Q_WARC_INGEST_SQL,
         "q_warc_lookup": _Q_WARC_LOOKUP_SQL,
+        "q_quality_tree": _quality_tree_sql(),
         "q_snapshot_prune": _Q_SNAPSHOT_PRUNE_SQL,
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,

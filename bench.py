@@ -246,11 +246,15 @@ _HEADLINE_QUERIES = [
     "q_containment",
     "q_quantile_sketch",
     # round 8: canonical-doc selection and the end-to-end dedup decision
-    # pipeline — benchable once connected_components runs its iteration
-    # shuffles at the pair-graph width (scoped_shuffle_partitions; the
-    # unscoped corpus-width rounds were 161 s at sf0.1)
+    # pipeline — benchable once connected_components checkpoints its loop
+    # inputs (driver-side plan analysis of the re-embedded LSH lineage was
+    # the 161 s pathology) and scopes iteration shuffles to the pair graph
     "q_canonical_docs",
     "q_dedup_pipeline",
+    # round 8: new-capability queries
+    "q_semdedup",
+    "q_warc_lookup",
+    "q_quality_tree",
 ]
 
 

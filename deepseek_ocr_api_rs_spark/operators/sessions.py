@@ -118,7 +118,23 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+    )
+    # CHECKPOINT (not merely persist) the loop inputs at entry: persist
+    # caches the DATA but the LOGICAL plan still carries the caller's
+    # entire candidate-generation lineage (an LSH-banding pass over the
+    # full corpus — ~10^5 plan-tree nodes), and each loop round embeds
+    # the prior frame's plan ~5×, so by round 4 the ANALYZED plan reaches
+    # hundreds of MB and the driver spends minutes copying/walking trees
+    # (the real q_canonical_docs 161 s pathology — executor work was
+    # never the bottleneck). A lineage CUT here makes the loop's base
+    # plan one LogicalRDD node; growth then starts from ~1 KB and the
+    # periodic in-loop cut keeps it bounded. This materializes under the
+    # CALLER's conf — corpus-width shuffles for corpus-sized lineage —
+    # before any scoped-width loop shuffles.
+    edges = (
+        edges.checkpoint(eager=True)
+        if checkpoint_dir is not None
+        else edges.localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -126,14 +142,6 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
-    if shuffle_partitions is not None:
-        # Materialize edges+labels BEFORE entering the scope: their
-        # lineage includes the CALLER's candidate generation (an
-        # LSH-banding pass over the full corpus), whose shuffles must
-        # run at the session's corpus-sized width — only the pair-graph
-        # iteration below belongs at the scoped width.
-        edges.count()
-        labels.count()
     with scoped_shuffle_partitions(pairs.sparkSession, shuffle_partitions):
         return _cc_loop(
             edges, labels, max_iter, checkpoint_every, strict,
