@@ -73,23 +73,33 @@ def hits_fixed_point(
         # per-iteration equality guard could never match (see
         # connected_components)
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    with _scoped_shuffle_partitions(
-        edges.sparkSession, shuffle_partitions
-    ):
-        return _hits_loop(edges, n_iter, src_col, dst_col, checkpoint_dir)
-
-
-def _hits_loop(
-    edges: DataFrame,
-    n_iter: int,
-    src_col: str,
-    dst_col: str,
-    checkpoint_dir: str | None = None,
-) -> DataFrame:
+    # Lineage-cut the edge table BEFORE entering the shuffle scope (the
+    # connected_components lesson): persist caches data but the caller's
+    # link-extraction lineage stays in the LOGICAL plan and every
+    # iteration's analysis re-walks it — the checkpoint makes each
+    # iteration's plan O(iteration), independent of how edges were
+    # derived, and the eager materialization runs the corpus-sized
+    # lineage under the CALLER's (corpus-width) conf.
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).persist()
+    )
+    e = (
+        e.checkpoint(eager=True)
+        if checkpoint_dir is not None
+        else e.localCheckpoint(eager=True)
+    )
+    with _scoped_shuffle_partitions(
+        edges.sparkSession, shuffle_partitions
+    ):
+        return _hits_loop(e, n_iter, checkpoint_dir)
+
+
+def _hits_loop(
+    e: DataFrame,
+    n_iter: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

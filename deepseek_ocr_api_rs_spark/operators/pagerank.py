@@ -62,10 +62,20 @@ def pagerank_fixed_point(
         # per-cut equality guard could never match (see
         # connected_components)
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # Lineage-cut the edge table at entry (the connected_components
+    # lesson): persist caches data but the caller's link-extraction
+    # lineage stays in the LOGICAL plan and each iteration's analysis
+    # re-walks it — the checkpoint makes per-iteration plans
+    # O(iteration), independent of how edges were derived.
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).persist()
+    )
+    e = (
+        e.checkpoint(eager=True)
+        if checkpoint_dir is not None
+        else e.localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -66,7 +66,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 2,
     strict: bool = True,
     checkpoint_dir: str | None = None,
     shuffle_partitions: int | None = None,
@@ -82,8 +82,14 @@ def connected_components(
 
     Loop-state discipline: label frames are persisted and replaced each
     round, and ``localCheckpoint()`` every ``checkpoint_every`` rounds cuts
-    the plan LINEAGE so the optimizer doesn't re-analyze a linearly growing
-    DAG each round. Note localCheckpoint is NOT fault-tolerant — blocks
+    the plan LINEAGE. Growth between cuts is EXPONENTIAL, not linear —
+    each round's plan embeds the prior frame's plan ~5× (the propagation
+    join, the pointer-jump self-reference, the change probe), so k
+    uncut rounds cost ~5^k copies of the base plan in analyzer work;
+    at the old default of 5 the analyzed plan still reached ~26 MB of
+    tree string even with checkpointed inputs. The default of 2 bounds
+    it at ~25× base (a localCheckpoint of the tiny label frame per two
+    rounds is far cheaper than the analyzer walk it avoids). Note localCheckpoint is NOT fault-tolerant — blocks
     live on executors and cannot be recomputed after executor loss (lineage
     is truncated), so a lost executor fails the job; pass
     ``checkpoint_dir`` to use reliable ``checkpoint()`` instead — label
