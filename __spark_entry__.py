@@ -1105,7 +1105,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by q_minhash_lsh_fast's pytest recall/exactness tier."""
     from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-parquet-file testdata runs the heavy signature codegen in ONE
+    # task without this (the repartition trap bites pure-JVM stages too)
+    docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     pairs = D.minhash_lsh_candidates(docs, shingle_n=3)
     # pair graph ≪ corpus → scope the iteration shuffles (VERDICT r7 #2)
     return connected_components(pairs, shuffle_partitions=16).orderBy("id")
@@ -1148,10 +1151,14 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-parquet-file testdata runs the heavy signature codegen in ONE
+    # task without this (the repartition trap bites pure-JVM stages too:
+    # 36 s -> 8 s for the LSH pass at sf0.1)
+    docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     pairs = D.minhash_lsh_candidates(docs, shingle_n=3)
-    # pair graph ≪ corpus → scope the iteration shuffles (VERDICT r7 #2:
-    # unscoped rounds at corpus width were the whole 161 s pathology)
+    # pair graph ≪ corpus → scope the iteration shuffles; loop inputs are
+    # lineage-cut inside the operator (the r8 plan-analysis fix)
     comp = connected_components(pairs, shuffle_partitions=16)
     scored = docs.select(
         "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
@@ -1226,7 +1233,14 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-file testdata → repartition before the heavy stages (the
+    # same trap as q_canonical_docs; 36 s -> 8 s for the LSH pass)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+    )
     rep = docs.filter(d % 10 == 0).select(
         (d + 200000).alias("doc_id"), "text"
     )
