@@ -2092,6 +2092,91 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(vecs, _query_vec(spark, sf_dir), k=10, rerank=100, codebooks=B)
 
 
+def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard roundtrip (r8) — the TRAINING-side handoff
+    format (plain POSIX tar, members ``<key>.<ext>``, samples never
+    straddle shards): documents staged as byte-DETERMINISTIC shards
+    (sorted keys, zeroed tar metadata, task-identity names + atomic
+    replace — two attempts produce identical bytes) with a ``txt`` and
+    a canonical-JSON ``json`` member per sample, then read back through
+    the binaryFile fan-out and reassembled per key. The oracle
+    recomputes key/byte-length/sha256/lang straight from ``documents``,
+    so the hash proves member framing, both payloads, and the container
+    roundtrip at once (sources/webdataset.py)."""
+    from deepseek_ocr_api_rs_spark.sources.webdataset import (
+        read_wds_shards,
+        write_wds_shards,
+    )
+
+    _ensure_shipped(spark)
+    out = _staging_dir("wds_export_")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    staged = (
+        _t(spark, sf_dir, "documents")
+        .repartition(n_parts, "doc_id")
+        .select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("key"),
+            F.coalesce("text", F.lit("")).alias("txt"),
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "lang": "'),
+                F.coalesce("lang", F.lit("")),
+                F.lit('"}'),
+            ).alias("meta"),
+        )
+    )
+    manifest = write_wds_shards(
+        staged, out, key_col="key", member_cols={"txt": "txt", "json": "meta"}
+    ).collect()  # staging barrier
+    assert sum(m.n_samples for m in manifest) > 0
+    members = read_wds_shards(spark, out)
+    txts = members.filter(F.col("ext") == "txt").select(
+        "key",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    )
+    metas = members.filter(F.col("ext") == "json").select(
+        "key",
+        F.get_json_object(F.col("payload").cast("string"), "$.lang").alias(
+            "lang"
+        ),
+    )
+    return txts.join(metas, "key").orderBy("key")
+
+
+_Q_WDS_SQL = """
+select lpad(cast(doc_id as varchar), 10, '0') as key,
+  cast(strlen(coalesce(text, '')) as bigint) as n_bytes,
+  sha256(coalesce(text, '')) as digest,
+  coalesce(lang, '') as lang
+from documents
+order by key
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-MIXTURE sampling (r8) — the Dolma/Pile/LLaMA
+    mixing step: each source sampled to its share of a global token
+    budget with exact integer rates (1/2^20 units) and a pinned-hash
+    Bernoulli for the fractional part; small sources UP-sample (copy
+    multiplicity 2+), oversized ones down-sample (copies 0) — the
+    budget 25000 exercises all three dispositions at both correctness
+    scales. One tiny per-source agg broadcast back; the corpus never
+    shuffles (operators/mixing.py). Engine-exact per-document copy
+    counts; realized tokens ≈ budget within Bernoulli variance."""
+    from deepseek_ocr_api_rs_spark.operators.mixing import mixture_sample
+
+    _ensure_shipped(spark)
+    return mixture_sample(_t(spark, sf_dir, "documents"), 25000)
+
+
+def _mixture_sql() -> str:
+    from deepseek_ocr_api_rs_spark.operators.mixing import mixture_sample_sql
+
+    return mixture_sample_sql(25000)
+
+
 def q_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED quality classifier (r8) — the fastText-filter pipeline
     stage as distributed CART: hashed token-RATIO features (the
@@ -6569,6 +6654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row at least once per ceil(n/50) rounds. Do not hand-
         # order; edit rotation_order.py's round inputs and re-run.
         # --- new r8 (window rows 1-50) ---
+        "q_wds_roundtrip": q_wds_roundtrip,
+        "q_mixture_sample": q_mixture_sample,
         "q_quality_tree": q_quality_tree,
         "q_semdedup": q_semdedup,
         "q_warc_lookup": q_warc_lookup,
@@ -6770,6 +6857,8 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_ingest": _Q_WARC_INGEST_SQL,
         "q_warc_lookup": _Q_WARC_LOOKUP_SQL,
         "q_quality_tree": _quality_tree_sql(),
+        "q_mixture_sample": _mixture_sql(),
+        "q_wds_roundtrip": _Q_WDS_SQL,
         "q_snapshot_prune": _Q_SNAPSHOT_PRUNE_SQL,
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,

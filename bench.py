@@ -255,6 +255,8 @@ _HEADLINE_QUERIES = [
     "q_semdedup",
     "q_warc_lookup",
     "q_quality_tree",
+    "q_wds_roundtrip",
+    "q_mixture_sample",
 ]
 
 
