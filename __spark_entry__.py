@@ -3343,7 +3343,7 @@ def q_warc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_id") % 11 == 0)
     )
-    fetched = fetch_warc_records_at(spark, wanted, warc_dir)
+    fetched = fetch_warc_records_at(wanted, warc_dir)
     return fetched.select(
         "url",
         F.col("n_bytes"),

@@ -935,7 +935,7 @@ def read_warc_record_at(path: str, offset: int, length: int) -> dict | None:
     return next(iter_warc_records(blob), None)
 
 
-def fetch_warc_records_at(spark: SparkSession, index: DataFrame, warc_dir: str) -> DataFrame:
+def fetch_warc_records_at(index: DataFrame, warc_dir: str) -> DataFrame:
     """Distributed point-lookup stage: ``index`` rows (filename, offset,
     length) → one fetched-record row each (url, warc_date, n_bytes,
     payload). Each task seek-reads ONLY its rows' byte ranges — the work

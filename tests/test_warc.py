@@ -494,7 +494,7 @@ def test_warc_index_and_fetch_distributed(spark, tmp_path):
     idx = index_warc_segments(spark, str(d))
     assert idx.count() == 12
     wanted = idx.filter(F.col("url").endswith("/d2"))
-    got = fetch_warc_records_at(spark, wanted, str(d)).collect()
+    got = fetch_warc_records_at(wanted, str(d)).collect()
     assert sorted(r.url for r in got) == [f"https://ex.org/s{s}/d2" for s in range(3)]
     for r in got:
         seg = r.url.split("/s")[1].split("/")[0]
