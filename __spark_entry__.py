@@ -2092,6 +2092,161 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(vecs, _query_vec(spark, sf_dir), k=10, rerank=100, codebooks=B)
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus build in one query (r8) — the
+    order a real data pipeline runs after extraction, each stage an
+    already-oracle-exact operator so the chained oracle holds the whole
+    build hash-exact: (1) gopher-style quality gate (shared verdict
+    expression with q_quality_filter), (2) exact dedup among gate
+    survivors (hash-agg keeper = min doc_id), (3) budget-driven MIXTURE
+    sampling of the keepers (integer rates, pinned-hash Bernoulli —
+    operators/mixing.py), (4) per-shard sequence PACKING of the sampled
+    docs (cumulative-token window at doc_id%64 shards, the
+    q_sequence_packing machinery). Every document gets a disposition
+    (too_short/low_quality/repetitive/lang_mismatch/exact_dup/
+    sampled_out/packed) plus its copy count and, when packed, its shard
+    and starting training-sequence index. Scale shape: one gate pass,
+    one dedup agg, one tiny per-source mixture agg (broadcast), one
+    per-shard window — the corpus text never shuffles after the gate."""
+    from deepseek_ocr_api_rs_spark.operators.mixing import mixture_sample
+    from pyspark.sql.window import Window
+
+    _ensure_shipped(spark)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = F.col("doc_id")
+    docs0 = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
+    # republished copies (every 9th doc under id+300000) exercise the
+    # exact-dedup stage — same convention as q_dedup_pipeline
+    docs = docs0.unionByName(
+        docs0.filter(d % 9 == 0).withColumn("doc_id", d + 300000)
+    )
+    base = docs.select(
+        "doc_id", "source", "text", _verdict_col().alias("verdict")
+    ).persist()
+    gate_ok = base.filter(F.col("verdict") == "keep")
+    keepers = gate_ok.groupBy("text").agg(F.min("doc_id").alias("keeper"))
+    tagged = gate_ok.join(keepers, "text").persist()
+    kept = tagged.filter(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id", "source", "text"
+    )
+    mixed = mixture_sample(kept, 12000).persist()
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        mixed.filter(F.col("n_copies") >= 1)
+        .withColumn("shard", (F.col("doc_id") % _PACK_SHARDS).cast("long"))
+        .withColumn("tok_total", F.col("n_tokens") * F.col("n_copies"))
+        .withColumn("cum_after", F.sum("tok_total").over(w))
+        .select(
+            "doc_id",
+            F.lit("packed").alias("disposition"),
+            "n_copies",
+            "shard",
+            F.floor(
+                (F.col("cum_after") - F.col("tok_total")) / _PACK_CAP
+            ).cast("long").alias("start_seq"),
+        )
+    )
+    neg = F.lit(-1).cast("long")
+    zero = F.lit(0).cast("long")
+    gate_drops = base.filter(F.col("verdict") != "keep").select(
+        "doc_id",
+        F.col("verdict").alias("disposition"),
+        zero.alias("n_copies"),
+        neg.alias("shard"),
+        neg.alias("start_seq"),
+    )
+    dups = tagged.filter(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id",
+        F.lit("exact_dup").alias("disposition"),
+        zero.alias("n_copies"),
+        neg.alias("shard"),
+        neg.alias("start_seq"),
+    )
+    sampled_out = mixed.filter(F.col("n_copies") == 0).select(
+        "doc_id",
+        F.lit("sampled_out").alias("disposition"),
+        zero.alias("n_copies"),
+        neg.alias("shard"),
+        neg.alias("start_seq"),
+    )
+    return (
+        gate_drops.unionByName(dups)
+        .unionByName(sampled_out)
+        .unionByName(packed)
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_build_sql() -> str:
+    from deepseek_ocr_api_rs_spark.functions.text import token_count_duckdb
+    from deepseek_ocr_api_rs_spark.operators.mixing import (
+        FRAC,
+        MIX_A,
+        MIX_C,
+    )
+    from deepseek_ocr_api_rs_spark.functions.hashing import P
+
+    tc = token_count_duckdb("text")
+    return f"""
+with docs as (
+  select doc_id, source, text, lang from documents
+  union all
+  select doc_id + 300000, source, text, lang from documents where doc_id % 9 = 0
+),
+base as materialized (
+  select doc_id, source, text, {_verdict_case_sql()} as verdict
+  from docs
+),
+gate_ok as (select * from base where verdict = 'keep'),
+keepers as (select text, min(doc_id) as keeper from gate_ok group by text),
+tagged as materialized (
+  select g.doc_id, g.source, g.text, k.keeper
+  from gate_ok g join keepers k using (text)
+),
+kept as (select doc_id, source, text from tagged where doc_id = keeper),
+kb as (select doc_id, source, {tc} as n_tokens from kept),
+tot as (select source, cast(sum(n_tokens) as bigint) as t_s from kb group by source),
+nsrc as (select count(*) as k from tot),
+rates as (
+  select source,
+    case when t_s = 0 then 0
+         else (((12000 * 1) // k) * {FRAC}) // t_s end as rate_fp
+  from tot cross join nsrc
+),
+mixed as materialized (
+  select b.doc_id, b.n_tokens,
+    cast(r.rate_fp // {FRAC}
+         + case when ((({MIX_A} * b.doc_id + {MIX_C}) % {P}) % {FRAC})
+                     < r.rate_fp % {FRAC} then 1 else 0 end as bigint)
+      as n_copies
+  from kb b join rates r using (source)
+),
+packed as (
+  select doc_id, 'packed' as disposition, n_copies,
+    cast(doc_id % {_PACK_SHARDS} as bigint) as shard,
+    cast(floor((sum(n_tokens * n_copies) over (
+            partition by doc_id % {_PACK_SHARDS} order by doc_id
+            rows between unbounded preceding and current row)
+          - n_tokens * n_copies) * 1.0 / {_PACK_CAP}) as bigint) as start_seq
+  from mixed where n_copies >= 1
+)
+select doc_id, verdict as disposition, cast(0 as bigint) as n_copies,
+       cast(-1 as bigint) as shard, cast(-1 as bigint) as start_seq
+  from base where verdict != 'keep'
+union all
+select doc_id, 'exact_dup', 0, -1, -1 from tagged where doc_id != keeper
+union all
+select doc_id, 'sampled_out', 0, -1, -1 from mixed where n_copies = 0
+union all
+select * from packed
+order by doc_id
+"""
+
+
 def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard roundtrip (r8) — the TRAINING-side handoff
     format (plain POSIX tar, members ``<key>.<ext>``, samples never
@@ -6542,12 +6697,10 @@ order by url
 """
 
 
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite training-data quality gate (gopher-style rule stack):
-    keep docs passing length + quality + repetition + lang-agreement rules,
-    and report which rule dropped the rest — the end-of-pipeline filter a
-    training corpus runs after extraction + dedup."""
-    docs = _t(spark, sf_dir, "documents")
+def _verdict_col():
+    """The gopher-style gate verdict as one Column — shared by
+    q_quality_filter and the q_corpus_build composition (single source
+    of truth; the SQL twin is _verdict_case_sql)."""
     toks = f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)"
     all_sh = (
         f"transform(sequence(1, greatest(size({toks}) - 2, 0)), "
@@ -6559,13 +6712,39 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.expr(f"size({all_sh})"), F.lit(1))
     )
     quality = F.round(T.quality_score("text"), 4)
-    verdict = (
+    return (
         F.when(T.token_count("text") < 10, F.lit("too_short"))
         .when(quality <= 0.4, F.lit("low_quality"))
         .when(rep >= 0.5, F.lit("repetitive"))
         .when(T.lang_id("text") != F.col("lang"), F.lit("lang_mismatch"))
         .otherwise(F.lit("keep"))
     )
+
+
+def _verdict_case_sql() -> str:
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    all_sh = (
+        f"list_transform(range(1, greatest(len({toks}) - 2, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    rep = f"(1.0 - len(list_distinct({all_sh})) * 1.0 / greatest(len({all_sh}), 1))"
+    quality = f"round({T.quality_score_duckdb('text')}, 4)"
+    return (
+        f"case when {T.token_count_duckdb('text')} < 10 then 'too_short'\n"
+        f"         when {quality} <= 0.4 then 'low_quality'\n"
+        f"         when {rep} >= 0.5 then 'repetitive'\n"
+        f"         when ({T.lang_id_duckdb('text')}) != lang then 'lang_mismatch'\n"
+        f"         else 'keep' end"
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data quality gate (gopher-style rule stack):
+    keep docs passing length + quality + repetition + lang-agreement rules,
+    and report which rule dropped the rest — the end-of-pipeline filter a
+    training corpus runs after extraction + dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    verdict = _verdict_col()
     return (
         docs.select("doc_id", verdict.alias("verdict"))
         .groupBy("verdict")
@@ -6575,21 +6754,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_filter_sql() -> str:
-    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-    all_sh = (
-        f"list_transform(range(1, greatest(len({toks}) - 2, 0) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
-    )
-    rep = f"(1.0 - len(list_distinct({all_sh})) * 1.0 / greatest(len({all_sh}), 1))"
-    quality = f"round({T.quality_score_duckdb('text')}, 4)"
     return f"""
 with v as (
-  select doc_id,
-    case when {T.token_count_duckdb('text')} < 10 then 'too_short'
-         when {quality} <= 0.4 then 'low_quality'
-         when {rep} >= 0.5 then 'repetitive'
-         when ({T.lang_id_duckdb('text')}) != lang then 'lang_mismatch'
-         else 'keep' end as verdict
+  select doc_id, {_verdict_case_sql()} as verdict
   from documents
 )
 select verdict, count(*) as n_docs, min(doc_id) as first_doc
@@ -6654,6 +6821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row at least once per ceil(n/50) rounds. Do not hand-
         # order; edit rotation_order.py's round inputs and re-run.
         # --- new r8 (window rows 1-50) ---
+        "q_corpus_build": q_corpus_build,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_mixture_sample": q_mixture_sample,
         "q_quality_tree": q_quality_tree,
@@ -6859,6 +7027,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_tree": _quality_tree_sql(),
         "q_mixture_sample": _mixture_sql(),
         "q_wds_roundtrip": _Q_WDS_SQL,
+        "q_corpus_build": _corpus_build_sql(),
         "q_snapshot_prune": _Q_SNAPSHOT_PRUNE_SQL,
         "q_video_meta": _Q_VIDEO_META_SQL,
         "q_mp4_meta": _Q_MP4_META_SQL,

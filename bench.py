@@ -257,6 +257,7 @@ _HEADLINE_QUERIES = [
     "q_quality_tree",
     "q_wds_roundtrip",
     "q_mixture_sample",
+    "q_corpus_build",
 ]
 
 

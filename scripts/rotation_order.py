@@ -35,6 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Round-8 inputs to the policy (update these two lists each round).
 NEW_THIS_ROUND: list[str] = [
+    "q_corpus_build",
     "q_wds_roundtrip",
     "q_mixture_sample",
     "q_quality_tree",
