@@ -107,3 +107,39 @@ def test_mixture_sample_respects_explicit_weights(spark):
     ).toPandas()
     assert (out[out.source == "small"].n_copies == 0).all()
     assert (out[out.source == "big"].n_copies >= 1).all()
+
+
+def test_new_operator_plan_shapes(spark):
+    """Scale-contract plan assertions for the r8 operators: the mixture
+    rate join is a broadcast hash join and nothing in mixture or the
+    corpus-build composition degenerates to a cartesian/nested-loop
+    product; the WDS reader plan is a map-only fan-out (no Exchange)."""
+    from deepseek_ocr_api_rs_spark.operators.mixing import mixture_sample
+    from deepseek_ocr_api_rs_spark.plans.explain import physical_plan
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mix = mixture_sample(docs, 25000)
+    p = physical_plan(mix)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    build = entrymod.q_corpus_build(spark, SF)
+    p2 = physical_plan(build)
+    assert "CartesianProduct" not in p2
+
+    import tempfile
+
+    from deepseek_ocr_api_rs_spark.sources.webdataset import (
+        read_wds_shards,
+        write_wds_shards,
+    )
+
+    d = tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        [("0000000001", "x", "{}")], "key string, txt string, meta string"
+    )
+    write_wds_shards(df, d, member_cols={"txt": "txt", "json": "meta"}).collect()
+    rd = read_wds_shards(spark, d)
+    p3 = physical_plan(rd)
+    assert "Exchange" not in p3  # shards ARE the partitions; map-only read
