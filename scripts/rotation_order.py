@@ -14,7 +14,7 @@ schedule. Policy (VERDICT r7 asks #1/#4), applied per round boundary:
 
 Blocks 1-3 plus the head of block 4 fill the 50-row window; the rest queue
 for the next rounds. Under this LRU policy every query earns a fresh driver
-row at least once per ceil(n_queries / 50) rounds (= 3 at the current 126),
+row at least once per ceil(n_queries / 50) rounds (= 3 at the current 130),
 and never-certified / changed queries never wait.
 
 Usage: python scripts/rotation_order.py  — prints the order, one name per
