@@ -75,6 +75,13 @@ def mixture_sample(
     w_rows = []
     for row in totals.select("source").collect():  # ≤ n_sources rows
         num, den = weights.get(row.source, (1, n_sources))
+        # the documented bigint domain bound: q_s * FRAC must stay
+        # below 2^63, i.e. per-source targets ≤ ~8.8e12 tokens
+        assert budget_tokens * num <= 1 << 43, (
+            f"mixture_sample domain bound exceeded for source "
+            f"{row.source!r}: budget * w_num = {budget_tokens * num} "
+            f"> 2^43 — split the source or scale the weight down"
+        )
         w_rows.append((row.source, num, den))
     w_df = spark.createDataFrame(
         w_rows, "source string, w_num long, w_den long"

@@ -212,7 +212,13 @@ def _cc_loop(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+    # Do NOT unpersist edges here: it is a lineage-CUT frame
+    # (localCheckpoint/checkpoint at entry), so its cached blocks are the
+    # ONLY source of its data — releasing them while the returned labels
+    # frame is still lazy would make any eviction-triggered recompute of
+    # a downstream consumer fail (the classic localCheckpoint+unpersist
+    # footgun). The blocks are reclaimed by the ContextCleaner when the
+    # frame goes out of scope.
     if not converged:
         msg = (
             f"connected_components did not converge within max_iter="

@@ -70,7 +70,14 @@ def write_wds_shards(
 
     ``member_cols`` maps extension → column; string columns are UTF-8
     encoded, binary columns pass through. Returns a lazy manifest frame
-    (file, n_samples) — collect it as the staging barrier."""
+    (file, n_samples) — collect it as the staging barrier.
+
+    Memory contract: a partition's samples are buffered while its shard
+    is assembled (the sort that makes shards byte-deterministic needs
+    the full member list), so size upstream partitions to the intended
+    shard size — the WebDataset operational model is ~1 GB shards, and
+    ``df.repartition(total_bytes // SHARD_BYTES, key)`` is the caller's
+    lever, exactly as for the WET/WAT/CDX sinks."""
     member_cols = member_cols or {"txt": "txt"}
     os.makedirs(out_dir, exist_ok=True)
     exts = sorted(member_cols)
