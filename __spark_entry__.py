@@ -824,7 +824,10 @@ from documents order by doc_id
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: the shingle projection otherwise runs in the ONE task of
+    # the single-file scan (values partitioning-independent, fully ordered)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.2).orderBy("id_a", "id_b")
 
 
@@ -876,14 +879,25 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(exc)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition: the shingle projection otherwise runs in the TWO tasks
+    # of the single-file scan branches (values partitioning-independent)
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(exc)
+        .repartition(n_parts, "doc_id")
+    )
+    # staged projections (tokenize once → shingle once) — the inline form
+    # re-tokenized the text for both the size() and slice() references
+    toks = f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)"
+    sh3 = (
+        "array_distinct(transform(sequence(1, greatest(size(__c_toks) - 2,"
+        " 0)), i -> array_join(slice(__c_toks, i, 3), ' ')))"
+    )
     shingled = D._persist(
-        corpus.select(
-            "doc_id",
-            F.expr(f"array_distinct({H.shingles_spark('text', 3)})").alias(
-                "sh"
-            ),
-        ).filter(F.size("sh") > 0)
+        corpus.select("doc_id", F.expr(toks).alias("__c_toks"))
+        .select("doc_id", F.expr(sh3).alias("sh"))
+        .filter(F.size("sh") > 0)
     )
     posts = D._persist(
         shingled.select("doc_id", F.explode("sh").alias("shingle"))
@@ -2056,12 +2070,17 @@ order by region, nation
 # baselines property-wise) -------------------------------------------------
 
 def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # single-parquet-file testdata runs the signature codegen in ONE task
+    # without the repartition (the same trap as q_canonical_docs); values
+    # are partitioning-independent and the result is fully ordered
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     return D.minhash_lsh_candidates_fast(docs, shingle_n=3).orderBy("id_a", "id_b")
 
 
 def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     return D.simhash_fast(docs).orderBy("doc_id")
 
 
@@ -2609,13 +2628,20 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup-module discipline) — the expensive array_distinct(shingles)
     projection runs ONCE, not once per consumer."""
     docs = _t(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition: the shingle projection otherwise runs in the ONE task of
+    # the single-file scan; staged tokenize-once projection (values
+    # identical — same expressions, evaluated once)
+    toks = f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)"
+    sh5 = (
+        "array_distinct(transform(sequence(1, greatest(size(__p_toks) - 4,"
+        " 0)), i -> array_join(slice(__p_toks, i, 5), ' ')))"
+    )
     shingled = D._persist(
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"array_distinct({H.shingles_spark('text', 5)})")
-            ).alias("s"),
-        )
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", F.expr(toks).alias("__p_toks"))
+        .select("doc_id", F.explode(F.expr(sh5)).alias("s"))
     )
     dfreq = shingled.groupBy("s").agg(F.count("*").alias("d"))
     dup_counts = (

