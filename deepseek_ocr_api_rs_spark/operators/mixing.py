@@ -54,51 +54,70 @@ def mixture_sample(
     id_col: str = "doc_id",
     source_col: str = "source",
     text_col: str = "text",
+    tokens_col: str | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """One row per document: (doc_id, source, n_tokens, rate_fp,
     n_copies) where n_copies ∈ {0, 1, 2, …} is the deterministic
     sample multiplicity under the budget. ``weights`` maps source →
     (num, den) mixture weight; omitted sources (and the default) get
-    equal weight 1/n_sources."""
+    equal weight 1/n_sources.
+
+    ``tokens_col`` names an already-computed per-doc token count (skips
+    the ``token_count(text_col)`` projection — callers that counted
+    tokens upstream, e.g. the corpus build, avoid re-tokenizing).
+    ``ordered=False`` skips the final corpus-wide orderBy for callers
+    that re-shuffle the output anyway (a window or join follows).
+
+    The per-source aggregation is collected ONCE (≤ n_sources rows) and
+    the finished integer rates are computed driver-side, then broadcast
+    back — one corpus pass for the totals, one for the tagging join
+    (the previous layout evaluated the totals three times at plan
+    build: count(), collect(), and again inside the rates join)."""
     spark = docs.sparkSession
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        token_count(text_col).alias("n_tokens"),
+        (
+            F.col(tokens_col).cast("long")
+            if tokens_col is not None
+            else token_count(text_col)
+        ).alias("n_tokens"),
     )
-    totals = base.groupBy("source").agg(
+    totals_rows = base.groupBy("source").agg(
         F.sum("n_tokens").alias("t_s")
-    )
-    n_sources = totals.count()  # bounded driver read: one int
+    ).collect()  # bounded driver read: one row per source
+    n_sources = len(totals_rows)
     if weights is None:
         weights = {}
-    w_rows = []
-    for row in totals.select("source").collect():  # ≤ n_sources rows
+    rate_rows = []
+    for row in totals_rows:
         num, den = weights.get(row.source, (1, n_sources))
         # the documented bigint domain bound: q_s * FRAC must stay
-        # below 2^63, i.e. per-source targets ≤ ~8.8e12 tokens
-        assert budget_tokens * num <= 1 << 43, (
+        # STRICTLY below 2^63, i.e. per-source targets ≤ ~8.8e12 tokens
+        assert budget_tokens * num < 1 << 43, (
             f"mixture_sample domain bound exceeded for source "
             f"{row.source!r}: budget * w_num = {budget_tokens * num} "
-            f"> 2^43 — split the source or scale the weight down"
+            f">= 2^43 — split the source or scale the weight down"
         )
-        w_rows.append((row.source, num, den))
-    w_df = spark.createDataFrame(
-        w_rows, "source string, w_num long, w_den long"
+        q_s = (budget_tokens * num) // den  # nonneg: // == DIV
+        t_s = row.t_s
+        rate_fp = (
+            None if t_s is None else (0 if t_s == 0 else (q_s * FRAC) // t_s)
+        )
+        rate_rows.append((row.source, rate_fp))
+    rates = spark.createDataFrame(
+        rate_rows, "source string, rate_fp long"
     )
-    rates = (
-        totals.join(F.broadcast(w_df), "source")
-        .withColumn(
-            "q_s", F.expr(f"({budget_tokens}L * w_num) DIV w_den")
-        )
-        .withColumn(
-            "rate_fp",
-            F.expr(f"if(t_s = 0, 0L, (q_s * {FRAC}) DIV t_s)"),
-        )
-        .select("source", "rate_fp")
-    )
-    draw = f"((({MIX_A}L * doc_id + {MIX_C}) % {P}) % {FRAC})"
-    return (
+    # doc_id is reduced mod P BEFORE the multiply: mathematically identical
+    # for every nonnegative doc_id ((a·x + c) mod P == (a·(x mod P) + c)
+    # mod P), but keeps the intermediate below 2^61 so the draw is exact
+    # for doc_id ≥ 2^33 too (the raw product overflows int64 at doc_id
+    # ≳ 8.4e9 and Spark would wrap silently). The DuckDB oracle keeps the
+    # raw form: it raises loudly on overflow rather than wrapping, so the
+    # engines can never silently disagree.
+    draw = f"((({MIX_A}L * (doc_id % {P}) + {MIX_C}) % {P}) % {FRAC})"
+    out = (
         base.join(F.broadcast(rates), "source")
         .withColumn(
             "n_copies",
@@ -108,8 +127,8 @@ def mixture_sample(
             ),
         )
         .select("doc_id", "source", "n_tokens", "rate_fp", "n_copies")
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def mixture_sample_sql(

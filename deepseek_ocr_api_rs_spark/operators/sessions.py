@@ -166,6 +166,7 @@ def _cc_loop(
     import logging
 
     converged = False
+    mat = labels  # the materialized frame backing ``labels`` (unpersist target)
     for it in range(max_iter):
         # (1) candidate labels flowing across edges
         prop = (
@@ -174,41 +175,47 @@ def _cc_loop(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # the pre-round label rides along as ``old`` so the convergence
+        # probe below is a FILTER on the materialized round frame instead
+        # of a join back against the previous labels (one fewer shuffle
+        # per round)
         propagated = (
             labels.select("id", F.col("component").alias("old"))
             .join(prop.select("id", F.col("component").alias("new")), "id", "left")
             .select(
                 "id",
+                "old",
                 F.least(F.col("old"), F.coalesce(F.col("new"), F.col("old"))).alias(
-                    "component"
+                    "mid"
                 ),
             )
         )
         # (2) pointer jumping: component ← label(component). Labels only
         # decrease, so the grandparent label is always ≤ the parent label.
         parents = propagated.select(
-            F.col("id").alias("component"), F.col("component").alias("gp")
+            F.col("id").alias("mid"), F.col("mid").alias("gp")
         )
-        new_labels = (
-            propagated.join(parents, "component", "left")
-            .select("id", F.coalesce("gp", "component").alias("component"))
+        new_round = (
+            propagated.join(parents, "mid", "left")
+            .select(
+                "id", "old", F.coalesce("gp", "mid").alias("component")
+            )
         )
         if (it + 1) % checkpoint_every == 0:
             if checkpoint_dir is not None:
-                new_labels = new_labels.checkpoint(eager=True)
+                new_round = new_round.checkpoint(eager=True)
             else:
-                new_labels = new_labels.localCheckpoint(eager=True)
+                new_round = new_round.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
+            new_round = new_round.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_round.filter(F.col("component") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        mat.unpersist()
+        mat = new_round
+        labels = new_round.select("id", "component")
         if changed == 0:
             converged = True
             break

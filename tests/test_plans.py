@@ -435,3 +435,43 @@ def test_quantile_sketch_uses_take_ordered(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, plan[:2000]
+
+
+def test_corpus_build_text_never_shuffles_after_gate(spark):
+    """The r8 verdict's one perf-weak finding, fixed and held by plan
+    shape: q_corpus_build's exact-dedup stage groups and joins on
+    md5(text) digests, so the only Exchange whose row payload includes
+    the text column is the pre-gate doc_id parallelism repartition (plus
+    its ReusedExchange twin from the union branch). Every dedup/mixture/
+    packing exchange moves (doc_id, source, digest, n_tokens) only."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = entrymod.queries()["q_corpus_build"](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    # formatted explain: numbered operator blocks with Input/Arguments
+    blocks = formatted.split("\n\n")
+    text_exchanges = []
+    n_exchanges = 0
+    for b in blocks:
+        header = b.strip().splitlines()[0] if b.strip() else ""
+        if ") Exchange" not in header:
+            continue
+        n_exchanges += 1
+        if "text#" in b:
+            text_exchanges.append(b)
+    assert n_exchanges >= 3, formatted[:3000]  # dedup agg/join/window live
+    for b in text_exchanges:
+        # only the pre-gate doc_id parallelism repartition may carry text
+        # (it shows once per union branch and per cached-plan reference);
+        # REPARTITION_BY_NUM marks the explicit pre-gate exchange — the
+        # dedup groupBy/join and mixture/packing exchanges are
+        # ENSURE_REQUIREMENTS and must never carry text
+        assert "hashpartitioning(doc_id#" in b, b
+        assert "REPARTITION_BY_NUM" in b, b
+    from deepseek_ocr_api_rs_spark.operators.dedup import release_persisted
+
+    release_persisted()
