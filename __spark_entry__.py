@@ -37,6 +37,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fanout_parts(spark: SparkSession) -> int:
+    """Partition count for the EXPLICIT pre-stage repartitions below: one
+    wave per available core (defaultParallelism — executors × cores on a
+    cluster, N on local[N]). The session's shuffle_partitions default
+    (cores × 4 in the bench harness) buys straggler waves for JVM shuffle
+    stages, where AQE coalescing absorbs the empty tail — but an explicit
+    repartition(n) is EXEMPT from AQE coalescing, every Arrow task adds
+    ~5 ms of fixed Python-worker round-trip, and the per-doc work these
+    fan-outs feed is uniform by construction, so extra waves only
+    multiply the fixed overhead (measured: an identity mapInPandas over
+    the same rows costs 0.42 s at 32 parts vs 0.97 s at 128)."""
+    return spark.sparkContext.defaultParallelism
+
+
 def _staging_dir(prefix: str) -> str:
     """mkdtemp + atexit rmtree (ADVICE r5: staging queries leaked their
     parquet/manifest dirs into the system temp dir on every gate run).
@@ -601,7 +615,7 @@ def q_pdf_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepseek_ocr_api_rs_spark.operators.extract import extract_documents
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.trim("text") != "")
@@ -826,7 +840,7 @@ from documents order by doc_id
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: the shingle projection otherwise runs in the ONE task of
     # the single-file scan (values partitioning-independent, fully ordered)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.2).orderBy("id_a", "id_b")
 
@@ -879,7 +893,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     # repartition: the shingle projection otherwise runs in the TWO tasks
     # of the single-file scan branches (values partitioning-independent)
     corpus = (
@@ -1119,7 +1133,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by q_minhash_lsh_fast's pytest recall/exactness tier."""
     from deepseek_ocr_api_rs_spark.operators.sessions import connected_components
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     # single-parquet-file testdata runs the heavy signature codegen in ONE
     # task without this (the repartition trap bites pure-JVM stages too)
     docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
@@ -1165,7 +1179,7 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     # single-parquet-file testdata runs the heavy signature codegen in ONE
     # task without this (the repartition trap bites pure-JVM stages too:
     # 36 s -> 8 s for the LSH pass at sf0.1)
@@ -1247,7 +1261,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = F.col("doc_id")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     # single-file testdata → repartition before the heavy stages (the
     # same trap as q_canonical_docs; 36 s -> 8 s for the LSH pass)
     docs = (
@@ -2073,13 +2087,13 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-parquet-file testdata runs the signature codegen in ONE task
     # without the repartition (the same trap as q_canonical_docs); values
     # are partitioning-independent and the result is fully ordered
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     return D.minhash_lsh_candidates_fast(docs, shingle_n=3).orderBy("id_a", "id_b")
 
 
 def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     return D.simhash_fast(docs).orderBy("doc_id")
 
@@ -2131,7 +2145,7 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     d = F.col("doc_id")
     docs0 = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
     # republished copies (every 9th doc under id+300000) exercise the
@@ -2304,7 +2318,7 @@ def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_shipped(spark)
     out = _staging_dir("wds_export_")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     staged = (
         _t(spark, sf_dir, "documents")
         .repartition(n_parts, "doc_id")
@@ -2648,7 +2662,7 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup-module discipline) — the expensive array_distinct(shingles)
     projection runs ONCE, not once per consumer."""
     docs = _t(spark, sf_dir, "documents")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     # repartition: the shingle projection otherwise runs in the ONE task of
     # the single-file scan; staged tokenize-once projection (values
     # identical — same expressions, evaluated once)
@@ -3310,7 +3324,7 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -3332,6 +3346,36 @@ from documents order by doc_id
 """
 
 
+def _dim_keyed_payloads(
+    docs: DataFrame, synthesize, period: int
+) -> DataFrame:
+    """Fixture-synthesis dedup (guide §8 'compute on small rows, attach by
+    broadcast'): the synthesizer derives every payload byte from doc_id
+    through moduli that all divide ``period``, so payload(d) ==
+    payload(d mod period) by construction. Synthesize ONCE per distinct
+    residue (≤ period small rows, spread over the cluster) and
+    broadcast-join the payload table back onto the corpus. Values are
+    identical to per-doc synthesis; what disappears is the redundant
+    encode work — every Python worker previously re-built (or re-warmed
+    an lru_cache with) payloads its neighbours had already built, and at
+    N docs ≫ period that cost dominated the measured decode stage. The
+    decode/parse stage stays per-doc and map-only after the join."""
+    n_parts = _fanout_parts(docs.sparkSession)
+    keys = (
+        docs.select(F.pmod(F.col("doc_id"), F.lit(period)).alias("doc_id"))
+        .distinct()
+        .repartition(min(n_parts, period))
+    )
+    payloads = synthesize(keys).withColumnRenamed("doc_id", "__k")
+    return (
+        docs.select(
+            "doc_id", F.pmod(F.col("doc_id"), F.lit(period)).alias("__k")
+        )
+        .join(F.broadcast(payloads), "__k")
+        .select("doc_id", "payload")
+    )
+
+
 def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel path (P1/P2, vision/resample.rs): doc_id-seeded gradient
     PNGs → full raster decode (zlib inflate + scanline unfilter) → the
@@ -3346,13 +3390,19 @@ def q_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     # single-parquet-file input → spread the synth+decode+resize pipeline
     # (embarrassingly parallel) instead of running it in ONE task
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
-    out = resize_png_payloads(synthesize_gradient_pngs(docs), max_side=32)
+    # payload bytes are a pure function of doc_id mod 768 (dims d%64/d%48,
+    # pixel seeds d%256, dialect d%4 — lcm 768): synthesize each residue
+    # once and broadcast back instead of 5000 per-doc PNG encodes
+    out = resize_png_payloads(
+        _dim_keyed_payloads(docs, synthesize_gradient_pngs, 768),
+        max_side=32,
+    )
     return out.select(
         "doc_id",
         "width",
@@ -3387,7 +3437,7 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_shipped(spark)
     warc_dir = _staging_dir("warc_ingest_")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -3492,7 +3542,7 @@ def q_warc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_shipped(spark)
     warc_dir = _staging_dir("warc_lookup_")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -3578,7 +3628,7 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -3637,7 +3687,7 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -3681,7 +3731,7 @@ def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -3756,7 +3806,7 @@ def q_pdf_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -3986,7 +4036,7 @@ def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     purl = lambda expr: F.concat(  # noqa: E731
         F.lit("https://crawl.example.org/p/"), expr.cast("string")
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     pages = (
         _t(spark, sf_dir, "documents")
         .select("doc_id")
@@ -4077,7 +4127,7 @@ def q_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -4178,7 +4228,7 @@ def q_pdf_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -4525,7 +4575,7 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     out = _staging_dir("wet_export_")
     d = F.col("doc_id")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     rows = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -4591,7 +4641,7 @@ def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _staging_dir("wat_export_")
     d = F.col("doc_id")
     ds = d.cast("string")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     base = F.concat(
         F.lit("https://site"), (d % 5).cast("string"),
         F.lit(".example.org/a/b/"), ds, F.lit(".html"),
@@ -5481,7 +5531,7 @@ def q_cdx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _staging_dir("cdx_export_")
     d = F.col("doc_id")
     ds = d.cast("string")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     url = (
         F.when(
             d % 3 == 0,
@@ -5583,7 +5633,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -5609,7 +5659,7 @@ def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -5657,11 +5707,15 @@ def q_video_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
-    return sample_mp4_frames(synthesize_jpeg_mp4s(docs), every_k=3).orderBy(
+    # clip bytes are a pure function of doc_id mod 240 (dims d%48+16,
+    # d%40+16 — lcm 240): synthesize each residue once and broadcast back;
+    # the §8.7.4 sample walk + budgeted JPEG decode stays per-doc
+    clips = _dim_keyed_payloads(docs, synthesize_jpeg_mp4s, 240)
+    return sample_mp4_frames(clips, every_k=3).orderBy(
         "doc_id", "frame_idx"
     )
 
@@ -5683,7 +5737,7 @@ def q_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -5712,7 +5766,7 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -5735,7 +5789,7 @@ def q_favicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -5762,11 +5816,17 @@ def q_jpeg_progressive_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
-    out = resize_png_payloads(synthesize_progressive_jpegs(docs), max_side=24)
+    # payload bytes are a pure function of doc_id mod 192 (dims d%64+16,
+    # d%48+16 — lcm 192): synthesize each residue once and broadcast back;
+    # the multi-scan decode + resize stays per-doc
+    out = resize_png_payloads(
+        _dim_keyed_payloads(docs, synthesize_progressive_jpegs, 192),
+        max_side=24,
+    )
     return out.select(
         "doc_id",
         "width",
@@ -5790,7 +5850,7 @@ def q_grounding_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -6058,7 +6118,7 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )
@@ -6091,7 +6151,7 @@ def q_audio_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _fanout_parts(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
         n_parts, "doc_id"
     )

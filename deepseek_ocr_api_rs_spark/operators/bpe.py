@@ -130,8 +130,16 @@ def _bpe_learn_loop(
         F.col(freq_col).cast("long").alias("freq"),
         _char_toks(word_col).alias("toks"),
     ).persist()
-    w.count()  # materialize the round-0 frame before iterating
     merges: list[tuple[int, str, str, int]] = []
+    # Each round's arg-max job is ALSO the materialization barrier for the
+    # current word frame (persist marks are honored mid-action): the old
+    # explicit count() per round doubled the job count for no extra
+    # safety. The parent frame is released one round LATE (after the
+    # arg-max that consumed its cached child has run), so no frame is
+    # ever dropped while still the only source of an unmaterialized
+    # persist. Plan depth stays O(1): the cache manager substitutes the
+    # parent's InMemoryRelation into each new round's plan.
+    parent: DataFrame | None = None
     try:
         for rank in range(1, n_merges + 1):
             best = (
@@ -142,6 +150,9 @@ def _bpe_learn_loop(
                 .limit(1)
                 .collect()
             )
+            if parent is not None:
+                parent.unpersist()
+                parent = None
             if not best:
                 break
             l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
@@ -149,10 +160,11 @@ def _bpe_learn_loop(
             if rank == n_merges:
                 break
             w_next = _apply_merge(w, l, r).persist()
-            w_next.count()  # materialize BEFORE unpersisting the prior
-            w.unpersist()
+            parent = w
             w = w_next
     finally:
+        if parent is not None:
+            parent.unpersist()
         w.unpersist()
     return merges
 

@@ -100,11 +100,20 @@ def _hits_loop(
     n_iter: int,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    nodes = (
+    from deepseek_ocr_api_rs_spark.operators.dedup import _persist
+
+    # NOTE (r9): the redirects/BPE "stay lazy, one terminal action" trick
+    # does NOT transfer here — each HITS iteration embeds TWO broadcast
+    # max-normalizers, and a lazy 8-iteration chain nests 16 broadcast
+    # builds inside one action (each build recomputing the chain below
+    # it on the broadcast-exchange thread pool): observed as a hang, the
+    # classic nested-broadcast deadlock. The per-iteration eager cut
+    # stays; ``nodes`` is now registered for end-of-action release
+    # (previously a persist leak).
+    nodes = _persist(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     scores = nodes.select(
         "node",

@@ -68,25 +68,31 @@ def resolve_redirects(
     row per url — dedupe upstream); the walk follows the functional
     graph url → location.
     """
+    from deepseek_ocr_api_rs_spark.operators.dedup import _persist
+
     u, st, loc = F.col(url), F.col(status), F.col(location)
     redirect = _is_redirect(st, loc)
-    base = pages.select(
-        u.alias("url"),
-        st.alias("_status"),
-        F.when(redirect, loc).alias("_next"),
-    ).persist()
+    base = _persist(
+        pages.select(
+            u.alias("url"),
+            st.alias("_status"),
+            F.when(redirect, loc).alias("_next"),
+        )
+    )
 
     # one explicit first hop: cur ← next(url); done when url itself is
     # terminal. Whether cur is terminal/external is discovered by the
     # jump joins (a cur with no state row left the crawl).
-    state = base.select(
-        "url",
-        F.coalesce("_next", F.col("url")).alias("cur"),
-        F.when(F.col("_next").isNull(), F.lit(0)).otherwise(F.lit(1))
-        .cast("long")
-        .alias("hops"),
-        F.col("_next").isNull().alias("done"),
-    ).persist()
+    state = _persist(
+        base.select(
+            "url",
+            F.coalesce("_next", F.col("url")).alias("cur"),
+            F.when(F.col("_next").isNull(), F.lit(0)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("hops"),
+            F.col("_next").isNull().alias("done"),
+        )
+    )
 
     # jump table: what following a url's own chain yields so far.
     # done-ness propagates backward from the terminal one round late
@@ -99,7 +105,7 @@ def resolve_redirects(
             F.col("hops").alias("_jhops"),
             F.col("done").alias("_jdone"),
         )
-        new_state = (
+        new_state = _persist(
             state.join(jump, "cur", "left")
             .select(
                 "url",
@@ -119,14 +125,20 @@ def resolve_redirects(
                     | F.col("_jdone")
                 ).alias("done"),
             )
-            .persist()
         )
-        # materialize THIS round before dropping the previous one —
-        # an unpersist before any action would discard the only cache
-        # marker and re-expand the lazy self-join tree exponentially
-        # (the same loop-state discipline as connected_components)
-        new_state.count()
-        state.unpersist()
+        # NO per-round action: the round count is FIXED (no convergence
+        # probe), so the whole doubling chain stays LAZY — the caller's
+        # terminal action computes each persisted round exactly once,
+        # caching it for the next round's two references as it goes.
+        # Each round's plan references the previous round twice, so the
+        # analyzed tree is 2^rounds × the (small) base plan — 32× for the
+        # 16-hop cap, far below the analyzer hazard that forces eager
+        # cuts in the UNBOUNDED loops (connected_components). Replacing
+        # the old materialize-then-unpersist round barrier (one count job
+        # per round) with end-of-action release is the job-count win.
+        # Persists are registered in the dedup module's release registry;
+        # long-lived sessions call release_persisted() after the
+        # terminal action (bench/gate/pytest already do).
         state = new_state
 
     # classify: rejoin terminals to the page table for status/membership

@@ -604,30 +604,35 @@ def delete_where(
     untouched = [f for f in rels if f not in cand_set]
     if not candidates:
         return base_version
+    from pyspark.sql import Observation
+
     src = _table_reader(spark, base).parquet(
         *(os.path.join(table_dir, f) for f in candidates)
     )
-    n_cand = src.count()
     stamp = uuid.uuid4().hex
     rel_dir = os.path.join("data", stamp)
     out = os.path.join(table_dir, rel_dir)
+    # ONE job: candidate and survivor counts ride the rewrite itself as
+    # Observation metrics (computed by the very job that writes the
+    # files) instead of a pre-count pass plus a read-back count pass —
+    # three scans of the candidate set become one.
+    obs_cand, obs_kept = Observation(), Observation()
     # SQL DELETE semantics: only rows where the predicate is TRUE are
     # deleted — a NULL predicate keeps the row (three-valued logic;
     # plain NOT(pred) silently dropped NULL rows, code-review r6)
-    src.filter(f"NOT coalesce(({predicate}), false)").write.mode(
-        "error"
-    ).parquet(out)
+    (
+        src.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+        .filter(f"NOT coalesce(({predicate}), false)")
+        .observe(obs_kept, F.count(F.lit(1)).alias("n"))
+        .write.mode("error")
+        .parquet(out)
+    )
+    n_cand = obs_cand.get["n"]
+    n_kept = obs_kept.get["n"]
     new_files = sorted(
         os.path.join(rel_dir, name)
         for name in os.listdir(out)
         if name.endswith(".parquet")
-    )
-    n_kept = (
-        spark.read.parquet(
-            *(os.path.join(table_dir, f) for f in new_files)
-        ).count()
-        if new_files
-        else 0
     )
     n_deleted = n_cand - n_kept
     if n_deleted == 0:
@@ -681,14 +686,21 @@ def delete_keys(
     stamp = uuid.uuid4().hex
     rel = os.path.join("deletes", f"{stamp}.parquet")
     out = os.path.join(table_dir, rel)
-    kdf = keys.select(key_col).distinct().persist()
-    try:
-        n_keys = kdf.count()
-        if n_keys == 0:
-            return base_version
-        kdf.coalesce(1).write.mode("error").parquet(out)
-    finally:
-        kdf.unpersist()
+    from pyspark.sql import Observation
+
+    # the key count rides the delete-file write as an Observation metric
+    # (one job instead of count-then-write over a persisted frame); a
+    # zero-key batch leaves the freshly-written empty file as an
+    # invisible orphan — never manifested, same discipline as
+    # delete_where's no-match path
+    obs = Observation()
+    kdf = keys.select(key_col).distinct().observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    kdf.coalesce(1).write.mode("error").parquet(out)
+    n_keys = obs.get["n"]
+    if n_keys == 0:
+        return base_version
     # carry the stream-epoch marker UNLESS the caller supplies its own
     # marker policy (the CDC sink deliberately withholds it mid-epoch):
     # without the carry, a manual delete_keys on a stream table followed
@@ -846,12 +858,15 @@ def merge_into(
         )
     upd = updates.persist()
     try:
-        n_upd = upd.count()
+        # one pass over the (persisted) updates for count AND key bounds
+        bounds = upd.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+        ).first()
+        n_upd = bounds.n
         if n_upd == 0:
             return base_version
-        bounds = upd.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-        ).first()
         candidates = (
             _prune_files(rels, stats, (key_col, bounds.lo, bounds.hi))
             if rels
@@ -867,20 +882,26 @@ def merge_into(
             # schema, latest-writer-wins): a column the updates add is
             # NULL-filled in pre-evolution files instead of breaking the
             # select below (code-review r6)
+            from pyspark.sql import Observation
+
             src = spark.read.schema(upd.schema).parquet(
                 *(os.path.join(table_dir, f) for f in candidates)
             )
-            n_cand = src.count()
+            # candidate and survivor counts ride the rewrite job as
+            # Observation metrics — the old pre-count + read-back-count
+            # pattern scanned the candidates three times (same change as
+            # delete_where)
+            obs_cand, obs_kept = Observation(), Observation()
             # no broadcast hint: small update sets broadcast via AQE on
             # their own; a bulk upsert's key frame may exceed the limit
             # and must be allowed to shuffle
-            kept = src.join(upd.select(key_col), key_col, "left_anti")
-            kept.select(*upd.columns).unionByName(upd).write.mode(
-                "error"
-            ).parquet(out)
-            n_matched = n_cand - (
-                spark.read.parquet(out).count() - n_upd
-            )
+            kept = src.observe(
+                obs_cand, F.count(F.lit(1)).alias("n")
+            ).join(upd.select(key_col), key_col, "left_anti")
+            kept.observe(obs_kept, F.count(F.lit(1)).alias("n")).select(
+                *upd.columns
+            ).unionByName(upd).write.mode("error").parquet(out)
+            n_matched = obs_cand.get["n"] - obs_kept.get["n"]
         else:
             upd.write.mode("error").parquet(out)
             n_matched = 0
