@@ -901,17 +901,35 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(exc)
         .repartition(n_parts, "doc_id")
     )
-    # staged projections (tokenize once → shingle once) — the inline form
-    # re-tokenized the text for both the size() and slice() references
-    toks = f"regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0)"
-    sh3 = (
-        "array_distinct(transform(sequence(1, greatest(size(__c_toks) - 2,"
-        " 0)), i -> array_join(slice(__c_toks, i, 3), ' ')))"
+    # staged projections (tokenize once → shingle once), with shingle
+    # IDENTITY as the 64-bit rotate-xor combine of per-token xxhash64
+    # (the ngram_jaccard_pairs scheme): postings shuffle and self-join
+    # 8-byte ints instead of ~n-word strings, and the string shingles are
+    # never materialized at all. Counts (n_inter, n_sh) are unchanged
+    # unless two distinct shingles collide in 64 bits (P ≈ n²/2⁶⁵ —
+    # negligible, and the driver's oracle hash would catch it loudly);
+    # the DuckDB oracle keeps literal string shingles and stays equal.
+    def _rot(expr: str, r: int) -> str:
+        return f"(shiftleft({expr}, {r}) | shiftrightunsigned({expr}, {64 - r}))"
+
+    toks = f"transform(regexp_extract_all(lower(text), '{H.TOKEN_REGEX}', 0), w -> xxhash64(w))"
+    combine = " ^ ".join(
+        _rot(f"element_at(__c_hs, i + {j})", (7 * (3 - j)) % 63 + 1)
+        for j in range(3)
     )
+    sh3 = (
+        "array_distinct(transform(sequence(1, greatest(size(__c_hs) - 2,"
+        f" 0)), i -> ({combine})))"
+    )
+    # the row filter lives on the FIRST stage (size(token_hashes) >= 3 ⟺
+    # at least one 3-shingle exists ⟺ the old size(sh) > 0): a filter
+    # ABOVE the shingle projection is alias-substituted through it by
+    # PushDownPredicates, re-inlining the whole 7-reference combine into
+    # the predicate (measured 18 s vs 0.5 s for the projection itself)
     shingled = D._persist(
-        corpus.select("doc_id", F.expr(toks).alias("__c_toks"))
+        corpus.select("doc_id", F.expr(toks).alias("__c_hs"))
+        .filter(F.size("__c_hs") >= 3)
         .select("doc_id", F.expr(sh3).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
     posts = D._persist(
         shingled.select("doc_id", F.explode("sh").alias("shingle"))
@@ -1272,9 +1290,16 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = docs.filter(d % 10 == 0).select(
         (d + 200000).alias("doc_id"), "text"
     )
-    corpus = D._persist(docs.unionByName(rep))
-    keepers = corpus.groupBy("text").agg(F.min("doc_id").alias("keeper"))
-    tagged = D._persist(corpus.join(keepers, "text"))
+    # exact dedup keyed on md5(text) (identical grouping to raw text —
+    # see q_corpus_build): the keeper agg shuffles 16-byte digests and
+    # the tagging join compares digests instead of whole documents; text
+    # rides the join once as payload (it IS needed downstream here — the
+    # LSH shingling and quality scoring read it)
+    corpus = D._persist(
+        docs.unionByName(rep).withColumn("__fp", F.md5("text"))
+    )
+    keepers = corpus.groupBy("__fp").agg(F.min("doc_id").alias("keeper"))
+    tagged = D._persist(corpus.join(keepers, "__fp"))
     kept = tagged.filter(F.col("doc_id") == F.col("keeper")).select(
         "doc_id", "text"
     )
@@ -1569,16 +1594,23 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamps and a fixed 8-char window — the boundary rule stays a pure
     per-position predicate both engines evaluate identically."""
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" "),
-            F.expr(
-                "repeat(concat('footer host', cast(doc_id % 7 as string),"
-                " ' promo deal '), 12)"
-            ),
-        ).alias("page"),
+    # repartition: the O(len·W) per-position window hashing otherwise
+    # runs in the ONE task of the single-file scan
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(_fanout_parts(spark), "doc_id")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.expr(
+                    "repeat(concat('footer host', cast(doc_id % 7 as string),"
+                    " ' promo deal '), 12)"
+                ),
+            ).alias("page"),
+        )
     )
     terms = _cdc_hash_terms("cps", "i", "spark")
     bpos = (
@@ -1854,7 +1886,13 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional index evaluates phrases: three tiny lists, never the
     corpus. The postings frame feeds three legs and is persisted once.
     Overlapping matches all count (both engines agree)."""
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: the postings/shingle explodes otherwise run in the ONE
+    # task of the single-file scan
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(_fanout_parts(spark), "doc_id")
+    )
     posts = D._persist(
         docs.select(
             "doc_id",
@@ -2889,7 +2927,13 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts —
     the compression the learned merges buy. Oracle: the same CTE chain
     extended to the final word table, joined in SQL."""
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: the word explode otherwise runs in the ONE task of the
+    # single-file scan
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(_fanout_parts(spark), "doc_id")
+    )
     doc_words = D._persist(
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -2943,10 +2987,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text in original line order. The exploded frame feeds three
     consumers, so it is persisted once."""
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(F.lit("site"), (d % 7).cast("string")).alias("host"),
-        F.split("text", " ").alias("ws"),
+    # repartition: the chunk/line synthesis otherwise runs in the ONE
+    # task of the single-file scan
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(_fanout_parts(spark), "doc_id")
+        .select(
+            "doc_id",
+            F.concat(F.lit("site"), (d % 7).cast("string")).alias("host"),
+            F.split("text", " ").alias("ws"),
+        )
     )
     chunks = [
         F.array_join(

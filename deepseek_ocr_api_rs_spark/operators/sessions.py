@@ -142,10 +142,17 @@ def connected_components(
         if checkpoint_dir is not None
         else edges.localCheckpoint(eager=True)
     )
+    # Initialize each label to min(id, min neighbor) instead of id: the
+    # same one-aggregation cost as the old distinct-ids init (edges carry
+    # both directions, so every node appears as src), but it pre-applies
+    # what round 1's propagation would compute — star/clique-shaped dup
+    # clusters (the LSH norm) then converge a full round earlier. Any
+    # init that is a ≥-component upper bound reached by propagation
+    # yields the identical fixpoint.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("component"))
         .persist()
     )
     with scoped_shuffle_partitions(pairs.sparkSession, shuffle_partitions):
