@@ -102,11 +102,38 @@ def write_wds_shards(
             yield pd.DataFrame({"file": [], "n_samples": []})
             return
         rows.sort(key=lambda kv: kv[0])
+        # USTAR caps member names at 100 chars — validate up front with
+        # the contract in the message instead of an opaque tarfile error
+        # mid-archive (ADVICE r8)
+        for key, members in rows:
+            for ext, _ in members:
+                if len(key) + 1 + len(ext) > 100:
+                    raise ValueError(
+                        f"webdataset member name {key!r}.{ext} exceeds the "
+                        "USTAR 100-char limit — shorten the key column"
+                    )
         name = f"shard-{rows[0][0]}.tar"
+        data = _tar_bytes(rows)
+        target = os.path.join(out_dir, name)
+        # min-key collision guard (ADVICE r8): the repartition-by-key
+        # contract means one partition per min key; if another partition
+        # already produced this shard NAME with different bytes, raising
+        # beats silently clobbering it. Identical bytes = our own retried
+        # attempt (or a deterministic re-run) — the replace stays
+        # idempotent for task retries.
+        if os.path.exists(target):
+            with open(target, "rb") as fh:
+                if fh.read() != data:
+                    raise RuntimeError(
+                        f"webdataset shard-name collision on {name}: two "
+                        "partitions share the same min key — repartition "
+                        "the input by the key column (one partition per "
+                        "shard) before write_wds_shards"
+                    )
         tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "wb") as f:
-            f.write(_tar_bytes(rows))
-        os.replace(tmp, os.path.join(out_dir, name))
+            f.write(data)
+        os.replace(tmp, target)
         yield pd.DataFrame({"file": [name], "n_samples": [len(rows)]})
 
     return df.mapInPandas(sink, schema="file string, n_samples long")

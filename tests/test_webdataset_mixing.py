@@ -143,3 +143,32 @@ def test_new_operator_plan_shapes(spark):
     rd = read_wds_shards(spark, d)
     p3 = physical_plan(rd)
     assert "Exchange" not in p3  # shards ARE the partitions; map-only read
+
+
+def test_wds_shard_name_collision_and_key_length_guards(spark, tmp_path):
+    """ADVICE r8: (a) two partitions sharing a min key must FAIL loudly
+    instead of silently clobbering one shard; (b) identical bytes (a
+    retried attempt / deterministic re-run) stay idempotent; (c) keys
+    longer than USTAR's member-name budget raise with the contract in
+    the message, not an opaque tarfile error."""
+    from deepseek_ocr_api_rs_spark.sources.webdataset import (
+        write_wds_shards,
+    )
+
+    d = str(tmp_path / "wds")
+    one = spark.createDataFrame([("k1", "a")], "key string, txt string")
+    write_wds_shards(one, d).collect()
+    # (b) identical re-run: same bytes, no error, still one shard
+    write_wds_shards(one, d).collect()
+    # (a) same min key, different content -> collision error
+    other = spark.createDataFrame([("k1", "DIFFERENT")], "key string, txt string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="collision"):
+        write_wds_shards(other, d).collect()
+    # (c) key too long for USTAR member names
+    long = spark.createDataFrame(
+        [("k" * 120, "a")], "key string, txt string"
+    )
+    with _pytest.raises(Exception, match="USTAR"):
+        write_wds_shards(long, str(tmp_path / "wds2")).collect()
