@@ -2122,17 +2122,20 @@ order by region, nation
 # baselines property-wise) -------------------------------------------------
 
 def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-parquet-file testdata runs the signature codegen in ONE task
-    # without the repartition (the same trap as q_canonical_docs); values
-    # are partitioning-independent and the result is fully ordered
-    n_parts = _fanout_parts(spark)
-    docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
+    # NOTE (r9): deliberately NOT repartitioned — interleaved A/B measured
+    # the keyed repartition SLOWER here (min 1.67 s vs 1.22 s): the
+    # xxhash64 signature pass is cheap, and widening the persisted band
+    # table multiplies task overhead across its three consumers (hot-key
+    # count, both join sides) while cached plans are exempt from AQE
+    # re-coalescing
+    docs = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_candidates_fast(docs, shingle_n=3).orderBy("id_a", "id_b")
 
 
 def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_parts = _fanout_parts(spark)
-    docs = _t(spark, sf_dir, "documents").repartition(n_parts, "doc_id")
+    # NOT repartitioned — same A/B verdict as q_minhash_lsh_fast
+    # (min 1.86 s with vs 1.11 s without)
+    docs = _t(spark, sf_dir, "documents")
     return D.simhash_fast(docs).orderBy("doc_id")
 
 
@@ -2440,6 +2443,12 @@ def q_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_shipped(spark)
+    # NOTE (r9): deliberately NOT repartitioned off the single-file scan —
+    # measured 2× slower with the repartition (interleaved min 8.1 s vs
+    # 4.4 s): the trainer runs several split-search actions over the
+    # persisted feature frame, and cached plans are exempt from AQE
+    # re-coalescing, so widening the cached inputs multiplies per-action
+    # task overhead across every level of the tree search
     return quality_tree_dispositions(_t(spark, sf_dir, "documents"))
 
 
@@ -2927,13 +2936,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts —
     the compression the learned merges buy. Oracle: the same CTE chain
     extended to the final word table, joined in SQL."""
-    # repartition: the word explode otherwise runs in the ONE task of the
-    # single-file scan
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(_fanout_parts(spark), "doc_id")
-    )
+    # NOTE (r9): deliberately NOT repartitioned — interleaved A/B measured
+    # it slower (min 5.99 s vs 4.49 s): the 12-round learner dominates and
+    # widening the persisted word-explode frame only adds per-job task
+    # overhead to every round
+    docs = _t(spark, sf_dir, "documents")
     doc_words = D._persist(
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -2987,17 +2994,14 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text in original line order. The exploded frame feeds three
     consumers, so it is persisted once."""
     d = F.col("doc_id")
-    # repartition: the chunk/line synthesis otherwise runs in the ONE
-    # task of the single-file scan
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(_fanout_parts(spark), "doc_id")
-        .select(
-            "doc_id",
-            F.concat(F.lit("site"), (d % 7).cast("string")).alias("host"),
-            F.split("text", " ").alias("ws"),
-        )
+    # NOTE (r9): deliberately NOT repartitioned — interleaved A/B measured
+    # it 2× slower (min 3.67 s vs 1.77 s): the persisted line-explode
+    # frame feeds four aggregation consumers, and widening it multiplies
+    # per-job task overhead (cached plans are exempt from AQE coalescing)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (d % 7).cast("string")).alias("host"),
+        F.split("text", " ").alias("ws"),
     )
     chunks = [
         F.array_join(

@@ -155,8 +155,12 @@ def quality_tree_dispositions(
     row per document: (doc_id, label, leaf, pred) ordered by doc_id —
     label is the distant-supervision rule, leaf the root-to-leaf L/R
     path, pred the leaf's majority vote (ties → 1)."""
+    from deepseek_ocr_api_rs_spark.operators.dedup import _persist
+
     spark = docs.sparkSession
-    base = _base(docs, id_col, text_col).persist()
+    # registry-tracked persists: the old raw .persist() frames were
+    # never released by release_persisted() and outlived the query
+    base = _persist(_base(docs, id_col, text_col))
     labels = base.select("doc_id", "y")
     fe = (
         base.select("doc_id", "nt", F.explode("toks").alias("w"))
@@ -171,8 +175,8 @@ def quality_tree_dispositions(
             "dim",
             F.expr(f"(c * {RATIO_SCALE}) DIV nt").alias("x"),
         )
-        .persist()
     )
+    fe = _persist(fe)
     thr = spark.createDataFrame([(t,) for t in THRESHOLDS], "t long")
 
     level0 = labels.withColumn("node", F.lit("root")).select(
